@@ -1,0 +1,78 @@
+"""Benchmark harness: runs the headline query inventory at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Each query is executed with a count-style action that materializes the
+full result (no driver-side row transfer beyond the count), timed
+end-to-end including plan + execution. A warmup pass on sf0.001 JIT-warms
+the session first so measured numbers reflect steady-state executors.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from streamandbatchprocessing_spark.queries import QUERIES  # noqa: E402
+from streamandbatchprocessing_spark.session import build_spark  # noqa: E402
+
+WARMUP_DIR = "/root/testdata/sf0.001"
+
+# Headline set: the scan/agg spine, the join surface, windows, and each
+# extension family. Keep this stable round-to-round so BENCH_r{N}.json
+# curves are comparable.
+HEADLINE = [
+    "b01_pricing_summary",
+    "b02_top_unshipped_orders",
+    "b03_regional_supplier_volume",
+    "b04_brand_volume",
+    "b08_top_orders_per_customer",
+    "b11_asof_last_click",
+    "b12_salted_segment_stats",
+    "a01_revenue_by_category",
+    "a04_user_segmentation",
+    "a09_dashboard_windows",
+]
+
+
+def _run(spark, name: str, sf_dir: str) -> float:
+    fn = QUERIES[name]
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    # Materialize every result row without collecting them to the driver.
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_spark(app_name="sbp-bench", enable_fair_scheduler=False,
+                        extra_conf={"spark.ui.enabled": "false"})
+    names = [n for n in HEADLINE if n in QUERIES]
+    for name in names:  # JIT/codegen warmup at tiny scale
+        try:
+            _run(spark, name, WARMUP_DIR)
+        except Exception:
+            pass
+    timings: dict[str, float] = {}
+    for name in names:
+        timings[name] = round(_run(spark, name, sf_dir), 3)
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_query_wall_time_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

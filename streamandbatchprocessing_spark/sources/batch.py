@@ -1,0 +1,94 @@
+"""Batch sources over the driver fixture tables (parquet).
+
+Parity target: reference S6/S7/S8 (Delta batch read/write,
+``BatchJob.scala:44-90``) — here generalized to the parquet star schema
+the harness provides (TESTDATA.md). Delta is used when the JARs are on
+the classpath, else parquet.
+
+Scale notes: readers return plain lazy DataFrames so Catalyst keeps
+predicate pushdown / column pruning / partition pruning; nothing here
+forces materialization.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+FIXTURE_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables small enough to broadcast at every scale factor the
+#: fixtures ship (region=5, nation=25 rows; customer/supplier/part grow
+#: with sf but stay dimension-sized relative to lineitem).
+BROADCAST_TABLES = ("region", "nation", "supplier", "part", "customer")
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in FIXTURE_TABLES:
+        raise KeyError(f"unknown fixture table {name!r}; expected one of {FIXTURE_TABLES}")
+    if name == "events":
+        return _load_events(spark, sf_dir)
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
+    Spark's vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL).
+    Read it as raw nanos via the legacy conf, then truncate to micros —
+    integer ``div 1000`` matches DuckDB's TIMESTAMP_NS→TIMESTAMP cast
+    bit-for-bit (verified) — and present it as TIMESTAMP_NTZ so the
+    column is timezone-independent like every other fixture timestamp.
+    """
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return df.withColumn(
+        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+    )
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in (names or FIXTURE_TABLES)}
+
+
+def read_any(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Format-dispatching batch read (reference S6)."""
+    return spark.read.format(fmt).load(path)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+    fmt: str = "parquet",
+) -> None:
+    """Partitioned batch write (reference S7/S8:
+    ``df.write.format("delta").partitionBy("category").mode("overwrite")``).
+
+    At scale the partition column choice is the whole game: the reference
+    partitions its raw snapshots by ``category`` (~10 values) and the
+    stream table by ``event_date`` — both low-cardinality columns that
+    downstream filters prune on. Keep that contract.
+    """
+    writer = df.write.format(fmt).mode(mode)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
