@@ -1,0 +1,82 @@
+"""Text analysis Column builders (token counting, shingles, quality,
+language ID) — JVM built-ins only in the fixture-facing paths.
+
+The language-ID heuristic is a real stopword/character n-gram scorer
+meant for natural text; the driver fixture documents are synthetic
+word-salad with a 31-word English vocabulary, so correctness queries
+use corpus statistics instead and the heuristic is unit-tested on
+multilingual samples (tests/test_textops.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization. DuckDB: ``string_split(text, ' ')``."""
+    return F.split(text, " ")
+
+
+def distinct_tokens(text: Column) -> Column:
+    return F.array_distinct(tokens(text))
+
+
+def shingles(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles of a token array (MinHash/fingerprint input).
+
+    DuckDB equivalent (1-based, end-inclusive slices):
+    ``list_transform(range(1, len(toks)-n+2), i -> array_to_string(toks[i:i+n-1], ' '))``.
+    """
+    # sequence(0, size-n) enumerates shingle starts; empty when size < n.
+    return F.expr(
+        f"CASE WHEN size({_c(toks)}) < {n} THEN array() "
+        f"ELSE transform(sequence(0, size({_c(toks)}) - {n}), "
+        f"i -> concat_ws(' ', slice({_c(toks)}, i + 1, {n}))) END"
+    )
+
+
+def _c(col: Column) -> str:
+    """Render a simple column reference for use inside F.expr."""
+    name = col._jc.toString()  # noqa: SLF001 — plain column name only
+    if not name.replace("_", "").isalnum():
+        raise ValueError(f"shingles() needs a plain column reference, got {name}")
+    return name
+
+
+def count_matching(toks: Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens in ``words`` — higher-order filter, no UDF.
+    DuckDB: ``len(list_filter(toks, t -> t IN (...)))``."""
+    in_list = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter({_c(toks)}, t -> t IN ({in_list})))")
+
+
+# Stopword tables for the language-ID heuristic (operators path).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "was", "for"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "den", "von"),
+    "fr": ("le", "la", "les", "et", "est", "un", "une", "des", "que", "pour"),
+    "es": ("el", "la", "los", "las", "es", "un", "una", "que", "por", "con"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不", "这", "他"),
+}
+
+
+def langid_scores(toks: Column) -> dict[str, Column]:
+    """Stopword-hit score per language for a token array column."""
+    return {lang: count_matching(toks, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def langid(text: Column) -> Column:
+    """Argmax language by stopword hits ('und' = undetermined on a
+    zero-score tie), computed as a when-chain over score columns —
+    entirely JVM-side."""
+    toks = F.split(F.lower(text), r"\s+")
+    scores = langid_scores(toks)
+    langs = list(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    expr = F.lit("und")
+    # Reverse order so earlier languages win ties deterministically.
+    for lang in reversed(langs):
+        expr = F.when(scores[lang] == best, lang).otherwise(expr)
+    return F.when(best == 0, "und").otherwise(expr)

@@ -1,0 +1,48 @@
+"""Vector math over ``array<float>`` embedding columns — built-in
+higher-order functions only (JVM-side, codegen'd): no UDF in the
+similarity hot path.
+
+Determinism contract: elements are widened float→double (exact), then
+folded left-to-right; verified bit-identical to DuckDB's
+``list_cosine_similarity`` on the fixture embeddings.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def as_double(vec: Column) -> Column:
+    """Exact float→double widening of an array<float> column.
+    DuckDB: ``CAST(v AS DOUBLE[])``."""
+    return F.transform(vec, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Left-to-right fold of elementwise products."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    """Cosine similarity. DuckDB: ``list_cosine_similarity(a, b)``."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def sign_bucket(vec: Column, n_bits: int = 4) -> Column:
+    """Coarse quantization bucket from the sign bits of the first
+    ``n_bits`` dimensions — the cheap IVF-style partitioner used to
+    restrict ANN search to one bucket (2^n_bits cells). DuckDB:
+    ``sum over CASE WHEN v[i+1] >= 0 THEN 2^i ELSE 0 END``."""
+    bucket = F.lit(0)
+    for i in range(n_bits):
+        bucket = bucket + F.when(
+            F.element_at(vec, i + 1) >= 0, F.lit(2**i)
+        ).otherwise(0)
+    return bucket

@@ -1,1 +1,348 @@
-"""Deduplication queries over the documents table (filled in next)."""
+"""Deduplication operator family over ``documents`` / ``embeddings``
+(north-star extension: exact, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup).
+
+Scale design notes (the whole point of these operators at 100 TB):
+  * Exact dedup = hash groupBy on the content — one shuffle keyed by
+    text (in production, by a 128-bit content hash, never the raw text).
+  * MinHash+LSH never compares all pairs: banding restricts candidate
+    generation to equi-joins on band hashes, so the cost is
+    O(docs × bands) shuffle + output-proportional join, not O(n²).
+  * SimHash/n-gram pairs are bucketed (here by ``source``; in
+    production by LSH band or length band) to bound the quadratic term.
+  * All hashes are md5-derived built-ins → portable to the DuckDB
+    oracle and UDF-free in Spark.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, md5_prefix
+from ..sources.batch import load_table
+from .registry import query
+
+_N_HASHES = 16
+_BANDS = 2  # 2 bands × 8 rows — tuned for the fixture's high base jaccard
+_ROWS_PER_BAND = _N_HASHES // _BANDS
+
+
+# ---------------------------------------------------------------------------
+# c01 — exact dedup (hash groupBy canonicalization)
+# ---------------------------------------------------------------------------
+@query(
+    "c01_exact_dedup",
+    oracle="""
+    WITH canon AS (SELECT text, MIN(doc_id) AS kid FROM documents GROUP BY text)
+    SELECT d.doc_id, c.kid AS canonical_id, d.doc_id <> c.kid AS is_dup
+    FROM documents d JOIN canon c ON d.text = c.text
+    ORDER BY d.doc_id
+    """,
+)
+def c01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate canonicalization: min doc_id per identical text.
+    Production note: group on a content hash (e04's content_hash60 /
+    md5) rather than shuffling full document bodies."""
+    docs = load_table(spark, sf_dir, "documents")
+    canon = docs.groupBy("text").agg(F.min("doc_id").alias("canonical_id"))
+    return (
+        docs.join(canon, "text")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c02 — MinHash + LSH candidate pairs
+# ---------------------------------------------------------------------------
+def _minhash_oracle() -> str:
+    sig_cols = ",\n           ".join(
+        f"MIN(substr(md5('s{i}:' || tok), 1, 12)) AS h{i}" for i in range(_N_HASHES)
+    )
+    band_cols = ",\n           ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"h{i}" for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
+        + f")) AS b{b}"
+        for b in range(_BANDS)
+    )
+    cand_union = "\n    UNION\n".join(
+        f"    SELECT a.doc_id AS da, b.doc_id AS db FROM band a "
+        f"JOIN band b ON a.b{b} = b.b{b} AND a.doc_id < b.doc_id"
+        for b in range(_BANDS)
+    )
+    agree = " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(_N_HASHES))
+    return f"""
+    WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+               FROM documents),
+    x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    sig AS (SELECT doc_id,
+           {sig_cols}
+           FROM x GROUP BY doc_id),
+    band AS (SELECT doc_id,
+           {band_cols}
+           FROM sig),
+    cand AS (
+{cand_union}
+    )
+    SELECT c.da AS doc_a, c.db AS doc_b,
+           ({agree}) / 16.0 AS est_jaccard
+    FROM cand c
+    JOIN sig sa ON sa.doc_id = c.da
+    JOIN sig sb ON sb.doc_id = c.db
+    ORDER BY doc_a, doc_b
+    """
+
+
+@query("c02_minhash_lsh_pairs", oracle=_minhash_oracle())
+def c02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(2 bands × 8) candidate pairs with estimated
+    jaccard. The only joins are equi-joins on band hashes — candidate
+    generation is output-bound, never O(n²); at 100 TB the band join is
+    an ordinary shuffle join on a 32-hex key with skew handled by AQE
+    (a band bucket containing k docs costs k² only within that bucket —
+    band width is the knob that bounds k)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(md5_prefix(F.col("tok"), seed=f"s{i}:")).alias(f"h{i}")
+            for i in range(_N_HASHES)
+        ]
+    )
+    band = sig.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        f"h{i}"
+                        for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+                    ],
+                )
+            ).alias(f"b{b}")
+            for b in range(_BANDS)
+        ],
+    )
+    cands = [
+        band.alias("a")
+        .join(band.alias("b"), F.expr(f"a.b{b} = b.b{b} AND a.doc_id < b.doc_id"))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        for b in range(_BANDS)
+    ]
+    cand = reduce(DataFrame.union, cands).distinct()
+    agree = reduce(
+        lambda acc, i: acc + F.expr(f"CAST(sa.h{i} = sb.h{i} AS INT)"),
+        range(1, _N_HASHES),
+        F.expr("CAST(sa.h0 = sb.h0 AS INT)"),
+    )
+    return (
+        cand.join(sig.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            (agree / 16.0).alias("est_jaccard"),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c03 — SimHash fingerprints + nearest-neighbor hamming distance
+# ---------------------------------------------------------------------------
+_SIM_BITS = 32
+
+
+def _simhash_oracle() -> str:
+    bit_sums = ",\n           ".join(
+        f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIM_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(_SIM_BITS)
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, source,
+                      list_distinct(string_split(text, ' ')) AS toks
+               FROM documents),
+    x AS (SELECT doc_id, source, unnest(toks) AS tok FROM t),
+    h AS (SELECT doc_id, source,
+                 CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT) AS hv
+          FROM x),
+    s AS (SELECT doc_id, ANY_VALUE(source) AS source,
+           {bit_sums}
+          FROM h GROUP BY doc_id),
+    fp AS (SELECT doc_id, source, ({fp}) AS simhash FROM s)
+    SELECT a.doc_id, ANY_VALUE(a.simhash) AS simhash,
+           MIN(bit_count(xor(a.simhash, b.simhash))) AS nn_hamming,
+           SUM(CASE WHEN bit_count(xor(a.simhash, b.simhash)) <= 6
+                    THEN 1 ELSE 0 END) AS n_close
+    FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id <> b.doc_id
+    GROUP BY a.doc_id
+    ORDER BY a.doc_id
+    """
+
+
+@query("c03_simhash_neighbors", oracle=_simhash_oracle())
+def c03_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document + nearest-neighbor hamming distance
+    within the same source bucket. Bucketing bounds the pair join
+    (sources here; length/LSH bands in production), keeping the
+    quadratic term per-bucket. Fingerprint construction is one explode +
+    one groupBy — linear, shuffle on doc_id."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    h = tok.withColumn("hv", hash60(F.col("tok")))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright("hv", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(_SIM_BITS)
+    ]
+    s = h.groupBy("doc_id").agg(F.any_value("source").alias("source"), *bit_sums)
+    fp_col = reduce(
+        lambda acc, j: acc
+        + F.when(F.col(f"s{j}") > 0, F.lit(1 << j).cast("long")).otherwise(0),
+        range(1, _SIM_BITS),
+        F.when(F.col("s0") > 0, F.lit(1).cast("long")).otherwise(0),
+    )
+    fp = s.select("doc_id", "source", fp_col.alias("simhash"))
+    a, b = fp.alias("a"), fp.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(b, F.expr("a.source = b.source AND a.doc_id <> b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(
+            F.any_value(F.col("a.simhash")).alias("simhash"),
+            F.min(ham).alias("nn_hamming"),
+            F.sum(F.when(ham <= 6, 1).otherwise(0)).alias("n_close"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c04 — n-gram (3-shingle) exact Jaccard pairs
+# ---------------------------------------------------------------------------
+@query(
+    "c04_ngram_jaccard_pairs",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, source,
+                 list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(range(1, len(toks) - 1),
+                                          i -> array_to_string(toks[i:i+2], ' '))
+                      END) AS sh
+          FROM t),
+    sz AS (SELECT doc_id, len(sh) AS n FROM s),
+    x AS (SELECT doc_id, source, unnest(sh) AS g FROM s),
+    inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+              FROM x a JOIN x b
+                ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT inter.da AS doc_a, inter.db AS doc_b,
+           ROUND(inter.i * 1.0 / (sa.n + sb.n - inter.i), 6) AS jaccard
+    FROM inter
+    JOIN sz sa ON sa.doc_id = inter.da
+    JOIN sz sb ON sb.doc_id = inter.db
+    WHERE inter.i * 1.0 / (sa.n + sb.n - inter.i) >= 0.01
+    ORDER BY doc_a, doc_b
+    """,
+)
+def c04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-shingle Jaccard for same-source pairs: explode shingles,
+    equi-join on (shingle, source) to count intersections — the union
+    size comes from per-doc set sizes, so no pairwise set materialization.
+    The equi-join keeps this output-bound (only docs sharing a shingle
+    ever meet)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    sh = F.array_distinct(
+        F.expr(
+            "CASE WHEN size(split(text, ' ')) < 3 THEN array() "
+            "ELSE transform(sequence(0, size(split(text, ' ')) - 3), "
+            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) END"
+        )
+    )
+    s = docs.select("doc_id", "source", sh.alias("sh"))
+    sz = s.select("doc_id", F.size("sh").alias("n"))
+    x = s.select("doc_id", "source", F.explode("sh").alias("g"))
+    inter = (
+        x.alias("a")
+        .join(
+            x.alias("b"),
+            F.expr("a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id"),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    j = (
+        inter.join(sz.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(sz.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            (F.col("i") * 1.0 / (F.col("sa.n") + F.col("sb.n") - F.col("i"))).alias("_j"),
+        )
+    )
+    return (
+        j.filter(F.col("_j") >= 0.01)
+        .select("doc_a", "doc_b", F.round("_j", 6).alias("jaccard"))
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c05 — embedding-cosine near-duplicates (bucketed by label)
+# ---------------------------------------------------------------------------
+@query(
+    "c05_embedding_neardup",
+    oracle="""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+           list_cosine_similarity(a.v, b.v) AS cos_sim
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    ORDER BY vec_a, vec_b
+    """,
+)
+def c05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate detection by embedding cosine within label buckets
+    — the bucket join is the scale lever (per-bucket quadratic only);
+    cosine is a codegen'd higher-order fold, bit-identical to the
+    oracle's list_cosine_similarity (verified)."""
+    from ..functions.vectors import as_double, cosine
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = cosine(F.col("a.v"), F.col("b.v"))
+    return (
+        a.join(b, F.expr("a.label = b.label AND a.vec_id < b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.label").alias("label"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.35)
+        .orderBy("vec_a", "vec_b")
+    )

@@ -1,1 +1,142 @@
-"""Similarity-search queries over the embeddings table (filled in next)."""
+"""Similarity search over the ``embeddings`` fixture (north-star
+extension): brute-force cosine top-k baseline + IVF-style bucketed ANN.
+
+Scale story: brute-force is the correctness baseline (score every
+candidate — fine for reranking a small candidate set, never for 100 TB
+recall). The bucketed variant is the scale path: a cheap deterministic
+partitioner (sign-bit quantization here; trained IVF centroids or LSH
+hyperplanes in production) turns the cross join into an equi-join on
+bucket id, cutting scored candidates by ~2^bits while keeping the same
+downstream top-k machinery. Both are UDF-free: cosine is a codegen'd
+higher-order fold over array<double>.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import as_double, cosine, sign_bucket
+from ..sources.batch import load_table
+from .registry import query
+
+_BUCKET_SQL = (
+    "(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END"
+    " + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END"
+    " + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END"
+    " + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)"
+)
+
+
+@query(
+    "d01_topk_bruteforce",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 5),
+    s AS (SELECT q.qid, e.vec_id AS nid,
+                 list_cosine_similarity(q.qv, e.v) AS cos_sim
+          FROM q JOIN e ON e.vec_id <> q.qid),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, nid) AS rank
+          FROM s)
+    SELECT qid AS query_id, nid AS neighbor_id, cos_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def d01_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 for a fixed query set (vec_id < 5).
+    The query side is broadcast, so the candidate scan parallelizes over
+    the big side with no shuffle; per-query top-k via row_number with a
+    unique tiebreak. At N queries × M candidates this is the exact
+    baseline ANN variants are measured against."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cos_sim",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+@query(
+    "d02_ivf_bucket_ann",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      {_BUCKET_SQL} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket FROM e WHERE vec_id < 20),
+    s AS (SELECT q.qid, q.bucket, e.vec_id AS nid,
+                 list_cosine_similarity(q.qv, e.v) AS cos_sim
+          FROM q JOIN e ON e.bucket = q.bucket AND e.vec_id <> q.qid),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, nid) AS rank
+          FROM s)
+    SELECT qid AS query_id, bucket, nid AS neighbor_id, cos_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 5
+    ORDER BY query_id, rank
+    """,
+)
+def d02_ivf_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate NN: sign-bit coarse quantizer (16 cells) →
+    equi-join queries to same-cell candidates → top-5. The equi-join on
+    bucket replaces the cross join: at scale, candidates per query drop
+    by ~the cell count, and the bucket column doubles as the table's
+    partition key so a cell's vectors are co-located."""
+    raw = load_table(spark, sf_dir, "embeddings")
+    emb = raw.select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        sign_bucket(F.col("embedding"), 4).alias("bucket"),
+    )
+    q = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            "bucket",
+            F.col("vec_id").alias("nid"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("qid").alias("query_id"),
+            "bucket",
+            F.col("nid").alias("neighbor_id"),
+            "cos_sim",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -1,1 +1,212 @@
-"""Text-analysis queries over the documents table (filled in next)."""
+"""Text-analysis queries over the ``documents`` fixture (BASELINE.json
+north-star extension: token counting, quality scoring, corpus stats,
+fingerprinting).
+
+All expressions are JVM built-ins (split / higher-order filter / md5);
+no Python touches the row path, so these scale exactly like any other
+whole-stage-codegen'd projection. The real multilingual language-ID
+heuristic lives in ``functions/text.py`` + ``operators/textops.py``
+(the fixture corpus is single-vocabulary word salad, so lang-ID is
+exercised by unit tests, and corpus statistics by oracle here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, md5_prefix
+from ..sources.batch import load_table
+from .registry import query
+
+_STOPWORDS = ("the", "a")
+
+
+# ---------------------------------------------------------------------------
+# e01 — token counting
+# ---------------------------------------------------------------------------
+@query(
+    "e01_token_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, source, text,
+                      string_split(text, ' ') AS toks FROM documents)
+    SELECT doc_id, lang, source,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS ttr,
+           CAST(length(text) AS BIGINT) AS n_chars_measured
+    FROM t
+    ORDER BY doc_id
+    """,
+)
+def e01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts + type-token ratio per document."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(toks).cast("long").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
+            F.round(F.size(F.array_distinct(toks)) * 1.0 / F.size(toks), 6).alias("ttr"),
+            F.length("text").cast("long").alias("n_chars_measured"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e02 — quality scoring
+# ---------------------------------------------------------------------------
+@query(
+    "e02_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                      CAST(length(text) AS BIGINT) AS n_chars
+               FROM documents),
+    m AS (SELECT doc_id, n_chars,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS BIGINT)
+                     AS stop_hits,
+                 ROUND((n_chars - len(toks) + 1) * 1.0 / len(toks), 6)
+                     AS avg_token_len
+          FROM t)
+    SELECT doc_id, n_tokens, stop_hits,
+           ROUND(stop_hits * 1.0 / n_tokens, 6) AS stop_ratio,
+           avg_token_len,
+           ROUND(0.5 * (stop_hits * 1.0 / n_tokens)
+                 + 0.3 * (CASE WHEN n_tokens > 60 THEN 60 ELSE n_tokens END / 60.0)
+                 + 0.2 * (CASE WHEN avg_token_len > 8 THEN 8 ELSE avg_token_len END / 8.0),
+                 6) AS quality_score,
+           CASE WHEN n_tokens >= 30 AND stop_hits > 0 THEN 'good'
+                WHEN n_tokens >= 15 THEN 'fair'
+                ELSE 'poor' END AS quality_class
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def e02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document quality: length, stopword ratio, mean token
+    length → weighted score + class bucket (rational arithmetic only, so
+    cross-engine deterministic; no exp/log transcendentals)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    in_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    base = docs.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.expr(f"CAST(size(filter(split(text, ' '), t -> t IN ({in_list}))) AS LONG)")
+        .alias("stop_hits"),
+    ).withColumn(
+        "avg_token_len",
+        F.round((F.col("n_chars") - F.col("n_tokens") + 1) * 1.0 / F.col("n_tokens"), 6),
+    )
+    stop_ratio = F.col("stop_hits") * 1.0 / F.col("n_tokens")
+    return (
+        base.select(
+            "doc_id",
+            "n_tokens",
+            "stop_hits",
+            F.round(stop_ratio, 6).alias("stop_ratio"),
+            "avg_token_len",
+            F.round(
+                0.5 * stop_ratio
+                + 0.3 * (F.least(F.col("n_tokens"), F.lit(60)) / 60.0)
+                + 0.2 * (F.least(F.col("avg_token_len"), F.lit(8.0)) / 8.0),
+                6,
+            ).alias("quality_score"),
+            F.when((F.col("n_tokens") >= 30) & (F.col("stop_hits") > 0), "good")
+            .when(F.col("n_tokens") >= 15, "fair")
+            .otherwise("poor")
+            .alias("quality_class"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e03 — per-language corpus statistics (incl. exploded-vocab distinct)
+# ---------------------------------------------------------------------------
+@query(
+    "e03_corpus_stats",
+    oracle="""
+    WITH t AS (SELECT doc_id, lang, n_chars,
+                      string_split(text, ' ') AS toks FROM documents),
+    x AS (SELECT lang, unnest(toks) AS tok FROM t),
+    v AS (SELECT lang, COUNT(DISTINCT tok) AS vocab_size FROM x GROUP BY lang),
+    s AS (SELECT lang,
+                 COUNT(*) AS n_docs,
+                 CAST(SUM(len(toks)) AS BIGINT) AS total_tokens,
+                 CAST(SUM(len(toks)) AS DOUBLE) / COUNT(*) AS avg_tokens,
+                 CAST(SUM(n_chars) AS BIGINT) AS total_chars
+          FROM t GROUP BY lang)
+    SELECT s.lang, s.n_docs, s.total_tokens, s.avg_tokens, s.total_chars,
+           v.vocab_size
+    FROM s JOIN v ON s.lang = v.lang
+    ORDER BY s.lang
+    """,
+)
+def e03_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language corpus rollup: doc/token/char totals + vocabulary
+    size via explode→countDistinct. Integer sums are exact, so no
+    decimal detour is needed."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    t = docs.select("doc_id", "lang", "n_chars", toks.alias("toks"))
+    vocab = (
+        t.select("lang", F.explode("toks").alias("tok"))
+        .groupBy("lang")
+        .agg(F.countDistinct("tok").alias("vocab_size"))
+    )
+    stats = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("total_tokens"),
+        (F.sum(F.size("toks")).cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    return stats.join(vocab, "lang").select(
+        "lang", "n_docs", "total_tokens", "avg_tokens", "total_chars", "vocab_size"
+    ).orderBy("lang")
+
+
+# ---------------------------------------------------------------------------
+# e04 — document fingerprinting
+# ---------------------------------------------------------------------------
+@query(
+    "e04_fingerprints",
+    oracle="""
+    WITH t AS (SELECT doc_id, text,
+                      list_distinct(string_split(text, ' ')) AS toks
+               FROM documents),
+    x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    mh AS (SELECT doc_id, MIN(substr(md5('fp:' || tok), 1, 12)) AS minhash_token
+           FROM x GROUP BY doc_id)
+    SELECT t.doc_id,
+           CAST(('0x' || substr(md5(t.text), 1, 15)) AS BIGINT) AS content_hash60,
+           substr(md5(t.text), 1, 8) AS md5_head,
+           mh.minhash_token
+    FROM t JOIN mh ON t.doc_id = mh.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def e04_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: whole-text 60-bit hash, md5 head, and a
+    1-permutation token MinHash — the building blocks the dedup family
+    composes. All md5-derived, hence engine-portable."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.col("text"), " "))
+    per_tok = docs.select("doc_id", F.explode(toks).alias("tok"))
+    mh = per_tok.groupBy("doc_id").agg(
+        F.min(md5_prefix(F.col("tok"), seed="fp:")).alias("minhash_token")
+    )
+    fp = docs.select(
+        "doc_id",
+        hash60(F.col("text")).alias("content_hash60"),
+        F.substring(F.md5("text"), 1, 8).alias("md5_head"),
+    )
+    return fp.join(mh, "doc_id").select(
+        "doc_id", "content_hash60", "md5_head", "minhash_token"
+    ).orderBy("doc_id")
