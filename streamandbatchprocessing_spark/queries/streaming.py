@@ -1,1 +1,127 @@
-"""Structured Streaming queries (filled in next)."""
+"""Structured-Streaming correctness queries (f-group).
+
+Each runs a real streaming query (file-source replay, availableNow
+trigger, checkpointed, watermarked) to completion and returns the sink
+table — so the driver's oracle compare covers the streaming engine
+path, not a batch re-expression. The oracle is the batch semantics of
+the same computation, which streaming must converge to on replayed
+finite input.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+from ..streaming.pipeline import (
+    dashboard_plan,
+    events_stream,
+    run_to_memory,
+    streaming_dedup_plan,
+)
+from .registry import query
+
+_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+@query(
+    "f01_streaming_dashboard",
+    oracle=f"""
+    WITH ev AS (SELECT event_type, value, CAST(ts AS TIMESTAMP) AS ts
+                FROM events WHERE event_type IN ('purchase', 'click')),
+    slid AS (SELECT event_type, value, ts,
+                    time_bucket(INTERVAL '1 minute', ts)
+                      - k * INTERVAL '1 minute' AS window_start
+             FROM ev CROSS JOIN (SELECT unnest(generate_series(0, 4)) AS k))
+    SELECT window_start,
+           window_start + INTERVAL '5 minutes' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {_DSUM.format(x='value')} AS total_value
+    FROM slid
+    GROUP BY window_start, event_type
+    ORDER BY window_start, event_type
+    """,
+)
+def f01_streaming_dashboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's realtimeDashboard as a real streaming run:
+    watermark(10m) → window(5m, 1m) × type, complete mode. The oracle
+    expands each event into its 5 covering slide buckets — the batch
+    definition of a sliding window."""
+    result = run_to_memory(
+        dashboard_plan(events_stream(spark, sf_dir)),
+        output_mode="complete",
+        name_prefix="f01_dashboard",
+    )
+    return result.orderBy("window_start", "event_type")
+
+
+@query(
+    "f02_streaming_dedup",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    ORDER BY user_id, event_type
+    """,
+)
+def f02_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicates on (user_id, event_type) — append mode;
+    state is the distinct key set (bounded here; watermark-scoped in
+    production via dropDuplicatesWithinWatermark)."""
+    result = run_to_memory(
+        streaming_dedup_plan(events_stream(spark, sf_dir)),
+        output_mode="append",
+        name_prefix="f02_dedup",
+    )
+    return result.orderBy("user_id", "event_type")
+
+
+@query(
+    "f03_session_windows",
+    oracle="""
+    WITH ev AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+                FROM events),
+    flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL '30 minutes'
+                    THEN 0 ELSE 1 END AS new_session
+        FROM ev),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged)
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_start
+    """,
+)
+def f03_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-minute gap) per user — `F.session_window`,
+    the operator the reference lacks (SURVEY.md T8). The oracle is the
+    classic gaps-and-islands formulation: a session ends 30 minutes
+    after its last event. Session assignment shuffles once on user_id;
+    state in the streaming variant is one open session per key."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )

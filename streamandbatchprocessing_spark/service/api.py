@@ -1,0 +1,171 @@
+"""REST façade — the reference's 9-endpoint service surface.
+
+Parity target (SURVEY.md §2.9): ``routes/{Stream,Batch,Control}Routes.
+scala`` — same endpoints, status machine, error model and codes:
+INVALID_REQUEST(400) / BATCH_NOT_FOUND(404) / BATCH_NOT_READY(409) /
+STREAM_ALREADY_RUNNING(409) / INTERNAL_ERROR(500) /
+SERVICE_UNAVAILABLE(503) (README.md:819-837).
+
+Flask app factory + a ThreadPoolExecutor(8) mirror the reference's
+Pekko routes + FixedThreadPool(8) (BatchRoutes.scala:29-32): submits
+return 202 immediately, the job runs on a pool thread whose
+``setLocalProperty`` scopes it to the FAIR batch pool.
+"""
+
+from __future__ import annotations
+
+import time
+from concurrent.futures import ThreadPoolExecutor
+
+from .batch_job import BatchJobRunner, new_batch_id
+from .registry import BatchRegistry, BatchStatus
+
+try:
+    from flask import Flask, jsonify, request
+except ImportError:  # pragma: no cover — flask is available in CI image
+    Flask = None
+
+MAX_CONCURRENT_BATCHES = 8
+DEFAULT_PAGE = 100
+MAX_PAGE = 10000
+
+_VALID = {
+    "revenue_by_category", "revenue_by_region", "payment_analysis",
+    "customer_segmentation", "fraud_analysis", "hourly_trends",
+    "channel_performance", "inventory_velocity", "full_report",
+}
+
+
+def _error(code: str, message: str, http: int):
+    return jsonify({"error": code, "message": message}), http
+
+
+def create_app(runner: BatchJobRunner, stream_manager=None) -> "Flask":
+    """Build the service app around a BatchJobRunner and an optional
+    streaming manager (an object with start(topic)/stop()/status())."""
+    if Flask is None:
+        raise RuntimeError("flask is not installed")
+    app = Flask("streamandbatchprocessing-spark")
+    registry: BatchRegistry = runner.registry
+    pool = ThreadPoolExecutor(
+        max_workers=MAX_CONCURRENT_BATCHES, thread_name_prefix="batch-pool"
+    )
+    started_at = time.time()
+
+    # -- batch lifecycle (BatchRoutes.scala:34-299) ----------------------
+    @app.post("/batch/run")
+    def batch_run():
+        body = request.get_json(silent=True) or {}
+        analysis = body.get("analysisType")
+        start, end = body.get("startDate"), body.get("endDate")
+        filters = body.get("filters") or {}
+        if not analysis or analysis not in _VALID:
+            return _error("INVALID_REQUEST", f"invalid analysisType {analysis!r}", 400)
+        if not start or not end:
+            return _error("INVALID_REQUEST", "startDate and endDate required", 400)
+        if not isinstance(filters, dict):
+            return _error("INVALID_REQUEST", "filters must be an object", 400)
+        batch_id = new_batch_id()
+        from .registry import BatchJobRecord
+
+        registry.register(
+            BatchJobRecord(
+                batch_id=batch_id, analysis_type=analysis,
+                start_date=start, end_date=end, filters=filters,
+            )
+        )
+        pool.submit(runner.run, batch_id, start, end, analysis, filters)
+        return jsonify({"batchId": batch_id, "status": "PENDING"}), 202
+
+    @app.get("/batch/status/<batch_id>")
+    def batch_status(batch_id: str):
+        record = registry.get(batch_id)
+        if record is None:
+            return _error("BATCH_NOT_FOUND", batch_id, 404)
+        return jsonify(record.to_dict())
+
+    def _data_endpoint(batch_id: str, which: str):
+        record = registry.get(batch_id)
+        if record is None:
+            return _error("BATCH_NOT_FOUND", batch_id, 404)
+        if record.status is not BatchStatus.COMPLETED:
+            return _error(
+                "BATCH_NOT_READY", f"status={record.status.value}", 409
+            )
+        path = record.raw_path if which == "raw" else record.agg_path
+        offset = request.args.get("offset", 0, type=int)
+        limit = min(request.args.get("limit", DEFAULT_PAGE, type=int), MAX_PAGE)
+        rows, total = runner.page(path, offset=offset, limit=limit)
+        return jsonify(
+            {
+                "batchId": batch_id,
+                "total": total,
+                "limit": limit,
+                "offset": offset,
+                "returned": len(rows),
+                "hasMore": offset + len(rows) < total,
+                "rows": rows,
+            }
+        )
+
+    @app.get("/batch/data/<batch_id>")
+    def batch_data(batch_id: str):
+        return _data_endpoint(batch_id, "raw")
+
+    @app.get("/batch/data/<batch_id>/aggregated")
+    def batch_data_aggregated(batch_id: str):
+        return _data_endpoint(batch_id, "agg")
+
+    @app.get("/batch/list")
+    def batch_list():
+        status = request.args.get("status")
+        limit = request.args.get("limit", 50, type=int)
+        records = (
+            registry.list_by_status(BatchStatus(status))
+            if status
+            else registry.list_all()
+        )
+        return jsonify({"batches": [r.to_dict() for r in records[:limit]]})
+
+    # -- streaming lifecycle (StreamRoutes.scala:23-125) -----------------
+    @app.post("/stream/start")
+    def stream_start():
+        if stream_manager is None:
+            return _error("SERVICE_UNAVAILABLE", "streaming not configured", 503)
+        if stream_manager.is_active():
+            return _error("STREAM_ALREADY_RUNNING", "stop it first", 409)
+        body = request.get_json(silent=True) or {}
+        query_ids = stream_manager.start(body.get("topic"))
+        return jsonify({"status": "STARTED", "queryIds": query_ids})
+
+    @app.post("/stream/stop")
+    def stream_stop():
+        if stream_manager is None:
+            return _error("SERVICE_UNAVAILABLE", "streaming not configured", 503)
+        stream_manager.stop()
+        return jsonify({"status": "STOPPED"})
+
+    @app.get("/stream/status")
+    def stream_status():
+        if stream_manager is None:
+            return _error("SERVICE_UNAVAILABLE", "streaming not configured", 503)
+        return jsonify(stream_manager.status())
+
+    # -- control (ControlRoutes.scala:20-77) -----------------------------
+    @app.get("/health")
+    def health():
+        stopped = runner.spark.sparkContext._jsc is None  # noqa: SLF001
+        if stopped:
+            return _error("SERVICE_UNAVAILABLE", "spark stopped", 503)
+        return jsonify(
+            {"status": "healthy", "uptimeSeconds": round(time.time() - started_at, 1)}
+        )
+
+    @app.post("/stop")
+    def stop():
+        if stream_manager is not None:
+            stream_manager.stop()
+        pool.shutdown(wait=False)
+        return jsonify({"status": "SHUTTING_DOWN"})
+
+    return app

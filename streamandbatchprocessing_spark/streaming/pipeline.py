@@ -1,0 +1,132 @@
+"""Structured Streaming building blocks.
+
+Parity targets (SURVEY.md §2.7): the reference runs two always-on
+streaming queries — a raw Kafka→Delta append pipeline and a
+watermarked sliding-window dashboard in complete mode
+(StreamingJob.scala:20-72, AnalysisAggregator.scala:225-250). Here the
+same plans are built source-agnostically: Kafka for production
+(sources/kafka.py), file replay + ``availableNow`` trigger for
+deterministic tests — the driver fixtures have no Kafka, and
+correctness needs replayable input (SURVEY.md §5 test strategy).
+
+Scale notes: watermarks bound state; sliding windows multiply state by
+window/slide (5 here) — at 100 TB the dashboard state is
+(windows × categories), small by construction since both dims are
+bounded. Complete-mode output is only viable because the aggregate
+cardinality is bounded; unbounded-key aggregations must use
+append/update with watermark eviction.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+_MEM_COUNTER = itertools.count()
+
+#: Physical schema of events.parquet (ts stored as raw nanos INT64 —
+#: see sources/batch._load_events for why).
+EVENTS_FILE_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming read of the events fixture via the file source —
+    deterministic replay of the same rows the batch path reads."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # Keep TimestampType (not NTZ): watermarks/event-time require it.
+    # Session timezone is pinned to UTC by ensure_query_conf, so wall
+    # clocks match the NTZ batch path and the timezone-naive oracle.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_to_memory(
+    df: DataFrame,
+    output_mode: str = "complete",
+    name_prefix: str = "sbp_mem",
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion with an
+    ``availableNow`` trigger into a memory sink; return the sink table.
+
+    availableNow processes all currently-available input then stops —
+    the streaming engine plans the same incremental micro-batches it
+    would for live data (checkpointed, watermark-tracked), which is what
+    makes streaming logic testable against a batch oracle.
+    """
+    spark = df.sparkSession
+    name = f"{name_prefix}_{next(_MEM_COUNTER)}"
+    checkpoint = tempfile.mkdtemp(prefix="sbp-stream-ckpt-")
+    query = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", os.path.join(checkpoint, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(name)
+
+
+def dashboard_plan(stream: DataFrame) -> DataFrame:
+    """The realtimeDashboard aggregation (AnalysisAggregator.scala:
+    225-250): watermark 10 min → sliding window(5 min, 1 min) ×
+    event_type → counts + exact-decimal value totals.
+
+    The reference uses approx_count_distinct here because exact distinct
+    is illegal in streaming aggregation (SURVEY.md A4/A5 split); HLL
+    sketches aren't portable across engines, so the oracle-gated columns
+    stick to count/sum and the approx variant is covered by unit tests.
+    """
+    return (
+        stream.filter(F.col("event_type").isin("purchase", "click"))
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "5 minutes", "1 minute"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup_plan(stream: DataFrame) -> DataFrame:
+    """Streaming deduplication on (user_id, event_type) — the operator
+    the reference lacks (SURVEY.md T8). Key-only projection so the
+    retained-row choice (nondeterministic under parallelism) can't leak
+    into results; with a watermark this becomes
+    ``dropDuplicatesWithinWatermark`` for bounded state."""
+    return stream.select("user_id", "event_type").dropDuplicates(
+        ["user_id", "event_type"]
+    )

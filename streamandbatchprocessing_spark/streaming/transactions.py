@@ -1,0 +1,124 @@
+"""The reference's two-query streaming pipeline + lifecycle manager.
+
+Parity target: ``jobs/StreamingJob.scala:20-72`` — from one parsed
+transaction stream, (1) an append-mode raw sink partitioned by
+``event_date`` (the table batch jobs read), and (2) the complete-mode
+windowed dashboard aggregate — both checkpointed, both running in the
+``streaming-pool`` FAIR pool; plus the handle management of
+``routes/StreamRoutes.scala:19-21,73-138``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.analytics import realtime_dashboard
+from ..schemas import with_ingest_columns
+
+
+def start_transaction_pipeline(
+    spark: SparkSession,
+    source: DataFrame,
+    base_dir: str,
+    fmt: str = "parquet",
+    trigger_available_now: bool = False,
+):
+    """Start both streaming queries; returns their handles.
+
+    ``trigger_available_now`` turns the always-on pipeline into a
+    deterministic drain-and-stop run for tests (SURVEY.md §5 layer 3).
+    """
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "streaming-pool")
+    try:
+        enriched = with_ingest_columns(source)
+
+        def _writer(df: DataFrame, name: str, mode: str, partition_by=None):
+            writer = (
+                df.writeStream.format(fmt)
+                .queryName(name)
+                .outputMode(mode)
+                .option(
+                    "checkpointLocation",
+                    os.path.join(base_dir, "checkpoints", name),
+                )
+            )
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            if trigger_available_now:
+                writer = writer.trigger(availableNow=True)
+            return writer
+
+        raw_query = _writer(
+            enriched, "raw_transactions", "append", ["event_date"]
+        ).start(os.path.join(base_dir, "stream", "transactions"))
+
+        # Complete-mode aggregate sinks can't write files; parquet keeps
+        # append-only sinks, so the dashboard lands in a memory table
+        # when file formats are used (Delta supports complete mode and
+        # is chosen automatically when its JARs are present).
+        dash = realtime_dashboard(enriched)
+        dash_writer = (
+            dash.writeStream.queryName("stream_aggregations")
+            .outputMode("complete")
+            .option(
+                "checkpointLocation",
+                os.path.join(base_dir, "checkpoints", "stream_aggregations"),
+            )
+        )
+        if fmt == "delta":
+            dash_writer = dash_writer.format("delta")
+            target = os.path.join(base_dir, "stream", "stream_aggregations")
+            if trigger_available_now:
+                dash_writer = dash_writer.trigger(availableNow=True)
+            dash_query = dash_writer.start(target)
+        else:
+            dash_writer = dash_writer.format("memory")
+            if trigger_available_now:
+                dash_writer = dash_writer.trigger(availableNow=True)
+            dash_query = dash_writer.start()
+        return [raw_query, dash_query]
+    finally:
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
+
+
+class StreamManager:
+    """Query-handle lifecycle for the REST layer (StreamRoutes parity):
+    start → handles; stop-all; status via isActive/id/name."""
+
+    def __init__(
+        self, spark: SparkSession, source_factory: Callable[[str | None], DataFrame],
+        base_dir: str, fmt: str = "parquet",
+    ) -> None:
+        self.spark = spark
+        self.source_factory = source_factory
+        self.base_dir = base_dir
+        self.fmt = fmt
+        self._queries = []
+
+    def is_active(self) -> bool:
+        return any(q.isActive for q in self._queries)
+
+    def start(self, topic: str | None = None) -> list[str]:
+        source = self.source_factory(topic)
+        self._queries = start_transaction_pipeline(
+            self.spark, source, self.base_dir, fmt=self.fmt
+        )
+        return [str(q.id) for q in self._queries]
+
+    def stop(self) -> None:
+        for q in self._queries:
+            if q.isActive:
+                q.stop()
+        self._queries = []
+
+    def status(self) -> dict:
+        return {
+            "active": self.is_active(),
+            "queries": [
+                {"id": str(q.id), "name": q.name, "isActive": q.isActive}
+                for q in self._queries
+            ],
+        }
