@@ -1,0 +1,15 @@
+from .explain import (
+    executed_plan,
+    has_broadcast_hash_join,
+    pushed_filters,
+    read_schema,
+    whole_stage_codegen_spans,
+)
+
+__all__ = [
+    "executed_plan",
+    "has_broadcast_hash_join",
+    "pushed_filters",
+    "read_schema",
+    "whole_stage_codegen_spans",
+]

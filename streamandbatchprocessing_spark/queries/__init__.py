@@ -12,8 +12,10 @@ Import side effects register queries into ``registry.QUERIES`` /
 """
 
 from . import analyses  # noqa: F401
+from . import relational_ext  # noqa: F401
 from . import tpch  # noqa: F401
 from . import dedup  # noqa: F401
+from . import multimodal_q  # noqa: F401
 from . import similarity  # noqa: F401
 from . import textops  # noqa: F401
 from . import streaming  # noqa: F401

@@ -1,0 +1,92 @@
+"""Multimodal-column queries over fixture data (m-group).
+
+The fixtures ship no media table, so the binary-column path is
+exercised by treating document text as an opaque UTF-8 payload —
+the same binary plumbing (encode → byte-level ops → typed metadata)
+the operators/multimodal.py pipeline uses on synthesized media, which
+is unit-tested separately (tests/test_multimodal.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.batch import load_table
+from .registry import query
+
+
+@query(
+    "m01_binary_payload_stats",
+    oracle="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS n_bytes,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           md5(text) AS payload_md5,
+           CAST(list_sum(list_transform(string_split(text, ''),
+                                        c -> unicode(c))) AS BIGINT)
+               AS codepoint_sum
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def m01_binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload statistics: text → binary payload (encode), byte
+    length vs char length, content hash, and a codepoint checksum via a
+    higher-order fold — the metadata-promotion step of a multimodal
+    ingest (bytes stay opaque; stats become typed columns)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "doc_id",
+            F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+            F.length("text").cast("long").alias("n_chars"),
+            F.md5("text").alias("payload_md5"),
+            F.aggregate(
+                F.split("text", ""),
+                F.lit(0).cast("long"),
+                lambda acc, c: acc + F.ascii(c),
+            ).alias("codepoint_sum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query("m02_payload_features_pandas", oracle=None)
+def m02_payload_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched (mapInPandas) byte-level feature extraction over
+    binary payloads built from document text — the vectorized-Python
+    decode path of the multimodal pipeline. No SQL oracle (pandas UDF
+    internals aren't SQL-expressible); values are deterministic and the
+    same pipeline is value-checked in tests/test_multimodal.py."""
+    import hashlib
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "UTF-8").alias("payload")
+    )
+
+    schema = "doc_id bigint, n_bytes bigint, sha256_head string, byte_mean double, distinct_bytes int"
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples(index=False):
+                payload = bytes(row.payload)
+                out.append(
+                    (
+                        row.doc_id,
+                        len(payload),
+                        hashlib.sha256(payload).hexdigest()[:16],
+                        sum(payload) / len(payload) if payload else 0.0,
+                        len(set(payload)),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "n_bytes", "sha256_head", "byte_mean", "distinct_bytes"],
+            )
+
+    return docs.mapInPandas(extract, schema).orderBy("doc_id")

@@ -1,0 +1,338 @@
+"""Relational coverage extensions (g-group): outer joins, exact
+percentiles, manual variance (deterministic), lead/lag windows,
+unpivot, cross-join grids, intersect — rounding out the operator
+inventory beyond what the reference uses (SURVEY.md §2.3 notes the
+reference has no joins/set-ops at all).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.aggregates import dsum
+from ..sources.batch import load_table
+from .registry import query
+
+_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# g01 — full outer join + coalesce bucketing
+# ---------------------------------------------------------------------------
+@query(
+    "g01_customer_order_coverage",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey, COUNT(*) AS n_orders
+        FROM orders GROUP BY o_custkey)
+    SELECT COALESCE(p.n_orders, 0) AS n_orders,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(25,6))) AS DOUBLE) AS total_acctbal
+    FROM customer c FULL OUTER JOIN per_cust p ON c.c_custkey = p.o_custkey
+    GROUP BY COALESCE(p.n_orders, 0)
+    ORDER BY n_orders
+    """,
+)
+def g01_customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of customers against per-customer order counts,
+    bucketed by order count (0 = never ordered). Aggregate-then-join
+    keeps the outer join dimension-sized on both sides."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    return (
+        cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "full_outer")
+        .select(
+            F.coalesce(F.col("n_orders"), F.lit(0)).alias("n_orders"),
+            F.col("c_acctbal"),
+        )
+        .groupBy("n_orders")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            dsum("c_acctbal", "total_acctbal"),
+        )
+        .orderBy("n_orders")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g02 — exact percentiles (median / p90)
+# ---------------------------------------------------------------------------
+@query(
+    "g02_price_percentiles",
+    oracle="""
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def g02_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (`F.percentile` ==
+    SQL-standard PERCENTILE_CONT == DuckDB quantile_cont; rounded to 6dp
+    to absorb any last-ulp interpolation-order difference). Exact
+    percentile is a sort-based aggregate — at 100 TB prefer
+    approx_percentile (t-digest) for sketchable accuracy; kept exact
+    here because the oracle must match bit-for-bit."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+            F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g03 — deterministic variance/stddev via exact decimal moments
+# ---------------------------------------------------------------------------
+@query(
+    "g03_acctbal_dispersion",
+    oracle=f"""
+    WITH m AS (
+        SELECT c_mktsegment,
+               COUNT(*) AS n,
+               {_DSUM.format(x='c_acctbal')} AS s1,
+               {_DSUM.format(x='c_acctbal * c_acctbal')} AS s2
+        FROM customer GROUP BY c_mktsegment)
+    SELECT c_mktsegment, n,
+           ROUND(s1 / n, 6) AS mean_acctbal,
+           ROUND((s2 - s1 * s1 / n) / (n - 1), 6) AS var_acctbal,
+           ROUND(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS stddev_acctbal
+    FROM m
+    ORDER BY c_mktsegment
+    """,
+)
+def g03_acctbal_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev from exact decimal first/second moments —
+    order-independent (unlike the built-in streaming variance, whose
+    merge order varies with partitioning) and engine-portable; sqrt is
+    IEEE-exact so determinism survives. This is also the right shape at
+    scale: two decimal sums in one pass."""
+    cust = load_table(spark, sf_dir, "customer")
+    m = cust.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        dsum("c_acctbal", "s1"),
+        dsum(F.col("c_acctbal") * F.col("c_acctbal"), "s2"),
+    )
+    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    return (
+        m.select(
+            "c_mktsegment",
+            "n",
+            F.round(F.col("s1") / F.col("n"), 6).alias("mean_acctbal"),
+            F.round(var, 6).alias("var_acctbal"),
+            F.round(F.sqrt(var), 6).alias("stddev_acctbal"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g04 — lead/lag ordered windows (inter-order gaps)
+# ---------------------------------------------------------------------------
+@query(
+    "g04_order_gaps",
+    oracle="""
+    WITH seq AS (
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               LAG(o_orderdate) OVER w AS prev_date,
+               LEAD(o_orderdate) OVER w AS next_date
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey))
+    SELECT o_custkey, o_orderkey,
+           CAST(datediff('day', prev_date, o_orderdate) AS BIGINT) AS days_since_prev,
+           CAST(datediff('day', o_orderdate, next_date) AS BIGINT) AS days_until_next
+    FROM seq
+    WHERE prev_date IS NOT NULL
+    ORDER BY o_custkey, o_orderkey
+    """,
+)
+def g04_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag/lead over (customer, order-date) sequences with a unique
+    tiebreak — one shuffle on o_custkey, deterministic under ties."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            F.datediff(F.col("o_orderdate"), F.lag("o_orderdate").over(w))
+            .cast("long")
+            .alias("days_since_prev"),
+            F.datediff(F.lead("o_orderdate").over(w), F.col("o_orderdate"))
+            .cast("long")
+            .alias("days_until_next"),
+        )
+        .filter(F.col("days_since_prev").isNotNull())
+        .orderBy("o_custkey", "o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g05 — unpivot (stack) wide→long
+# ---------------------------------------------------------------------------
+@query(
+    "g05_status_unpivot",
+    oracle=f"""
+    WITH wide AS (
+        SELECT o_orderpriority,
+               {_DSUM.format(x="CASE WHEN o_orderstatus='F' THEN o_totalprice ELSE 0 END")} AS finished,
+               {_DSUM.format(x="CASE WHEN o_orderstatus='O' THEN o_totalprice ELSE 0 END")} AS open_,
+               {_DSUM.format(x="CASE WHEN o_orderstatus='P' THEN o_totalprice ELSE 0 END")} AS pending
+        FROM orders GROUP BY o_orderpriority)
+    SELECT o_orderpriority, status, revenue FROM (
+        SELECT o_orderpriority, 'F' AS status, finished AS revenue FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'O', open_ FROM wide
+        UNION ALL
+        SELECT o_orderpriority, 'P', pending FROM wide)
+    ORDER BY o_orderpriority, status
+    """,
+)
+def g05_status_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-then-unpivot: conditional-sum pivot to wide, then
+    ``stack()`` back to long — the Expand-based unpivot primitive."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cond_sum(status: str, alias: str):
+        return dsum(
+            F.when(F.col("o_orderstatus") == status, F.col("o_totalprice")).otherwise(
+                0.0
+            ),
+            alias,
+        )
+
+    wide = orders.groupBy("o_orderpriority").agg(
+        cond_sum("F", "finished"), cond_sum("O", "open_"), cond_sum("P", "pending")
+    )
+    return (
+        wide.select(
+            "o_orderpriority",
+            F.expr(
+                "stack(3, 'F', finished, 'O', open_, 'P', pending) AS (status, revenue)"
+            ),
+        )
+        .orderBy("o_orderpriority", "status")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g06 — cross-join dimension grid + zero-filled counts
+# ---------------------------------------------------------------------------
+@query(
+    "g06_region_status_grid",
+    oracle="""
+    WITH grid AS (
+        SELECT r_name, s FROM region
+        CROSS JOIN (SELECT UNNEST(['F','O','P']) AS s)),
+    actual AS (
+        SELECT r.r_name, o.o_orderstatus AS s, COUNT(*) AS n
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        JOIN region r ON n2.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name, o.o_orderstatus)
+    SELECT g.r_name, g.s AS o_orderstatus, COALESCE(a.n, 0) AS n_orders
+    FROM grid g LEFT JOIN actual a ON g.r_name = a.r_name AND g.s = a.s
+    ORDER BY g.r_name, o_orderstatus
+    """,
+)
+def g06_region_status_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense region×status grid: cross join of small dims LEFT JOINed to
+    actual counts, zeros filled — the standard report-densification
+    shape (all-broadcast, no fact-side shuffle beyond the agg)."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    statuses = spark.createDataFrame([("F",), ("O",), ("P",)], ["s"])
+    grid = region.select("r_name").crossJoin(statuses)
+    actual = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", F.col("o_orderstatus").alias("s"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        grid.join(actual, ["r_name", "s"], "left")
+        .select(
+            "r_name",
+            F.col("s").alias("o_orderstatus"),
+            F.coalesce(F.col("n"), F.lit(0)).alias("n_orders"),
+        )
+        .orderBy("r_name", "o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g07 — INTERSECT set op
+# ---------------------------------------------------------------------------
+@query(
+    "g07_building_with_open_orders",
+    oracle="""
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+    ORDER BY c_custkey
+    """,
+)
+def g07_building_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT DISTINCT (Spark `intersect`)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    open_orders = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return building.intersect(open_orders).orderBy("c_custkey")
+
+
+# ---------------------------------------------------------------------------
+# g08 — string expression surface
+# ---------------------------------------------------------------------------
+@query(
+    "g08_part_name_features",
+    oracle="""
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           CAST(length(p_name) AS BIGINT) AS name_len,
+           substr(p_name, 1, 10) AS name_prefix,
+           replace(p_type, ' ', '_') AS type_slug,
+           CAST(contains(p_name, 'a') AS BOOLEAN) AS has_a,
+           concat(p_brand, ':', p_type) AS brand_type
+    FROM part
+    ORDER BY p_partkey
+    """,
+)
+def g08_part_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface (upper/length/substr/replace/
+    contains/concat) — pure projection, fully pushdown-friendly."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.substring("p_name", 1, 10).alias("name_prefix"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_slug"),
+            F.col("p_name").contains("a").alias("has_a"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -125,3 +125,64 @@ def f03_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start")
     )
+
+
+@query(
+    "f04_stateful_user_totals",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def f04_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState
+    (SURVEY.md T8 extension): per-user running totals held in explicit
+    GroupState — the arbitrary-state primitive the reference lacks.
+    Money accumulates in integer cents inside pandas so state merge
+    order can't perturb floats; availableNow drains the fixture in one
+    run and the final state equals the batch aggregate (the oracle).
+
+    Scale: state is one (count, cents) pair per user key, partitioned by
+    the groupBy — bounded, shuffle-once; production adds a timeout to
+    evict idle keys."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from ..streaming.pipeline import events_stream, run_to_memory
+
+    out_schema = "user_id bigint, n_events bigint, total_cents bigint"
+    state_schema = "n bigint, cents bigint"
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    stream = events_stream(spark, sf_dir)
+    stateful = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    result = run_to_memory(stateful, output_mode="update", name_prefix="f04_state")
+    # One emitted row per key per micro-batch: keep the final state row.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        result.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("user_id")
+    )

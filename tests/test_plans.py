@@ -1,0 +1,89 @@
+"""Physical-plan assertions — the scale discipline, checked:
+pushdown reaches the scan, scans prune columns, dimension joins
+broadcast, single-table analyses stay in whole-stage codegen, and the
+share-of-total rewrite avoids single-partition exchanges."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamandbatchprocessing_spark.plans import (
+    executed_plan,
+    has_broadcast_hash_join,
+    pushed_filters,
+    read_schema,
+    whole_stage_codegen_spans,
+)
+from streamandbatchprocessing_spark.queries import QUERIES
+from streamandbatchprocessing_spark.sources.batch import load_table
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey")
+    pushed = pushed_filters(df)
+    assert any("o_orderstatus" in p and "EqualTo" in p for p in pushed), pushed
+
+
+def test_column_pruning_on_projection(spark, sf_dir):
+    df = QUERIES["b01_pricing_summary"](spark, sf_dir)
+    schemas = read_schema(df)
+    assert schemas, "no file scan found"
+    # 7 of 11 lineitem columns referenced; the scan must not read the rest
+    assert "l_orderkey" not in schemas[0]
+    assert "l_partkey" not in schemas[0]
+    assert "l_quantity" in schemas[0]
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    df = QUERIES["b03_regional_supplier_volume"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
+    assert "SortMergeJoin" not in plan
+
+
+def test_brand_volume_broadcast(spark, sf_dir):
+    assert has_broadcast_hash_join(QUERIES["b04_brand_volume"](spark, sf_dir))
+
+
+def test_single_table_analysis_in_codegen(spark, sf_dir):
+    df = QUERIES["a01_revenue_by_category"](spark, sf_dir)
+    assert whole_stage_codegen_spans(df) >= 1
+
+
+def test_share_rewrite_has_no_single_partition_window(spark, sf_dir):
+    # b13 replaces sum().over(Window.partitionBy()) with a broadcast
+    # scalar agg: no Window node, no global single-partition exchange
+    # feeding one.
+    plan = executed_plan(QUERIES["b13_priority_revenue_share"](spark, sf_dir))
+    assert "Window" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_semi_join_is_semi(spark, sf_dir):
+    plan = executed_plan(QUERIES["b05_customers_with_open_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan
+
+
+def test_anti_join_is_anti(spark, sf_dir):
+    plan = executed_plan(QUERIES["b06_customers_without_orders"](spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    # sort+limit must fuse into TakeOrderedAndProject (no global sort).
+    plan = executed_plan(QUERIES["b02_top_unshipped_orders"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["a01_revenue_by_category", "b01_pricing_summary", "e01_token_stats"],
+)
+def test_no_python_udf_in_jvm_queries(spark, sf_dir, name):
+    # These families must stay JVM-side: no BatchEvalPython / ArrowEval
+    # nodes (Python in the row path) anywhere in the plan.
+    plan = executed_plan(QUERIES[name](spark, sf_dir))
+    assert "EvalPython" not in plan, plan
