@@ -14,6 +14,7 @@ Import side effects register queries into ``registry.QUERIES`` /
 from . import analyses  # noqa: F401
 from . import relational_ext  # noqa: F401
 from . import tpch  # noqa: F401
+from . import tpch_sub  # noqa: F401
 from . import dedup  # noqa: F401
 from . import multimodal_q  # noqa: F401
 from . import similarity  # noqa: F401

@@ -1,0 +1,353 @@
+"""Decorrelated-subquery / scalar-aggregate join patterns (TPC-H
+Q13/Q14/Q15/Q17/Q18/Q19/Q22 analogs over the fixture star schema).
+
+The reference has zero joins (SURVEY.md §2.3); the previous extension
+module (`tpch.py`) covers the plain join surface. This module covers the
+query shapes whose *optimization* is the interesting part — correlated
+subqueries rewritten as aggregate-then-join, scalar subqueries as
+broadcast crossjoins, HAVING-driven semi joins, and disjunctive
+predicates that must still push down to the scan. These are exactly the
+shapes that separate a plan that survives 100 TB from one that doesn't:
+each docstring states the intended physical plan.
+
+Naming continues the b-series (b18..b24) so the driver's CORRECTNESS
+report groups them with the join suite.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.aggregates import davg, dsum
+from ..sources.batch import load_table
+from .registry import query
+
+_DSUM = "CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# b18 — TPC-H Q13: customer order-count distribution (outer join → 2-level agg)
+# ---------------------------------------------------------------------------
+@query(
+    "b18_order_count_histogram",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def b18_order_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: how many customers placed k orders (excluding urgent).
+
+    The outer-join condition carries the priority predicate so customers
+    with only-urgent orders still count as 0 — a LEFT JOIN with an ON
+    (not WHERE) filter, the classic Q13 trap.
+
+    Scale: orders is the big side, so the join shuffles on custkey
+    (customer is broadcastable but the per-customer COUNT needs the
+    orders rows co-located by custkey anyway); the first agg reuses that
+    partitioning — one shuffle total before the tiny histogram agg.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# b19 — TPC-H Q17: small-quantity revenue (per-group avg as decorrelated agg)
+# ---------------------------------------------------------------------------
+@query(
+    "b19_small_quantity_revenue",
+    oracle=f"""
+    SELECT {_DSUM.format(x='l_extendedprice')} / 7.0 AS avg_yearly
+    FROM (
+        SELECT l.l_extendedprice,
+               l.l_quantity,
+               AVG(l.l_quantity) OVER (PARTITION BY l.l_partkey) AS avg_qty
+        FROM lineitem l
+        JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#1' AND p.p_type = 'SMALL'
+    )
+    WHERE l_quantity < 0.2 * avg_qty
+    """,
+)
+def b19_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17: yearly revenue lost if small orders (< 20% of the
+    part's average quantity) were no longer taken, for one brand/type.
+
+    The correlated subquery `l_quantity < 0.2 * (SELECT avg(...) WHERE
+    same partkey)` is decorrelated as a window over l_partkey AFTER the
+    selective part filter — the broadcast part join prunes lineitem to
+    ~1/36 of the table first, so the window's shuffle is over the pruned
+    fact, not the full one. (TPC-H Q17's textbook Spark plan is
+    aggregate-then-self-join; the window form is one shuffle instead of
+    two and identical semantics.)
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") == "Brand#1") & (F.col("p_type") == "SMALL")
+    )
+    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        joined.withColumn("avg_qty", F.avg("l_quantity").over(w))
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg((dsum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# b20 — TPC-H Q19: disjunctive multi-attribute predicate pushdown
+# ---------------------------------------------------------------------------
+@query(
+    "b20_disjunctive_revenue",
+    oracle=f"""
+    SELECT {_DSUM.format(x='l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#3' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity BETWEEN 1 AND 21)
+       OR (p.p_brand = 'Brand#9' AND p.p_size BETWEEN 10 AND 30
+           AND l.l_quantity BETWEEN 10 AND 40)
+       OR (p.p_brand = 'Brand#14' AND p.p_size BETWEEN 20 AND 50
+           AND l.l_quantity BETWEEN 20 AND 60)
+    """,
+)
+def b20_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19: revenue under an OR of brand × size × quantity bands.
+
+    The disjunction mixes columns from both sides, so it can't be fully
+    pushed below the join — but Catalyst derives the single-side
+    residuals (`l_quantity BETWEEN 1 AND 60` on the scan, brand/size
+    union on part) and pushes those; the full predicate stays as the
+    join filter. Part is broadcast, so at 100 TB this is one fact scan
+    with a tight pushed range filter and zero shuffle before the scalar
+    aggregate.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    q, sz, br = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    cond = (
+        ((br == "Brand#3") & sz.between(1, 15) & q.between(1, 21))
+        | ((br == "Brand#9") & sz.between(10, 30) & q.between(10, 40))
+        | ((br == "Brand#14") & sz.between(20, 50) & q.between(20, 60))
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .filter(cond)
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# b21 — TPC-H Q18: HAVING-driven semi join (large-volume orders)
+# ---------------------------------------------------------------------------
+@query(
+    "b21_large_volume_orders",
+    oracle=f"""
+    SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice,
+           {_DSUM.format(x='l.l_quantity')} AS sum_qty
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey HAVING SUM(l_quantity) > 270
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+    """,
+)
+def b21_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18: orders whose total quantity exceeds a threshold, with
+    customer attribution — the `IN (GROUP BY ... HAVING)` shape.
+
+    The HAVING subquery becomes an aggregate + LEFT SEMI join on
+    l_orderkey. Scale: the semi join's build side is the post-HAVING key
+    set — tiny (high threshold), so AQE converts it to broadcast at
+    runtime; the orderkey aggregation and the semi probe share the
+    l_orderkey partitioning, and the final per-order agg reuses it again
+    — the fact table is shuffled on one key once.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "sq"))
+        .filter(F.col("sq") > 270)
+        .select("l_orderkey")
+    )
+    return (
+        li.join(big, "l_orderkey", "left_semi")
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(dsum("l_quantity", "sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# b22 — TPC-H Q22: scalar subquery + anti join (idle rich customers)
+# ---------------------------------------------------------------------------
+@query(
+    "b22_idle_rich_customers",
+    oracle=f"""
+    SELECT n.n_name,
+           COUNT(*) AS numcust,
+           {_DSUM.format(x='c.c_acctbal')} AS totacctbal
+    FROM customer c
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    WHERE c.c_acctbal > (
+            SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0.0
+          )
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    GROUP BY n.n_name
+    ORDER BY n.n_name
+    """,
+)
+def b22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22: customers above the global positive-balance average who
+    never ordered, grouped by nation.
+
+    Two subquery shapes in one: the scalar `AVG(...)` becomes a 1-row
+    aggregate cross-joined (broadcast-nested-loop of a single row — the
+    scalable replacement for the reference's `Window.partitionBy()`
+    grand total, SURVEY.md W1), and `NOT EXISTS` becomes a LEFT ANTI
+    join. Scale: anti join shuffles customer vs orders' distinct custkeys
+    on one key; nation is broadcast; the scalar never leaves the driver
+    plan as a single-partition exchange.
+    """
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    global_avg = cust.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal", "avg_bal")
+    )
+    return (
+        cust.crossJoin(F.broadcast(global_avg))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# b23 — TPC-H Q14: conditional-aggregate share (promo revenue)
+# ---------------------------------------------------------------------------
+@query(
+    "b23_promo_revenue_share",
+    oracle=f"""
+    SELECT 100.0 * {_DSUM.format(
+        x="CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0.0 END"
+    )} / {_DSUM.format(x='l.l_extendedprice * (1 - l.l_discount)')} AS promo_revenue_pct
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1995-03-01'
+      AND l.l_shipdate <  TIMESTAMP '1995-06-01'
+    """,
+)
+def b23_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14: percentage of a quarter's revenue from PROMO parts.
+
+    A ratio of two conditional aggregates in ONE pass — no second scan,
+    no window. Scale: the shipdate range pushes to the parquet scan
+    (row-group min/max skipping), part is broadcast, and the whole query
+    is scan → broadcast-probe → partial/final agg of two running sums.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-03-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-06-01").cast("timestamp_ntz"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg((100.0 * dsum(promo_rev) / dsum(rev)).alias("promo_revenue_pct"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# b24 — TPC-H Q15: argmax via scalar-aggregate join (top supplier)
+# ---------------------------------------------------------------------------
+@query(
+    "b24_top_supplier",
+    oracle=f"""
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               {_DSUM.format(x='l_extendedprice * (1 - l_discount)')} AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate <  TIMESTAMP '1995-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s
+    JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def b24_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15: supplier(s) with the maximum quarterly revenue.
+
+    The view-plus-scalar-max shape: aggregate once, take MAX over the
+    aggregate, join back. Implementation caches nothing — the revenue
+    aggregate is supplier-cardinality (small), so Spark recomputing it
+    for the MAX branch is two cheap passes over an already-pruned scan;
+    at cluster scale you'd `.cache()` the CTE, but correctness and plan
+    shape are identical. The equality join against the broadcast 1-row
+    max replaces a global sort. Decimal-exact sums make `=` on the max
+    safe (no float ties lost).
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp_ntz"))
+    )
+    supplier = load_table(spark, sf_dir, "supplier")
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "total_revenue")
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supplier), F.col("supplier_no") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )

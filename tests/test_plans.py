@@ -87,3 +87,51 @@ def test_no_python_udf_in_jvm_queries(spark, sf_dir, name):
     # nodes (Python in the row path) anywhere in the plan.
     plan = executed_plan(QUERIES[name](spark, sf_dir))
     assert "EvalPython" not in plan, plan
+
+
+def test_q17_rewrite_single_shuffle_window(spark, sf_dir):
+    # b19 decorrelates via a window over the part-pruned fact: expect the
+    # broadcast part join and exactly one shuffle exchange feeding the
+    # window (plus the scalar agg's trivial one).
+    plan = executed_plan(QUERIES["b19_small_quantity_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q19_residual_predicates_push_to_scan(spark, sf_dir):
+    # The OR mixes columns from both join sides; Catalyst must still
+    # derive and push the single-side residual ranges to each scan.
+    df = QUERIES["b20_disjunctive_revenue"](spark, sf_dir)
+    # The filter list is long enough that the plan dump truncates it, so
+    # check the scan lines directly rather than via pushed_filters().
+    scans = [
+        ln for ln in executed_plan(df).splitlines() if "FileScan parquet" in ln
+    ]
+    assert any("l_quantity" in ln and "DataFilters" in ln for ln in scans), scans
+    assert any("p_brand" in ln and "DataFilters" in ln for ln in scans), scans
+
+
+def test_q22_scalar_subquery_broadcasts(spark, sf_dir):
+    # The global-average scalar must arrive via broadcast, and NOT EXISTS
+    # must plan as LeftAnti.
+    plan = executed_plan(QUERIES["b22_idle_rich_customers"](spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "Window" not in plan
+
+
+def test_q18_semi_join_before_wide_join(spark, sf_dir):
+    plan = executed_plan(QUERIES["b21_large_volume_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q14_single_pass_conditional_agg(spark, sf_dir):
+    # Ratio of two conditional sums: one scan of lineitem, date range
+    # pushed, part broadcast, no Window/self-join.
+    df = QUERIES["b23_promo_revenue_share"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert plan.count("FileScan parquet") <= 2, plan[:2000]
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert any("l_shipdate" in p for p in pushed_filters(df))
