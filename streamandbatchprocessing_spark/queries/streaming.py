@@ -186,3 +186,65 @@ def f04_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rn")
         .orderBy("user_id")
     )
+
+
+@query(
+    "f05_stream_stream_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id
+    FROM events p
+    JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase'
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 5 MINUTE
+     AND c.ts <= p.ts
+    ORDER BY purchase_id, click_id
+    """,
+)
+def f05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (SURVEY.md T8 extension — absent from
+    the reference): each purchase joined to the same user's clicks in the
+    trailing 5 minutes, both sides unbounded streams.
+
+    The watermark + time-bounded join condition is what makes this
+    feasible at scale: Spark keeps only ~(watermark + interval) of each
+    side in the join state store and evicts the rest, so state is
+    bounded by rate × window, not by history. The batch equivalent (b17)
+    computes the same pairs with a range-frame window; the oracle is the
+    plain SQL theta join.
+    """
+    from ..streaming.pipeline import events_stream, run_to_memory
+
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    result = run_to_memory(joined, output_mode="append", name_prefix="f05_ssj")
+    return result.select("purchase_id", "click_id", "user_id").orderBy(
+        "purchase_id", "click_id"
+    )

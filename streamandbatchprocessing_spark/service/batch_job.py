@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.analytics import run_analysis
+from .maintenance import persist_record
 from .registry import BatchRegistry, BatchStatus
 
 
@@ -104,7 +105,7 @@ class BatchJobRunner:
                     "overwrite"
                 ).save(agg)
 
-            self.registry.update(
+            record = self.registry.update(
                 batch_id,
                 status=BatchStatus.COMPLETED,
                 completed_at=time.time(),
@@ -112,13 +113,15 @@ class BatchJobRunner:
                 raw_path=raw,
                 agg_path=agg,
             )
+            persist_record(self.base_dir, record)
         except Exception as exc:  # noqa: BLE001 — status machine contract
-            self.registry.update(
+            record = self.registry.update(
                 batch_id,
                 status=BatchStatus.FAILED,
                 completed_at=time.time(),
                 error=f"{type(exc).__name__}: {exc}\n{traceback.format_exc(limit=5)}",
             )
+            persist_record(self.base_dir, record)
         finally:
             sc.setLocalProperty("spark.scheduler.pool", None)
 

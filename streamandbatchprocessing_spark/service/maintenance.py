@@ -1,0 +1,233 @@
+"""Table maintenance: versioned snapshots (time travel), small-file
+compaction, and vacuum — plus registry rebuild-from-disk.
+
+Parity targets:
+  * S12 time-travel read (SURVEY.md §2.1; the reference documents Delta's
+    ``versionAsOf``/``timestampAsOf`` at AGENTS.md:1175-1187 without
+    calling it). Delta isn't on this classpath, so ``VersionedTable``
+    provides the same contract over plain parquet: every overwrite is a
+    new immutable ``v=N`` directory recorded in a manifest, reads resolve
+    a version or a timestamp against the manifest.
+  * OPTIMIZE / VACUUM maintenance commands (AGENTS.md:1162-1171,1681):
+    ``compact`` rewrites a directory of many small files into
+    size-targeted ones (streaming sinks produce one file per micro-batch
+    per partition — the classic small-file problem); ``vacuum`` drops
+    expired snapshot versions.
+  * Registry rebuild on restart (AGENTS.md:1683): the batch runner
+    persists each terminal record as ``meta.json`` next to its outputs;
+    ``rebuild_registry`` reconstructs the in-memory registry from those.
+
+Scale notes: the manifest is O(versions) JSON on the driver — file
+listings stay on the executors (Spark's InMemoryFileIndex); compaction
+reads+writes once with ``repartition(target_files)``, so its cost is one
+shuffle of the table being compacted, amortized against every future
+read of it. Version swaps are manifest pointer updates (atomic
+``os.replace``), never in-place file mutation, so concurrent readers of
+an old version are unaffected — the same optimistic-snapshot discipline
+Delta's log gives the reference (AGENTS.md:765,1701).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .registry import BatchRegistry, BatchJobRecord, BatchStatus
+
+_MANIFEST = "_manifest.json"
+
+
+class VersionedTable:
+    """Parquet table with immutable versions and a JSON manifest.
+
+    Layout::
+
+        <root>/_manifest.json   {"current": 2, "versions": [...]}
+        <root>/v=0/  <root>/v=1/  <root>/v=2/   (parquet dirs)
+    """
+
+    def __init__(self, root: str, fmt: str = "parquet") -> None:
+        self.root = root
+        self.fmt = fmt
+
+    # -- manifest ---------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.root, _MANIFEST)
+
+    def manifest(self) -> dict:
+        try:
+            with open(self._manifest_path()) as f:
+                return json.load(f)
+        except FileNotFoundError:
+            return {"current": -1, "versions": []}
+
+    def _write_manifest(self, manifest: dict) -> None:
+        tmp = self._manifest_path() + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, self._manifest_path())  # atomic pointer swap
+
+    # -- write ------------------------------------------------------------
+    def write(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        """Commit ``df`` as the next version; returns the version number.
+
+        The data lands fully before the manifest points at it, so a crash
+        mid-write leaves the table at the previous version (write-ahead
+        ordering — the poor man's transaction log).
+        """
+        manifest = self.manifest()
+        version = manifest["current"] + 1
+        vdir = os.path.join(self.root, f"v={version}")
+        writer = df.write.format(self.fmt).mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.save(vdir)
+        manifest["versions"].append(
+            {"version": version, "committed_at": time.time(), "dir": f"v={version}"}
+        )
+        manifest["current"] = version
+        self._write_manifest(manifest)
+        return version
+
+    # -- read (time travel) -------------------------------------------------
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of: float | None = None,
+    ) -> DataFrame:
+        """Current version by default; ``version=`` is Delta's
+        ``versionAsOf``, ``as_of=`` (unix seconds) is ``timestampAsOf``
+        (latest version committed at-or-before the timestamp)."""
+        manifest = self.manifest()
+        live = {v["version"]: v for v in manifest["versions"]}
+        if version is None and as_of is None:
+            version = manifest["current"]
+        elif as_of is not None:
+            eligible = [
+                v["version"]
+                for v in manifest["versions"]
+                if v["committed_at"] <= as_of
+            ]
+            if not eligible:
+                raise ValueError(f"no version committed at or before {as_of}")
+            version = max(eligible)
+        if version not in live:
+            raise ValueError(
+                f"version {version} not available (have {sorted(live)})"
+            )
+        return spark.read.format(self.fmt).load(
+            os.path.join(self.root, live[version]["dir"])
+        )
+
+    # -- vacuum -------------------------------------------------------------
+    def vacuum(self, keep: int = 2) -> list[int]:
+        """Drop all but the newest ``keep`` versions; returns the dropped
+        version numbers. The manifest shrinks first, then directories are
+        deleted — a reader holding an old manifest can fail loudly but a
+        new reader can never resolve a deleted version."""
+        manifest = self.manifest()
+        versions = sorted(manifest["versions"], key=lambda v: v["version"])
+        doomed = versions[:-keep] if keep > 0 else versions
+        if not doomed:
+            return []
+        manifest["versions"] = versions[len(doomed):]
+        self._write_manifest(manifest)
+        dropped = []
+        for v in doomed:
+            shutil.rmtree(os.path.join(self.root, v["dir"]), ignore_errors=True)
+            dropped.append(v["version"])
+        return dropped
+
+
+def dir_stats(path: str, suffix: str = ".parquet") -> tuple[int, int]:
+    """(n_files, total_bytes) of data files under ``path``."""
+    n, size = 0, 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if f.endswith(suffix):
+                n += 1
+                size += os.path.getsize(os.path.join(root, f))
+    return n, size
+
+
+def compact(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    target_file_bytes: int = 128 * 1024 * 1024,
+) -> dict:
+    """OPTIMIZE-style small-file compaction (AGENTS.md:1162-1171): read
+    the table, rewrite it as ``ceil(bytes / target)`` files, atomically
+    swap directories. Returns before/after file counts.
+
+    128 MB is the parquet sweet spot: big enough that scan tasks amortize
+    footer/dictionary overhead, small enough that one file is one
+    comfortable task. Compaction keys the streaming-sink story — per
+    micro-batch files otherwise degrade every downstream scan.
+    """
+    files_before, total_bytes = dir_stats(path)
+    target_files = max(1, math.ceil(total_bytes / target_file_bytes))
+    df = spark.read.format(fmt).load(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    # coalesce() avoids a shuffle but can collapse upstream parallelism
+    # into target_files read tasks; for a maintenance rewrite the shuffle
+    # is the safer trade (full read parallelism, balanced output files).
+    df.repartition(target_files).write.format(fmt).mode("errorifexists").save(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    files_after, _ = dir_stats(path)
+    return {
+        "files_before": files_before,
+        "files_after": files_after,
+        "bytes": total_bytes,
+    }
+
+
+# -- batch-registry persistence (AGENTS.md:1683) ----------------------------
+
+def persist_record(base_dir: str, record: BatchJobRecord) -> None:
+    """Write a terminal batch record as ``batches/<id>/meta.json``."""
+    d = os.path.join(base_dir, "batches", record.batch_id)
+    os.makedirs(d, exist_ok=True)
+    tmp = os.path.join(d, "meta.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(record.to_dict(), f, indent=1)
+    os.replace(tmp, os.path.join(d, "meta.json"))
+
+
+def rebuild_registry(base_dir: str) -> BatchRegistry:
+    """Reconstruct the registry from persisted ``meta.json`` files after
+    a restart. Jobs that died mid-flight have no terminal meta.json and
+    surface as FAILED with a restart marker — the honest state, since
+    their Futures are gone."""
+    registry = BatchRegistry()
+    batches_dir = os.path.join(base_dir, "batches")
+    if not os.path.isdir(batches_dir):
+        return registry
+    for batch_id in sorted(os.listdir(batches_dir)):
+        meta = os.path.join(batches_dir, batch_id, "meta.json")
+        if os.path.isfile(meta):
+            with open(meta) as f:
+                d = json.load(f)
+            d["status"] = BatchStatus(d["status"])
+            registry.register(BatchJobRecord(**d))
+        else:
+            registry.register(
+                BatchJobRecord(
+                    batch_id=batch_id,
+                    analysis_type="unknown",
+                    start_date="",
+                    end_date="",
+                    status=BatchStatus.FAILED,
+                    error="no terminal meta.json found after restart",
+                )
+            )
+    return registry

@@ -1,0 +1,109 @@
+"""Maintenance surface: versioned snapshots (time travel), vacuum,
+compaction, and registry rebuild-from-disk."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamandbatchprocessing_spark.service.maintenance import (
+    VersionedTable,
+    compact,
+    dir_stats,
+    persist_record,
+    rebuild_registry,
+)
+from streamandbatchprocessing_spark.service.registry import (
+    BatchJobRecord,
+    BatchStatus,
+)
+from streamandbatchprocessing_spark.sources.batch import load_table
+
+
+@pytest.fixture()
+def nation(spark, sf_dir):
+    return load_table(spark, sf_dir, "nation")
+
+
+def test_versioned_write_and_current_read(spark, nation, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    assert t.write(nation.filter(F.col("n_nationkey") < 5)) == 0
+    assert t.write(nation) == 1
+    assert t.read(spark).count() == nation.count()
+
+
+def test_time_travel_by_version(spark, nation, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(nation.filter(F.col("n_nationkey") < 5))
+    t.write(nation)
+    assert t.read(spark, version=0).count() == 5
+    assert t.read(spark, version=1).count() == nation.count()
+    with pytest.raises(ValueError):
+        t.read(spark, version=7)
+
+
+def test_time_travel_by_timestamp(spark, nation, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(nation.filter(F.col("n_nationkey") < 5))
+    mid = time.time()
+    time.sleep(0.01)
+    t.write(nation)
+    assert t.read(spark, as_of=mid).count() == 5
+    assert t.read(spark, as_of=time.time()).count() == nation.count()
+    with pytest.raises(ValueError):
+        t.read(spark, as_of=1.0)  # before any commit
+
+
+def test_vacuum_drops_old_versions(spark, nation, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    for k in (3, 5, 25):
+        t.write(nation.filter(F.col("n_nationkey") < k))
+    assert t.vacuum(keep=2) == [0]
+    assert not os.path.exists(str(tmp_path / "tbl" / "v=0"))
+    assert t.read(spark, version=1).count() == 5  # survivor intact
+    with pytest.raises(ValueError):
+        t.read(spark, version=0)
+
+
+def test_compact_reduces_file_count(spark, sf_dir, tmp_path):
+    path = str(tmp_path / "shattered")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    li.repartition(16).write.parquet(path)
+    before, _ = dir_stats(path)
+    assert before == 16
+    stats = compact(spark, path)
+    after, _ = dir_stats(path)
+    assert stats["files_before"] == 16
+    assert stats["files_after"] == after == 1  # tiny table → one file
+    # data survives the directory swap byte-for-byte
+    assert spark.read.parquet(path).count() == li.count()
+
+
+def test_registry_rebuild_from_disk(tmp_path):
+    base = str(tmp_path)
+    done = BatchJobRecord(
+        batch_id="batch-20260813-aaaaaaaa",
+        analysis_type="revenue_by_category",
+        start_date="2026-01-01",
+        end_date="2026-02-01",
+        status=BatchStatus.COMPLETED,
+        row_count=42,
+    )
+    persist_record(base, done)
+    # a crashed job: directory exists, no terminal meta.json
+    os.makedirs(os.path.join(base, "batches", "batch-20260813-bbbbbbbb"))
+
+    reg = rebuild_registry(base)
+    rec = reg.get("batch-20260813-aaaaaaaa")
+    assert rec is not None and rec.status is BatchStatus.COMPLETED
+    assert rec.row_count == 42
+    crashed = reg.get("batch-20260813-bbbbbbbb")
+    assert crashed is not None and crashed.status is BatchStatus.FAILED
+    assert "restart" in (crashed.error or "")
+
+
+def test_rebuild_empty_dir(tmp_path):
+    assert rebuild_registry(str(tmp_path)).list_all() == []
