@@ -34,9 +34,16 @@ HEADLINE = [
     "b08_top_orders_per_customer",
     "b11_asof_last_click",
     "b12_salted_segment_stats",
+    "b18_order_count_histogram",
+    "b21_large_volume_orders",
+    "b23_promo_revenue_share",
     "a01_revenue_by_category",
     "a04_user_segmentation",
     "a09_dashboard_windows",
+    "c01_exact_dedup",
+    "c02_minhash_lsh_pairs",
+    "d01_topk_bruteforce",
+    "e01_token_stats",
 ]
 
 

