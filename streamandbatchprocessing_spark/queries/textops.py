@@ -210,3 +210,67 @@ def e04_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fp.join(mh, "doc_id").select(
         "doc_id", "content_hash60", "md5_head", "minhash_token"
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# e05 — BPE-ish regex tokenization counts
+# ---------------------------------------------------------------------------
+_BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+
+@query(
+    "e05_bpe_token_counts",
+    oracle=f"""
+    WITH m AS (SELECT doc_id,
+                      regexp_extract_all(lower(text), '{_BPE_RE}') AS pieces,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens
+               FROM documents)
+    SELECT doc_id,
+           CAST(len(pieces) AS BIGINT) AS n_bpe_tokens,
+           CAST(len(list_filter(pieces, p -> p ~ '^[a-z]+$')) AS BIGINT)
+               AS n_word_pieces,
+           CAST(len(list_filter(pieces, p -> p ~ '^[0-9]+$')) AS BIGINT)
+               AS n_number_pieces,
+           n_ws_tokens,
+           ROUND(len(pieces) * 1.0 / n_ws_tokens, 6) AS pieces_per_word
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def e05_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-style pretokenizer counts: letter runs / digit runs /
+    punctuation singletons (the lookahead-free core of the GPT-2
+    pretokenizer regex — only constructs RE2 and Java regex share, so
+    Spark and the DuckDB oracle tokenize identically). pieces_per_word
+    is the token-fertility estimate a training-data pipeline budgets
+    context length with.
+
+    Scale: regexp_extract_all is a codegen'd JVM expression — one
+    projection pass, no Python, no shuffle before the (optional)
+    aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.regexp_extract_all(F.lower(F.col("text")), F.lit(_BPE_RE), 0)
+    m = docs.select(
+        "doc_id",
+        pieces.alias("pieces"),
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_ws_tokens"),
+    )
+    is_word = "x -> x rlike '^[a-z]+$'"
+    is_num = "x -> x rlike '^[0-9]+$'"
+    return (
+        m.select(
+            "doc_id",
+            F.size("pieces").cast("long").alias("n_bpe_tokens"),
+            F.expr(f"CAST(size(filter(pieces, {is_word})) AS LONG)").alias(
+                "n_word_pieces"
+            ),
+            F.expr(f"CAST(size(filter(pieces, {is_num})) AS LONG)").alias(
+                "n_number_pieces"
+            ),
+            "n_ws_tokens",
+            F.round(F.size("pieces") * 1.0 / F.col("n_ws_tokens"), 6).alias(
+                "pieces_per_word"
+            ),
+        )
+        .orderBy("doc_id")
+    )
