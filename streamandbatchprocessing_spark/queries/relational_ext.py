@@ -336,3 +336,54 @@ def g08_part_name_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+@query(
+    "g09_multigrain_time_rollup",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS VARCHAR) AS day,
+           CASE WHEN GROUPING(hour(ts)) = 0
+                THEN CAST(hour(ts) AS BIGINT) ELSE -1 END AS hr,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY GROUPING SETS ((date_trunc('day', ts), hour(ts), event_type),
+                            (date_trunc('day', ts), event_type))
+    ORDER BY day, hr, event_type
+    """,
+)
+def g09_multigrain_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hourly AND daily
+    grains for the events fact in ONE pass via GROUPING SETS — Spark
+    plans a single scan + Expand, so adding a grain costs an extra
+    aggregation stream, not an extra scan of the 100 TB table. `hr=-1`
+    marks daily-grain rows (the GROUPING() sentinel, kept explicit so
+    the result is self-describing like a timescale continuous aggregate).
+    """
+    ev = load_table(spark, sf_dir, "events")
+    pre = ev.select(
+        F.date_trunc("day", F.col("ts")).alias("d"),
+        F.hour(F.col("ts")).alias("h"),
+        "event_type",
+        "value",
+    )
+    d, h, et = F.col("d"), F.col("h"), F.col("event_type")
+    return (
+        pre.groupingSets([[d, h, et], [d, et]], d, h, et)
+        .agg(
+            F.grouping("h").alias("_gh"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .select(
+            F.col("d").cast("date").cast("string").alias("day"),
+            F.when(F.col("_gh") == 0, F.col("h").cast("long"))
+            .otherwise(F.lit(-1))
+            .alias("hr"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+        .orderBy("day", "hr", "event_type")
+    )

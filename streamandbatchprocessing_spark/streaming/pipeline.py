@@ -130,3 +130,18 @@ def streaming_dedup_plan(stream: DataFrame) -> DataFrame:
     return stream.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
     )
+
+
+def streaming_dedup_within_watermark_plan(
+    stream: DataFrame, dedup_cols: list[str] | None = None
+) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the bounded-state streaming
+    dedup (SURVEY.md T8 extension). Unlike ``dropDuplicates``, whose
+    key state grows forever, state here is evicted once the watermark
+    passes a key's last-seen event time: exactly-once semantics inside
+    the watermark horizon, at-least-once beyond it. That trade is what
+    makes streaming exact-dedup viable at 100 TB — state is
+    O(keys-per-watermark-window), not O(keys-ever)."""
+    return stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        dedup_cols or ["user_id", "event_type"]
+    )

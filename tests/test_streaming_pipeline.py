@@ -85,3 +85,27 @@ def test_stream_manager_lifecycle(spark, tx_source_dir, tmp_path):
     }
     manager.stop()
     assert not manager.is_active()
+
+
+def test_dedup_within_watermark_bounds_state(spark, sf_dir):
+    # Same key set as the unbounded dedup (single availableNow pass over
+    # the fixture: nothing ages past the watermark, so results match the
+    # batch distinct), but the plan must carry the watermark-evicting
+    # dedup operator, not the grow-forever one.
+    from streamandbatchprocessing_spark.streaming.pipeline import (
+        events_stream,
+        run_to_memory,
+        streaming_dedup_within_watermark_plan,
+    )
+
+    stream = events_stream(spark, sf_dir).select("user_id", "event_type", "ts")
+    plan = streaming_dedup_within_watermark_plan(stream)
+    logical = plan._jdf.queryExecution().logical().toString()
+    assert "DeduplicateWithinWatermark" in logical, logical
+    got = run_to_memory(plan, output_mode="append", name_prefix="ddww")
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    assert got.select("user_id", "event_type").distinct().count() == batch.count()
