@@ -351,3 +351,76 @@ def b24_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name", "total_revenue")
         .orderBy("s_suppkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# b25 — TPC-H Q7: trade volume between nation pairs (dim self-join aliasing)
+# ---------------------------------------------------------------------------
+@query(
+    "b25_nation_trade_volume",
+    oracle=f"""
+    SELECT n1.n_name AS cust_nation,
+           n2.n_name AS supp_nation,
+           CAST(YEAR(l.l_shipdate) AS BIGINT) AS l_year,
+           {_DSUM.format(x='l.l_extendedprice * (1 - l.l_discount)')} AS volume
+    FROM lineitem l
+    JOIN orders o   ON l.l_orderkey = o.o_orderkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+    WHERE n1.n_name IN ('NATION_0', 'NATION_1')
+      AND n2.n_name IN ('NATION_0', 'NATION_1')
+      AND n1.n_name <> n2.n_name
+    GROUP BY n1.n_name, n2.n_name, YEAR(l.l_shipdate)
+    ORDER BY cust_nation, supp_nation, l_year
+    """,
+)
+def b25_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7: shipping volume between two nations per year, with the
+    nation dimension joined TWICE under different roles (customer's vs
+    supplier's nation) — the self-join-aliasing shape.
+
+    Scale: true dimensions (customer, supplier, nation×2) broadcast;
+    orders is a FACT and is never broadcast — instead it is pruned first
+    by the broadcast customer⋈n1 probe (keeping only the two nations'
+    customers, ~2/|nations| of orders), and only then shuffle-joined to
+    lineitem on orderkey. The cross-side inequality (n1 <> n2) is a
+    cheap post-broadcast filter. One fact-fact shuffle total.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("cust_nation")
+    ).filter(F.col("cust_nation").isin("NATION_0", "NATION_1"))
+    n2 = nation.select(
+        F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("supp_nation")
+    ).filter(F.col("supp_nation").isin("NATION_0", "NATION_1"))
+    pruned_orders = (
+        orders.select("o_orderkey", "o_custkey")
+        .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
+        .select("o_orderkey", "cust_nation")
+    )
+    return (
+        li.join(pruned_orders, li.l_orderkey == F.col("o_orderkey"))
+        .join(F.broadcast(supp.select("s_suppkey", "s_nationkey")),
+              li.l_suppkey == F.col("s_suppkey"))
+        .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
+        .filter(F.col("cust_nation") != F.col("supp_nation"))
+        .groupBy(
+            "cust_nation",
+            "supp_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "volume"
+            )
+        )
+        .orderBy("cust_nation", "supp_nation", "l_year")
+    )

@@ -162,3 +162,37 @@ def test_registry_status_machine(runner):
                 batch_id=batch_id, analysis_type="x", start_date="a", end_date="b"
             )
         )
+
+
+def test_three_concurrent_batches_during_streaming(client, runner, spark, sf_dir):
+    """The reference's concurrency success criterion (AGENTS.md:1698):
+    3 simultaneous batch jobs all COMPLETE while a streaming query keeps
+    processing — one SparkSession, FAIR-pool thread-local scoping."""
+    from streamandbatchprocessing_spark.streaming.pipeline import (
+        dashboard_plan,
+        events_stream,
+        run_to_memory,
+    )
+
+    ids = []
+    for _ in range(3):
+        resp = client.post(
+            "/batch/run",
+            json={
+                "analysisType": "revenue_by_category",
+                "startDate": "2024-01-01",
+                "endDate": "2024-12-31",
+            },
+        )
+        assert resp.status_code == 202
+        ids.append(resp.get_json()["batchId"])
+
+    # streaming work overlapping the in-flight batches
+    stream_result = run_to_memory(
+        dashboard_plan(events_stream(spark, sf_dir)), name_prefix="conc"
+    )
+    assert stream_result.count() > 0
+
+    records = [_wait_done(client, batch_id) for batch_id in ids]
+    assert all(r["status"] == "COMPLETED" for r in records), records
+    assert all(r["row_count"] > 0 for r in records)
