@@ -355,3 +355,33 @@ def c05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.35)
         .orderBy("vec_a", "vec_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# c06 — mergeable HLL distinct sketches (Apache DataSketches built-ins)
+# ---------------------------------------------------------------------------
+@query("c06_hll_user_sketch")  # no oracle: sketch estimates are engine-specific
+def c06_hll_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type distinct users via Apache DataSketches HLL
+    (``hll_sketch_agg`` → ``hll_sketch_estimate``), alongside the exact
+    count for error inspection.
+
+    Why a sketch when countDistinct exists: the sketch aggregate is
+    MERGEABLE — partials combine associatively across partitions, days,
+    or clusters (``hll_union_agg``), so a 100 TB rollup can pre-sketch
+    per partition/day and union later without re-touching raw data,
+    which exact distinct fundamentally cannot do. Estimates are
+    engine-specific, so this registers rows-only (driver's weaker
+    check); accuracy vs exact is asserted in tests/test_sketches.py.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias(
+                "approx_users"
+            ),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
