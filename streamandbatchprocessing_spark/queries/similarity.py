@@ -140,3 +140,81 @@ def d02_ivf_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+@query(
+    "d03_topk_pandas_vectorized",
+    oracle="""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
+    s AS (SELECT q.qid, e.vec_id AS nid,
+                 ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
+          FROM q JOIN e ON e.vec_id <> q.qid),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, nid) AS rank
+          FROM s)
+    SELECT qid AS query_id, nid AS neighbor_id, cos_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
+)
+def d03_topk_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force top-10 like d01, but scored by an Arrow-batched numpy
+    matmul inside ``mapInPandas`` — the 100 TB hot path. The interpreted
+    higher-order fold (d01/c05) is exact but runs ~45 µs/pair because
+    Catalyst HOFs execute outside whole-stage codegen; one BLAS
+    (batch × 64) @ (64 × n_queries) matmul scores a whole Arrow batch at
+    memory bandwidth. Queries ride into the closure (broadcast by task
+    serialization — fine for a query panel; use a true broadcast var for
+    big panels). Scores are rounded to 6 dp on BOTH engines so numpy's
+    pairwise summation and DuckDB's linear loop agree despite last-ulp
+    float drift. Partition-local scoring + one top-k shuffle of
+    (queries × k × partitions) rows, never the full score matrix.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.vectors import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q_rows = sorted(emb.filter(F.col("vec_id") < 20).collect(), key=lambda r: r.vec_id)
+    q_ids = np.array([r.vec_id for r in q_rows])
+    q_mat = np.array([r.v for r in q_rows], dtype=np.float64)  # (nq, dim)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+
+    out_schema = "qid bigint, nid bigint, cos_sim double"
+
+    def score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cand = np.stack(pdf["v"].to_numpy())  # (b, dim)
+            sims = (cand @ q_mat.T) / (
+                np.linalg.norm(cand, axis=1)[:, None] * q_norm[None, :]
+            )  # (b, nq)
+            nids = pdf["vec_id"].to_numpy()
+            b, nq = sims.shape
+            yield pd.DataFrame(
+                {
+                    "qid": np.repeat(q_ids[None, :], b, axis=0).ravel(),
+                    "nid": np.repeat(nids, nq),
+                    "cos_sim": np.round(sims.ravel(), 6),
+                }
+            )
+
+    scored = emb.mapInPandas(score, out_schema).filter(F.col("nid") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cos_sim",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
