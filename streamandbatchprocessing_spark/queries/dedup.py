@@ -275,13 +275,17 @@ def c03_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def c04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-shingle Jaccard for same-source pairs: explode shingles,
-    equi-join on (shingle, source) to count intersections — the union
-    size comes from per-doc set sizes, so no pairwise set materialization.
-    The equi-join keeps this output-bound (only docs sharing a shingle
-    ever meet)."""
+    """Exact 3-shingle Jaccard for same-source pairs via POSTING LISTS:
+    group the exploded shingles by (source, shingle) into a sorted
+    doc-id posting, expand each posting's within-list pairs, and count
+    per pair — the intersection size. Versus the textbook self-join on
+    (shingle, source) this shuffles the exploded shingle set ONCE (the
+    groupBy) instead of three times (both join inputs + the pair
+    aggregation), and never builds a join hash table; pair expansion is
+    output-bound exactly like the join (a k-doc posting yields k(k-1)/2
+    pairs either way). Union sizes come from per-doc set sizes, so no
+    pairwise set materialization."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
     sh = F.array_distinct(
         F.expr(
             "CASE WHEN size(split(text, ' ')) < 3 THEN array() "
@@ -292,15 +296,21 @@ def c04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = docs.select("doc_id", "source", sh.alias("sh"))
     sz = s.select("doc_id", F.size("sh").alias("n"))
     x = s.select("doc_id", "source", F.explode("sh").alias("g"))
-    inter = (
-        x.alias("a")
-        .join(
-            x.alias("b"),
-            F.expr("a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id"),
-        )
-        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        .agg(F.count(F.lit(1)).alias("i"))
+    posts = (
+        x.groupBy("source", "g")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
+    pairs = posts.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ds, (d, i) -> "
+                "transform(slice(ds, i + 2, size(ds) - i - 1), "
+                "d2 -> struct(d AS da, d2 AS db))))"
+            )
+        ).alias("p")
+    ).select("p.da", "p.db")
+    inter = pairs.groupBy("da", "db").agg(F.count(F.lit(1)).alias("i"))
     j = (
         inter.join(sz.alias("sa"), F.col("da") == F.col("sa.doc_id"))
         .join(sz.alias("sb"), F.col("db") == F.col("sb.doc_id"))
