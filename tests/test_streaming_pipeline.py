@@ -109,3 +109,38 @@ def test_dedup_within_watermark_bounds_state(spark, sf_dir):
         .distinct()
     )
     assert got.select("user_id", "event_type").distinct().count() == batch.count()
+
+
+def test_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
+    from streamandbatchprocessing_spark.streaming.pipeline import events_stream
+    from streamandbatchprocessing_spark.streaming.transactions import (
+        VersionedUpsertSink,
+        foreach_batch_upsert,
+    )
+    from pyspark.sql import functions as F
+
+    agg = (
+        events_stream(spark, sf_dir)
+        .withWatermark("ts", "10 minutes")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sink = VersionedUpsertSink(["event_type"])
+    q = foreach_batch_upsert(
+        agg, sink, str(tmp_path / "ckpt"), trigger_available_now=True
+    )
+    q.awaitTermination()
+
+    batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("event_type").count().collect()
+    )
+    expected = {r.event_type: r["count"] for r in batch}
+    got = {k[0]: v["n"] for k, v in sink.rows.items()}
+    assert got == expected
+
+    # replaying an already-applied epoch must not change the sink
+    before = dict(sink.rows)
+    for epoch in list(sink.applied_epochs):
+        sink.upsert(spark.createDataFrame([("zzz", 999)], "event_type string, n long"), epoch)
+    assert sink.rows == before
