@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.aggregates import dsum
+from ..functions.aggregates import davg, dsum
 from ..sources.batch import load_table
 from .registry import query
 
@@ -386,4 +386,52 @@ def g09_multigrain_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
         .orderBy("day", "hr", "event_type")
+    )
+
+
+@query(
+    "g10_json_extraction",
+    oracle="""
+    WITH p AS (SELECT event_type,
+                      CAST(json_extract(props, '$.k') AS INTEGER) AS k
+               FROM events)
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(k) AS n_parsed,
+           CAST(SUM(CAST(k AS DECIMAL(25,6))) AS DOUBLE) / COUNT(k) AS avg_k,
+           CAST(MIN(k) AS BIGINT) AS min_k,
+           CAST(MAX(k) AS BIGINT) AS max_k,
+           COUNT(DISTINCT k // 10) AS k_deciles_seen
+    FROM p
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def g10_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-declared JSON parsing of the ``props`` payload column —
+    the reference's S2/S3 Kafka-value path (``from_json`` against a
+    StructType, malformed → null, never schema drift;
+    Schemas.scala:44-48) exercised over the fixture.
+
+    Scale: from_json with an explicit schema is a codegen'd JVM
+    expression — parse happens during the scan projection, only the
+    referenced field is materialized, and nulls (not exceptions) keep
+    a 100 TB parse job from dying on one bad record.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "event_type",
+        F.from_json(F.col("props"), "k INT").getField("k").alias("k"),
+    )
+    return (
+        parsed.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count("k").alias("n_parsed"),
+            davg("k", "avg_k"),
+            F.min("k").cast("long").alias("min_k"),
+            F.max("k").cast("long").alias("max_k"),
+            F.countDistinct(F.floor(F.col("k") / 10)).alias("k_deciles_seen"),
+        )
+        .orderBy("event_type")
     )
