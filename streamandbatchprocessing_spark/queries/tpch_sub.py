@@ -424,3 +424,58 @@ def b25_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cust_nation", "supp_nation", "l_year")
     )
+
+
+# ---------------------------------------------------------------------------
+# b26 — TPC-H Q10: returned-item revenue attribution
+# ---------------------------------------------------------------------------
+@query(
+    "b26_returned_item_losses",
+    oracle=f"""
+    SELECT c.c_custkey, c.c_name,
+           {_DSUM.format(x='l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           n.n_name, c.c_acctbal
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1995-07-01'
+    GROUP BY c.c_custkey, c.c_name, n.n_name, c.c_acctbal
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+)
+def b26_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10: customers who returned the most revenue in a
+    half-year — selective fact filter (returnflag, order-date range) →
+    star join → per-customer agg → deterministic top-20.
+
+    Scale: both fact filters push to their scans (returnflag is a
+    dictionary-encoded low-cardinality column — row groups skip);
+    customer and nation broadcast; the only shuffle is lineitem⋈orders
+    on orderkey, then the final agg reuses nothing bigger than the
+    surviving rows. Top-20 fuses to TakeOrderedAndProject.
+    """
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp_ntz"))
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name", "c_acctbal")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+            )
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name", "c_acctbal")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
