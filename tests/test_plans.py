@@ -135,3 +135,29 @@ def test_q14_single_pass_conditional_agg(spark, sf_dir):
     assert "BroadcastHashJoin" in plan
     assert "Window" not in plan
     assert any("l_shipdate" in p for p in pushed_filters(df))
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    # The reference's core layout trick: tables partitioned by a
+    # low-cardinality column downstream filters prune on (event_date /
+    # category; README.md:629-636 shows PartitionFilters in its plan).
+    # Same discipline here: write orders partitioned by status, read
+    # with a status filter, and the scan must list only that partition.
+    from streamandbatchprocessing_spark.sources.batch import (
+        load_table,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "orders_by_status")
+    write_partitioned(
+        load_table(spark, sf_dir, "orders"), path, partition_by=["o_orderstatus"]
+    )
+    df = spark.read.parquet(path).filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    plan = executed_plan(df)
+    # the filter must appear as a PartitionFilter (directory pruning),
+    # not a PushedFilter (row-group skipping within files read anyway)
+    pf = plan.split("PartitionFilters", 1)
+    assert len(pf) == 2 and "o_orderstatus" in pf[1][:200], plan[:1500]
+    assert "PushedFilters: []" in plan, plan[:1500]
