@@ -231,3 +231,35 @@ def rebuild_registry(base_dir: str) -> BatchRegistry:
                 )
             )
     return registry
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table: VersionedTable,
+    updates: DataFrame,
+    keys: list[str],
+) -> int:
+    """Delta ``MERGE INTO`` analog over a VersionedTable: rows matching
+    on ``keys`` are replaced by the update row, unmatched update rows are
+    inserted, everything else carries over — committed as a NEW version
+    (readers of older versions are untouched; a crash mid-merge leaves
+    the previous version current, same write-ahead ordering as write()).
+
+    Implementation is a left-anti carry-over plus the updates: the
+    anti join is one shuffle keyed on the merge keys (or broadcast when
+    updates are small — the common CDC case, which AQE picks
+    automatically); no row-level file rewrites, so the cost is
+    proportional to the table, the lever Delta's deletion vectors also
+    pull. Column sets must match; enforced loudly.
+
+    Returns the new version number.
+    """
+    current = table.read(spark)
+    if set(current.columns) != set(updates.columns):
+        raise ValueError(
+            f"merge schema mismatch: table={sorted(current.columns)} "
+            f"updates={sorted(updates.columns)}"
+        )
+    survivors = current.join(updates.select(*keys), keys, "left_anti")
+    merged = survivors.unionByName(updates)
+    return table.write(merged)

@@ -107,3 +107,34 @@ def test_registry_rebuild_from_disk(tmp_path):
 
 def test_rebuild_empty_dir(tmp_path):
     assert rebuild_registry(str(tmp_path)).list_all() == []
+
+
+def test_merge_upsert_updates_and_inserts(spark, nation, tmp_path):
+    from streamandbatchprocessing_spark.service.maintenance import merge_upsert
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(nation)
+    updates = spark.createDataFrame(
+        [(0, "RENAMED_0", nation.collect()[0].n_regionkey),
+         (990, "BRAND_NEW", 1)],
+        nation.schema.names,
+    )
+    v = merge_upsert(spark, t, updates, keys=["n_nationkey"])
+    assert v == 1
+    merged = {r.n_nationkey: r.n_name for r in t.read(spark).collect()}
+    assert merged[0] == "RENAMED_0"          # matched → replaced
+    assert merged[990] == "BRAND_NEW"        # unmatched → inserted
+    assert len(merged) == nation.count() + 1
+    # old version untouched (snapshot isolation)
+    old = {r.n_nationkey: r.n_name for r in t.read(spark, version=0).collect()}
+    assert old[0] != "RENAMED_0" and 990 not in old
+
+
+def test_merge_upsert_rejects_schema_drift(spark, nation, tmp_path):
+    from streamandbatchprocessing_spark.service.maintenance import merge_upsert
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(nation)
+    bad = nation.withColumnRenamed("n_name", "name")
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(spark, t, bad, keys=["n_nationkey"])
