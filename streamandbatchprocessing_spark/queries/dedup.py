@@ -395,3 +395,153 @@ def c06_hll_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# c07 — duplicate clustering: connected components over the LSH graph
+# ---------------------------------------------------------------------------
+_CC_MIN_AGREE = 14  # est_jaccard >= 14/16: near-dup edges only
+
+
+def _cc_oracle() -> str:
+    sig_cols = ",\n           ".join(
+        f"MIN(substr(md5('s{i}:' || tok), 1, 12)) AS h{i}" for i in range(_N_HASHES)
+    )
+    band_cols = ",\n           ".join(
+        "md5(concat_ws('|', "
+        + ", ".join(f"h{i}" for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
+        + f")) AS b{b}"
+        for b in range(_BANDS)
+    )
+    cand_union = "\n    UNION\n".join(
+        f"    SELECT a.doc_id AS da, b.doc_id AS db FROM band a "
+        f"JOIN band b ON a.b{b} = b.b{b} AND a.doc_id < b.doc_id"
+        for b in range(_BANDS)
+    )
+    agree = " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(_N_HASHES))
+    return f"""
+    WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+               FROM documents),
+    x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    sig AS (SELECT doc_id,
+           {sig_cols}
+           FROM x GROUP BY doc_id),
+    band AS (SELECT doc_id,
+           {band_cols}
+           FROM sig),
+    cand AS (
+{cand_union}
+    ),
+    near AS (
+        SELECT c.da, c.db
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.da
+        JOIN sig sb ON sb.doc_id = c.db
+        WHERE ({agree}) >= {_CC_MIN_AGREE}
+    ),
+    edges AS (SELECT da AS s, db AS d FROM near
+              UNION ALL SELECT db, da FROM near),
+    lab AS (
+        SELECT doc_id AS node, doc_id AS lab FROM t
+        UNION
+        SELECT e.d, l.lab FROM lab l JOIN edges e ON e.s = l.node
+    )
+    SELECT node AS doc_id, MIN(lab) AS cluster_id
+    FROM lab GROUP BY node
+    ORDER BY doc_id
+    """
+
+
+@query("c07_dup_clusters", oracle=_cc_oracle())
+def c07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate clusters: connected components of the near-duplicate
+    graph (MinHash-LSH candidate pairs with est_jaccard >= 14/16),
+    cluster_id = min doc_id in the component — the canonicalization step
+    a dedup pipeline runs after candidate generation, as a distributed
+    ITERATIVE algorithm.
+
+    Spark side: min-label propagation — each round every node takes the
+    min of its own and its neighbors' labels (one join + one groupBy per
+    round), with ``localCheckpoint`` truncating the lineage so the plan
+    doesn't grow with iterations; stops when a round changes nothing.
+    Rounds = graph diameter, and LSH near-dup components are band-joined
+    near-cliques (diameter ~2), so convergence is fast at any scale; the
+    per-round cost is one shuffle of the (doc, label) table. The DuckDB
+    oracle computes the same fixpoint with a recursive CTE — different
+    mechanism, identical answer, which is exactly what an
+    order-insensitive hash compare can certify.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
+    )
+    sig = tok.groupBy("doc_id").agg(
+        *[
+            F.min(md5_prefix(F.col("tok"), seed=f"s{i}:")).alias(f"h{i}")
+            for i in range(_N_HASHES)
+        ]
+    ).persist()
+    band = sig.select(
+        "doc_id",
+        *[
+            F.md5(
+                F.concat_ws(
+                    "|",
+                    *[
+                        f"h{i}"
+                        for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+                    ],
+                )
+            ).alias(f"b{b}")
+            for b in range(_BANDS)
+        ],
+    )
+    cands = [
+        band.alias("a")
+        .join(band.alias("b"), F.expr(f"a.b{b} = b.b{b} AND a.doc_id < b.doc_id"))
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        for b in range(_BANDS)
+    ]
+    cand = reduce(DataFrame.union, cands).distinct()
+    agree = reduce(
+        lambda acc, i: acc + F.expr(f"CAST(sa.h{i} = sb.h{i} AS INT)"),
+        range(1, _N_HASHES),
+        F.expr("CAST(sa.h0 = sb.h0 AS INT)"),
+    )
+    near = (
+        cand.join(sig.alias("sa"), F.col("da") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("db") == F.col("sb.doc_id"))
+        .filter(agree >= _CC_MIN_AGREE)
+        .select("da", "db")
+    )
+    edges = near.union(
+        near.select(F.col("db").alias("da"), F.col("da").alias("db"))
+    ).toDF("s", "d").localCheckpoint()
+
+    labels = docs.select("doc_id", F.col("doc_id").alias("lab")).localCheckpoint()
+    for _ in range(50):
+        neighbor_min = (
+            edges.join(labels, edges.s == labels.doc_id)
+            .groupBy(F.col("d").alias("doc_id"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias(
+                    "lab"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.expr("n.lab <> o.lab"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("lab").alias("cluster_id")).orderBy("doc_id")
