@@ -445,6 +445,7 @@ def _cc_oracle() -> str:
         SELECT doc_id AS node, doc_id AS lab FROM t
         UNION
         SELECT e.d, l.lab FROM lab l JOIN edges e ON e.s = l.node
+        WHERE l.lab < e.d
     )
     SELECT node AS doc_id, MIN(lab) AS cluster_id
     FROM lab GROUP BY node
