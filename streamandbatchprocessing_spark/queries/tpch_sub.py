@@ -479,3 +479,94 @@ def b26_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# b27 — TPC-H Q6: forecast revenue change (pure pushdown scan-agg)
+# ---------------------------------------------------------------------------
+@query(
+    "b27_forecast_revenue_change",
+    oracle=f"""
+    SELECT {_DSUM.format(x='l_extendedprice * l_discount')} AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def b27_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: revenue delta if discounts in a band were eliminated —
+    THE pushdown benchmark: no join, no groupBy keys, just how much of
+    the scan the engine can skip. All three predicates push to the
+    parquet reader (row-group min/max on shipdate/discount/quantity);
+    the plan is scan → scalar partial/final agg, zero shuffles beyond
+    the 1-row final combine.
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# b28 — TPC-H Q12: priority counts by order-size class (join + count-if)
+# ---------------------------------------------------------------------------
+@query(
+    "b28_priority_by_order_size",
+    oracle="""
+    WITH sized AS (
+        SELECT l_orderkey,
+               CASE WHEN SUM(l_quantity) >= 100 THEN 'bulk' ELSE 'regular' END
+                   AS size_class
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT s.size_class,
+           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_line_count
+    FROM orders o JOIN sized s ON o.o_orderkey = s.l_orderkey
+    GROUP BY s.size_class
+    ORDER BY s.size_class
+    """,
+)
+def b28_priority_by_order_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: classify each order by total quantity, then
+    count high/low-priority orders per class with count-if conditional
+    aggregates (reference A7 pattern) — one fact aggregation, one join
+    against orders, one tiny final agg.
+
+    Scale: the per-orderkey sizing agg shuffles lineitem once on its
+    join key, so the subsequent orders join reuses that partitioning;
+    priorities collapse into two conditional counters in a single pass
+    (no pivot/second scan).
+    """
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    sized = (
+        li.groupBy("l_orderkey")
+        .agg(dsum("l_quantity", "tq"))
+        .select(
+            "l_orderkey",
+            F.when(F.col("tq") >= 100, "bulk").otherwise("regular").alias(
+                "size_class"
+            ),
+        )
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        orders.join(sized, orders.o_orderkey == sized.l_orderkey)
+        .groupBy("size_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("size_class")
+    )
