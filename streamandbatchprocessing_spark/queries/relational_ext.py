@@ -435,3 +435,61 @@ def g10_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "g11_user_funnel",
+    oracle="""
+    WITH stages AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    )
+    SELECT COUNT(t_view) AS n_view,
+           SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS n_view_click,
+           SUM(CASE WHEN t_purchase > t_click AND t_click > t_view
+                    THEN 1 ELSE 0 END) AS n_full_funnel,
+           ROUND(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(t_view), 6) AS view_to_click_rate,
+           ROUND(SUM(CASE WHEN t_purchase > t_click AND t_click > t_view
+                          THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(t_view), 6) AS full_funnel_rate
+    FROM stages
+    """,
+)
+def g11_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view → click → purchase): per-user first
+    timestamp of each stage via conditional MIN (one pass, one shuffle
+    on user_id — NOT one scan per stage), then ordering predicates count
+    users who progressed through stages in sequence. NULL time
+    comparisons are false in both engines, so users missing a stage drop
+    out of downstream counts without explicit null handling.
+
+    Scale: the classic funnel anti-pattern is N self-joins of the event
+    table (one per stage); the conditional-MIN pivot keeps it at one
+    scan + one user-keyed aggregation regardless of funnel depth.
+    """
+    ev = load_table(spark, sf_dir, "events")
+
+    def first_ts(stage: str):
+        return F.min(F.when(F.col("event_type") == stage, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_purchase"),
+    )
+    did_click = F.col("t_click") > F.col("t_view")
+    full = (F.col("t_purchase") > F.col("t_click")) & did_click
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return stages.agg(
+        F.count("t_view").alias("n_view"),
+        cnt(did_click).alias("n_view_click"),
+        cnt(full).alias("n_full_funnel"),
+        F.round(cnt(did_click) * 1.0 / F.count("t_view"), 6).alias(
+            "view_to_click_rate"
+        ),
+        F.round(cnt(full) * 1.0 / F.count("t_view"), 6).alias("full_funnel_rate"),
+    )
