@@ -24,32 +24,27 @@ def distinct_tokens(text: Column) -> Column:
 
 
 def shingles(toks: Column, n: int = 3) -> Column:
-    """Word n-gram shingles of a token array (MinHash/fingerprint input).
+    """Word n-gram shingles of a token array (MinHash/fingerprint input)
+    — works on any array expression, not just plain column refs
+    (built with the typed higher-order API instead of F.expr strings).
 
     DuckDB equivalent (1-based, end-inclusive slices):
     ``list_transform(range(1, len(toks)-n+2), i -> array_to_string(toks[i:i+n-1], ' '))``.
     """
     # sequence(0, size-n) enumerates shingle starts; empty when size < n.
-    return F.expr(
-        f"CASE WHEN size({_c(toks)}) < {n} THEN array() "
-        f"ELSE transform(sequence(0, size({_c(toks)}) - {n}), "
-        f"i -> concat_ws(' ', slice({_c(toks)}, i + 1, {n}))) END"
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - n),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
     )
-
-
-def _c(col: Column) -> str:
-    """Render a simple column reference for use inside F.expr."""
-    name = col._jc.toString()  # noqa: SLF001 — plain column name only
-    if not name.replace("_", "").isalnum():
-        raise ValueError(f"shingles() needs a plain column reference, got {name}")
-    return name
+    empty = F.array().cast("array<string>")
+    return F.when(F.size(toks) < n, empty).otherwise(grams)
 
 
 def count_matching(toks: Column, words: tuple[str, ...]) -> Column:
-    """Number of tokens in ``words`` — higher-order filter, no UDF.
+    """Number of tokens in ``words`` — higher-order filter, no UDF,
+    accepts arbitrary array expressions.
     DuckDB: ``len(list_filter(toks, t -> t IN (...)))``."""
-    in_list = ", ".join(f"'{w}'" for w in words)
-    return F.expr(f"size(filter({_c(toks)}, t -> t IN ({in_list})))")
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
 
 
 # Stopword tables for the language-ID heuristic (operators path).

@@ -5,7 +5,7 @@ fingerprinting).
 All expressions are JVM built-ins (split / higher-order filter / md5);
 no Python touches the row path, so these scale exactly like any other
 whole-stage-codegen'd projection. The real multilingual language-ID
-heuristic lives in ``functions/text.py`` + ``operators/textops.py``
+heuristic lives in ``functions/text.py``
 (the fixture corpus is single-vocabulary word salad, so lang-ID is
 exercised by unit tests, and corpus statistics by oracle here).
 """
