@@ -493,3 +493,36 @@ def g11_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(cnt(full) * 1.0 / F.count("t_view"), 6).alias("full_funnel_rate"),
     )
+
+
+# One SQL text, two engines: executed verbatim by spark.sql AND by the
+# DuckDB oracle — the strongest possible dialect-parity statement.
+_G12_SQL = """
+    SELECT r.r_name,
+           COUNT(*) AS n_orders,
+           COUNT(DISTINCT c.c_custkey) AS n_customers,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(25,6))) AS DOUBLE)
+               AS total_revenue
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY r.r_name
+    ORDER BY r.r_name
+"""
+
+
+@query("g12_sql_interface", oracle=_G12_SQL)
+def g12_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-string entry point: fixture tables registered as views,
+    then ``spark.sql`` runs the IDENTICAL text the DuckDB oracle runs —
+    ANSI joins, decimal-exact aggregation, timestamp literal and all.
+    Catalyst plans it exactly like the DataFrame twin (b03): broadcast
+    dims, pushed date filter, partial/final agg — declaring the query in
+    SQL instead of DataFrame calls changes nothing about the physical
+    plan, which is the point of an engine with one optimizer."""
+    from ..sources.batch import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(_G12_SQL)

@@ -92,3 +92,12 @@ def write_partitioned(
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.save(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every fixture table as a temp view so the SQL-string
+    interface (``spark.sql``) sees the same catalog names the DuckDB
+    oracle does — including the events nanos-timestamp shim, which the
+    view inherits from ``load_table``."""
+    for name in FIXTURE_TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
