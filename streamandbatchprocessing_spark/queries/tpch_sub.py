@@ -570,3 +570,54 @@ def b28_priority_by_order_size(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("size_class")
     )
+
+
+# ---------------------------------------------------------------------------
+# b29 — TPC-H Q4: order-priority checking (EXISTS with predicate → semi join)
+# ---------------------------------------------------------------------------
+@query(
+    "b29_priority_order_check",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1995-04-01'
+      AND EXISTS (
+          SELECT 1 FROM lineitem l
+          WHERE l.l_orderkey = o.o_orderkey
+            AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY
+      )
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+    """,
+)
+def b29_priority_order_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders in a quarter with at least one line item
+    shipped more than 30 days after ordering, counted per priority —
+    EXISTS with a CORRELATED inequality (l_shipdate > o_orderdate + 30),
+    not just a key match.
+
+    The correlated predicate needs o_orderdate on the probe side, so a
+    bare key semi-join can't express it; the decorrelation is a LEFT
+    SEMI join whose condition carries both the key equality and the
+    inequality. Scale: the quarter filter prunes orders first (pushed to
+    the scan), the semi join shuffles on orderkey only, and each order
+    stops probing at its first late item (semi-join short-circuit) —
+    no DISTINCT, no duplicate elimination.
+    """
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
