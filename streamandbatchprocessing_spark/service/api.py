@@ -120,11 +120,19 @@ def create_app(runner: BatchJobRunner, stream_manager=None) -> "Flask":
     def batch_list():
         status = request.args.get("status")
         limit = request.args.get("limit", 50, type=int)
-        records = (
-            registry.list_by_status(BatchStatus(status))
-            if status
-            else registry.list_all()
-        )
+        if status:
+            try:
+                parsed = BatchStatus(status)
+            except ValueError:
+                return _error(
+                    "INVALID_REQUEST",
+                    f"unknown status {status!r}; valid: "
+                    f"{[s.value for s in BatchStatus]}",
+                    400,
+                )
+            records = registry.list_by_status(parsed)
+        else:
+            records = registry.list_all()
         return jsonify({"batches": [r.to_dict() for r in records[:limit]]})
 
     # -- streaming lifecycle (StreamRoutes.scala:23-125) -----------------

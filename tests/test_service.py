@@ -196,3 +196,14 @@ def test_three_concurrent_batches_during_streaming(client, runner, spark, sf_dir
     records = [_wait_done(client, batch_id) for batch_id in ids]
     assert all(r["status"] == "COMPLETED" for r in records), records
     assert all(r["row_count"] > 0 for r in records)
+
+
+def test_list_status_filter_and_validation(client):
+    ok = client.get("/batch/list?status=COMPLETED")
+    assert ok.status_code == 200
+    assert all(
+        r["status"] == "COMPLETED" for r in ok.get_json()["batches"]
+    )
+    bad = client.get("/batch/list?status=BOGUS")
+    assert bad.status_code == 400
+    assert bad.get_json()["error"] == "INVALID_REQUEST"
