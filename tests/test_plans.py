@@ -161,3 +161,45 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     pf = plan.split("PartitionFilters", 1)
     assert len(pf) == 2 and "o_orderstatus" in pf[1][:200], plan[:1500]
     assert "PushedFilters: []" in plan, plan[:1500]
+
+
+def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
+    # The co-located-join lever for repeated fact-fact joins at scale:
+    # bucket BOTH tables by the join key at write time, and the join
+    # needs no Exchange on either side — the shuffle is paid once at
+    # layout time, then amortized over every subsequent join.
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    for name, key, cols in (
+        ("li_b", "l_orderkey", ["l_orderkey", "l_quantity"]),
+        ("ord_b", "o_orderkey", ["o_orderkey", "o_orderpriority"]),
+    ):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            load_table(spark, sf_dir, "lineitem" if name == "li_b" else "orders")
+            .select(*cols)
+            .write.bucketBy(8, key)
+            .sortBy(key)
+            .option("path", str(tmp_path / name))
+            .saveAsTable(name)
+        )
+    # Disable broadcast so the tiny test tables don't hide the effect —
+    # at real scale neither side of a fact-fact join broadcasts anyway.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table("li_b")
+            .join(spark.table("ord_b"), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = executed_plan(joined)
+        assert "Exchange hashpartitioning(l_orderkey" not in plan, plan[:2000]
+        assert "Exchange hashpartitioning(o_orderkey" not in plan, plan[:2000]
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan[:1500]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        for name in ("li_b", "ord_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
