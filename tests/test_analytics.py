@@ -226,3 +226,29 @@ def test_dispatcher_full_report(tx_df):
 def test_dispatcher_rejects_unknown(tx_df):
     with pytest.raises(ValueError, match="unknown analysisType"):
         analytics.run_analysis("nope", tx_df)
+
+
+def test_kafka_parse_malformed_nulls_never_fails(spark):
+    """S2+S3 semantics (Schemas.scala:44-48): CAST + from_json against
+    the declared schema — wrong types and outright garbage become null
+    fields/rows, never exceptions; the stream keeps flowing."""
+    from streamandbatchprocessing_spark.schemas import parse_kafka_value
+
+    from pyspark.sql import functions as F
+
+    payloads = [
+        ('{"transaction_id": "t1", "quantity": 3, "total_amount": 9.5}',),
+        ('{"transaction_id": "t2", "quantity": "NOT_A_NUMBER"}',),
+        ("not json at all {{{",),
+        (None,),
+    ]
+    raw = spark.createDataFrame(payloads, "value string").select(
+        F.col("value").cast("binary").alias("value")
+    )
+    parsed = parse_kafka_value(raw)
+    rows = parsed.collect()
+    assert len(rows) == 4  # no row is dropped, nothing throws
+    by_id = {r.transaction_id: r for r in rows}
+    assert by_id["t1"].quantity == 3 and by_id["t1"].total_amount == 9.5
+    assert by_id["t2"].quantity is None  # type mismatch → null field
+    assert None in by_id  # garbage/null → fully-null row
