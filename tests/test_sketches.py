@@ -33,4 +33,9 @@ def test_hll_partials_union_to_global(spark, sf_dir):
         .collect()[0]
         .est
     )
-    assert merged == direct  # merge-then-estimate is lossless vs one pass
+    # Merge-then-estimate must agree with the one-pass sketch to within
+    # sketch error (DataSketches unions may promote the internal
+    # representation, so bit-equality only holds at small cardinalities).
+    assert abs(merged - direct) / max(direct, 1) < 0.01, (merged, direct)
+    exact = ev.select("user_id").distinct().count()
+    assert abs(merged - exact) / exact < 0.05, (merged, exact)
