@@ -90,3 +90,45 @@ def m02_payload_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
     return docs.mapInPandas(extract, schema).orderBy("doc_id")
+
+
+@query(
+    "m03_frame_sample_plan",
+    oracle="""
+    WITH v AS (SELECT doc_id AS media_id, n_chars AS duration_ms
+               FROM documents WHERE doc_id % 5 = 0)
+    SELECT media_id, duration_ms,
+           unnest(range(0, CAST(duration_ms + 1 AS BIGINT), 100)) AS frame_ts_ms
+    FROM v
+    ORDER BY media_id, frame_ts_ms
+    """,
+)
+def m03_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling plan (operators/multimodal.py sample_frames shape):
+    one output row per sampled timestamp via sequence+explode — here
+    driven by a deterministic fixture-derived duration (n_chars as
+    milliseconds for every 5th document standing in for a video row) so
+    the Spark-side explode arithmetic is oracle-checked; the per-frame
+    decode is the stubbed codec step.
+
+    Scale: explode of a bounded sequence is generator-based — it streams
+    rows without materializing the frame list per video, and the
+    sampled-frame count (duration/step) bounds output size by
+    construction."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 5 == 0
+    )
+    return (
+        docs.select(
+            F.col("doc_id").alias("media_id"),
+            F.col("n_chars").alias("duration_ms"),
+        )
+        .select(
+            "media_id",
+            "duration_ms",
+            F.explode(
+                F.sequence(F.lit(0).cast("long"), F.col("duration_ms"), F.lit(100).cast("long"))
+            ).alias("frame_ts_ms"),
+        )
+        .orderBy("media_id", "frame_ts_ms")
+    )
