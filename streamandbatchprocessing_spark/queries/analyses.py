@@ -289,7 +289,7 @@ def a06_hourly_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_DSUM.format(x='value')} AS total_value,
            {_DAVG.format(x='value')} AS avg_value,
            COUNT(DISTINCT user_id) AS n_users,
-           SUM(CASE WHEN value > 300 THEN 1 ELSE 0 END) AS n_big,
+           CAST(SUM(CASE WHEN value > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
            ROUND(SUM(CASE WHEN value > 300 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 4)
                AS big_value_pct
     FROM events

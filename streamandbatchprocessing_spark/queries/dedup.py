@@ -194,9 +194,10 @@ def _simhash_oracle() -> str:
           FROM h GROUP BY doc_id),
     fp AS (SELECT doc_id, source, ({fp}) AS simhash FROM s)
     SELECT a.doc_id, ANY_VALUE(a.simhash) AS simhash,
-           MIN(bit_count(xor(a.simhash, b.simhash))) AS nn_hamming,
-           SUM(CASE WHEN bit_count(xor(a.simhash, b.simhash)) <= 6
-                    THEN 1 ELSE 0 END) AS n_close
+           CAST(MIN(bit_count(xor(a.simhash, b.simhash))) AS INTEGER)
+               AS nn_hamming,
+           CAST(SUM(CASE WHEN bit_count(xor(a.simhash, b.simhash)) <= 6
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_close
     FROM fp a JOIN fp b ON a.source = b.source AND a.doc_id <> b.doc_id
     GROUP BY a.doc_id
     ORDER BY a.doc_id

@@ -448,9 +448,10 @@ def g10_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id
     )
     SELECT COUNT(t_view) AS n_view,
-           SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS n_view_click,
-           SUM(CASE WHEN t_purchase > t_click AND t_click > t_view
-                    THEN 1 ELSE 0 END) AS n_full_funnel,
+           CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_view_click,
+           CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel,
            ROUND(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) * 1.0
                  / COUNT(t_view), 6) AS view_to_click_rate,
            ROUND(SUM(CASE WHEN t_purchase > t_click AND t_click > t_view

@@ -132,7 +132,8 @@ def f03_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT user_id,
            COUNT(*) AS n_events,
-           SUM(CAST(round(value * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents
     FROM events
     GROUP BY user_id
     ORDER BY user_id

@@ -545,9 +545,12 @@ def b14_status_distincts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "b15_segment_status_pivot",
     oracle=f"""
     SELECT c.c_mktsegment,
-           SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_finished,
-           SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-           SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_pending,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_finished,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_open,
+           CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_pending,
            {_DSUM.format(x="CASE WHEN o.o_orderstatus = 'F' THEN o.o_totalprice ELSE 0 END")}
                AS finished_price
     FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey

@@ -528,10 +528,10 @@ def b27_forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem GROUP BY l_orderkey
     )
     SELECT s.size_class,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM orders o JOIN sized s ON o.o_orderkey = s.l_orderkey
     GROUP BY s.size_class
     ORDER BY s.size_class

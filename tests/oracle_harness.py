@@ -12,6 +12,7 @@ import datetime as dt
 from decimal import Decimal
 
 import duckdb
+from pyspark.sql import types as T
 
 FIXTURE_TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -42,6 +43,92 @@ def _rows_key(rows):
     return sorted(repr(r) for r in rows)
 
 
+# ---------------------------------------------------------------------------
+# Type-class compare — driver-faithful dtype strictness.
+#
+# The driver hashes a typed (arrow/pandas) materialization of both results.
+# DuckDB HUGEINT / DECIMAL become float64 there while Spark LONG stays int64,
+# so identical *values* still hash-mismatch when the oracle leaves e.g.
+# ``SUM(CASE WHEN … THEN 1 ELSE 0 END)`` uncast (round-1 failures a07, g11,
+# b15, b28). ``fetchall()`` hides this (HUGEINT -> Python int), so values
+# alone cannot catch it; we classify both sides' LOGICAL types into the
+# equivalence classes the driver's hash actually distinguishes and require
+# them to match per column.
+# ---------------------------------------------------------------------------
+_DUCK_INT = {
+    "TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+    "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT",
+}
+
+
+def _duck_class(t) -> str:
+    s = str(t).upper()
+    if s in _DUCK_INT:
+        return "int"
+    if s in ("HUGEINT", "UHUGEINT"):
+        # pandas has no int128: the driver sees float64. Flag loudly —
+        # the fix is always CAST(… AS BIGINT) in the oracle SQL.
+        return "float"
+    if s in ("FLOAT", "DOUBLE") or s.startswith("DECIMAL"):
+        return "float"
+    if s == "BOOLEAN":
+        return "bool"
+    if s == "DATE":
+        return "date"
+    if s.startswith("TIMESTAMP"):
+        return "timestamp"
+    if s in ("VARCHAR", "UUID", "BLOB"):
+        return "string"
+    if s.endswith("[]") or s.startswith(("STRUCT", "MAP", "LIST")):
+        return "nested"
+    return "other"
+
+
+def _spark_class(d) -> str:
+    if isinstance(d, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"
+    if isinstance(d, (T.FloatType, T.DoubleType)):
+        return "float"
+    if isinstance(d, T.DecimalType):
+        # Deliberately NOT merged with "float": queries must expose
+        # doubles (dsum/davg already cast) so both sides materialize the
+        # same arrow type at the driver.
+        return "decimal"
+    if isinstance(d, T.BooleanType):
+        return "bool"
+    if isinstance(d, T.DateType):
+        return "date"
+    if isinstance(d, (T.TimestampType, T.TimestampNTZType)):
+        return "timestamp"
+    if isinstance(d, (T.StringType, T.BinaryType)):
+        return "string"
+    if isinstance(d, (T.ArrayType, T.StructType, T.MapType)):
+        return "nested"
+    return "other"
+
+
+def assert_type_classes_match(name, sdf, relation) -> None:
+    """Fail when any output column's type class differs between the Spark
+    result and the DuckDB oracle (e.g. BIGINT vs HUGEINT → the driver's
+    typed hash would mismatch even with identical values)."""
+    s_cls = {f.name.lower(): _spark_class(f.dataType) for f in sdf.schema.fields}
+    d_cls = {
+        c.lower(): _duck_class(t)
+        for c, t in zip(relation.columns, relation.types)
+    }
+    bad = [
+        (c, s_cls[c], d_cls[c])
+        for c in sorted(set(s_cls) & set(d_cls))
+        if s_cls[c] != d_cls[c]
+    ]
+    assert not bad, (
+        f"{name}: oracle/spark type-class mismatch {bad} — identical values "
+        f"would still fail the driver's typed hash. For int-vs-float this "
+        f"usually means an uncast SUM(CASE…) in the oracle: wrap it in "
+        f"CAST(… AS BIGINT)."
+    )
+
+
 def compare(spark, sf_dir: str, name: str, query_fn, oracle: str) -> None:
     sdf = query_fn(spark, sf_dir)
     scols = [c.lower() for c in sdf.columns]
@@ -55,6 +142,7 @@ def compare(spark, sf_dir: str, name: str, query_fn, oracle: str) -> None:
     assert sorted(scols) == sorted(dcols), (
         f"{name}: column mismatch spark={scols} duckdb={dcols}"
     )
+    assert_type_classes_match(name, sdf, res)
     assert len(srows) == len(drows), (
         f"{name}: row count mismatch spark={len(srows)} duckdb={len(drows)}"
     )
