@@ -1,4 +1,5 @@
 from .explain import (
+    broadcast_hint_subtrees,
     executed_plan,
     has_broadcast_hash_join,
     pushed_filters,
@@ -7,6 +8,7 @@ from .explain import (
 )
 
 __all__ = [
+    "broadcast_hint_subtrees",
     "executed_plan",
     "has_broadcast_hash_join",
     "pushed_filters",

@@ -45,6 +45,26 @@ def has_sort_merge_join(df: DataFrame) -> bool:
     return "SortMergeJoin" in executed_plan(df)
 
 
+def broadcast_hint_subtrees(df: DataFrame) -> list[str]:
+    """Tree dumps of every ``ResolvedHint (strategy=broadcast)`` subtree
+    in the ANALYZED logical plan — i.e. exactly what the query author
+    forced with ``F.broadcast(...)``, before AQE/Catalyst make their own
+    (size-aware, safe) choices. Used to police that no fact-sized
+    relation ever carries a forced broadcast: at 100 TB such a hint
+    overrides the size check and OOMs the executors."""
+    out: list[str] = []
+    stack = [df._jdf.queryExecution().analyzed()]  # noqa: SLF001
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "ResolvedHint":
+            if "broadcast" in node.hints().toString().lower():
+                out.append(node.treeString())
+        children = node.children()
+        for i in range(children.size()):
+            stack.append(children.apply(i))
+    return out
+
+
 def whole_stage_codegen_spans(df: DataFrame) -> int:
     """Number of WholeStageCodegen subtrees — zero means the hot path
     fell out of codegen. Under AQE the codegen-annotated final plan only

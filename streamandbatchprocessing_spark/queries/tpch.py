@@ -101,11 +101,14 @@ def b01_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b02_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Customer ⋈ orders ⋈ lineitem, revenue top-10.
 
-    Scale: customer (dimension-sized here) is broadcast, so lineitem —
-    the 100-TB side — never shuffles for the join; it shuffles once for
-    the groupBy on o_orderkey. `LIMIT` after sort becomes
-    TakeOrderedAndProject: each partition keeps 10 rows, no global sort.
-    Tiebreak on o_orderkey keeps the top-k deterministic.
+    Scale: customer (a true dimension) is broadcast; orders is a FACT
+    and carries no hint — lineitem ⋈ orders shuffles both sides on
+    orderkey (SMJ), and AQE may still downgrade to broadcast at toy SFs.
+    A forced `broadcast(orders)` would OOM executors at production
+    scale, so the hint stays off fact tables (guarded by
+    `test_no_forced_broadcast_of_fact_tables`). `LIMIT` after sort
+    becomes TakeOrderedAndProject: each partition keeps 10 rows, no
+    global sort. Tiebreak on o_orderkey keeps the top-k deterministic.
     """
     cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = load_table(spark, sf_dir, "orders").filter(
@@ -115,7 +118,7 @@ def b02_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate") > F.lit("1998-06-30").cast("timestamp_ntz")
     )
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"))
@@ -149,10 +152,13 @@ def b02_top_unshipped_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 def b03_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Region→nation→customer→orders→lineitem→supplier star join.
 
-    Scale: all five non-fact tables broadcast (region 5 rows … customer
-    ~sf·150k), so the plan is a single pass over lineitem with chained
-    broadcast-hash joins — zero fact-table shuffles before the 25-group
-    aggregation. This is the canonical 100-TB star-join shape.
+    Scale: the true dimensions (region 5 rows, nation 25, supplier
+    ~sf·10k, customer ~sf·150k) broadcast; orders is a FACT and joins
+    lineitem unhinted — one orderkey shuffle, which AQE can still turn
+    into a broadcast join at toy SFs but must be free to keep as SMJ at
+    100 TB. Everything after that single shuffle is chained
+    broadcast-hash joins over the fact stream into a 25-group
+    aggregation — the canonical star-join shape.
     """
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     nation = load_table(spark, sf_dir, "nation")
@@ -164,7 +170,7 @@ def b03_regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     li = load_table(spark, sf_dir, "lineitem")
     return (
-        li.join(F.broadcast(orders), li.l_orderkey == orders.o_orderkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(supp),

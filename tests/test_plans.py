@@ -9,6 +9,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from streamandbatchprocessing_spark.plans import (
+    broadcast_hint_subtrees,
     executed_plan,
     has_broadcast_hash_join,
     pushed_filters,
@@ -38,10 +39,13 @@ def test_column_pruning_on_projection(spark, sf_dir):
 
 
 def test_star_join_broadcasts_dimensions(spark, sf_dir):
+    # 4 dimension joins broadcast; the lineitem ⋈ orders fact join is
+    # deliberately unhinted (AQE may choose SMJ or, at toy SF, broadcast)
+    # so at most that one join may be a SortMergeJoin.
     df = QUERIES["b03_regional_supplier_volume"](spark, sf_dir)
     plan = executed_plan(df)
     assert plan.count("BroadcastHashJoin") >= 4, plan[:2000]
-    assert "SortMergeJoin" not in plan
+    assert plan.count("SortMergeJoin") <= 1, plan[:2000]
 
 
 def test_brand_volume_broadcast(spark, sf_dir):
@@ -203,3 +207,46 @@ def test_bucketed_tables_join_without_shuffle(spark, sf_dir, tmp_path):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         for name in ("li_b", "ord_b"):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+# ---------------------------------------------------------------------------
+# No forced broadcast of fact-sized relations — round-1 verdict item.
+# A F.broadcast() hint overrides Spark's size check; on a fact table it
+# turns into an executor OOM at production scale, where plain AQE would
+# have picked a sort-merge join. Dimensions (region/nation/customer/
+# supplier/part) may be hinted; facts (lineitem/orders/events/documents/
+# embeddings) must not be, unless the hinted subtree is provably bounded
+# (a scalar/grouped reduction or an explicit limit).
+# ---------------------------------------------------------------------------
+_FACT_MARKERS = {
+    "lineitem": "l_linenumber",
+    "orders": "o_orderkey",
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+}
+
+# Broadcast of a literally-bounded query-vector set (vec_id < K): safe by
+# construction, but not detectable from the plan shape alone.
+_BOUNDED_BROADCAST_OK = {
+    "d01_topk_bruteforce",
+    "d02_ivf_bucket_ann",
+    "d03_topk_pandas_vectorized",
+}
+
+
+@pytest.mark.parametrize(
+    "name", sorted(n for n in QUERIES if not n.startswith("f"))
+)
+def test_no_forced_broadcast_of_fact_tables(spark, sf_dir, name):
+    if name in _BOUNDED_BROADCAST_OK:
+        pytest.skip("broadcast side is a literal-bounded query set")
+    df = QUERIES[name](spark, sf_dir)
+    for subtree in broadcast_hint_subtrees(df):
+        if "Aggregate [" in subtree or "GlobalLimit" in subtree:
+            continue  # reduction/limit: bounded regardless of source size
+        hit = [t for t, col in _FACT_MARKERS.items() if col in subtree]
+        assert not hit, (
+            f"{name}: forced broadcast of fact table(s) {hit} — drop the "
+            f"F.broadcast() hint and let AQE decide:\n{subtree[:1500]}"
+        )
