@@ -21,7 +21,7 @@ from functools import reduce
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.hashing import hash60, md5_prefix
+from ..functions.hashing import hash60, minhash_hashes
 from ..sources.batch import load_table
 from .registry import query
 
@@ -62,37 +62,56 @@ def c01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # c02 — MinHash + LSH candidate pairs
 # ---------------------------------------------------------------------------
-def _minhash_oracle() -> str:
+# One md5 per token; the n-hash family is double hashing on its two
+# halves (see functions.hashing.minhash_hashes — the oracle mirrors the
+# arithmetic below exactly). Round-1 bench showed 16 md5-of-concat calls
+# per token were 23% of the whole headline suite.
+_MH_H1 = "CAST(('0x' || substr(md5(tok), 1, 15)) AS BIGINT)"
+_MH_H2 = "CAST(('0x' || substr(md5(tok), 16, 12)) AS BIGINT)"
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _sig_cte() -> str:
+    """Shared tokenize→minhash-signature CTE chain (``t``/``x``/``sig``)."""
     sig_cols = ",\n           ".join(
-        f"MIN(substr(md5('s{i}:' || tok), 1, 12)) AS h{i}" for i in range(_N_HASHES)
+        f"MIN(({_MH_H1} + {i} * {_MH_H2}) % {_MERSENNE61}) AS h{i}"
+        for i in range(_N_HASHES)
     )
-    band_cols = ",\n           ".join(
-        "md5(concat_ws('|', "
-        + ", ".join(f"h{i}" for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
-        + f")) AS b{b}"
-        for b in range(_BANDS)
-    )
-    cand_union = "\n    UNION\n".join(
-        f"    SELECT a.doc_id AS da, b.doc_id AS db FROM band a "
-        f"JOIN band b ON a.b{b} = b.b{b} AND a.doc_id < b.doc_id"
-        for b in range(_BANDS)
-    )
-    agree = " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(_N_HASHES))
-    return f"""
-    WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+    return f"""WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
                FROM documents),
     x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
     sig AS (SELECT doc_id,
            {sig_cols}
-           FROM x GROUP BY doc_id),
-    band AS (SELECT doc_id,
-           {band_cols}
-           FROM sig),
-    cand AS (
-{cand_union}
-    )
+           FROM x GROUP BY doc_id)"""
+
+
+def _cand_cte() -> str:
+    """Banded candidate pairs: per band, an equi-join on that band's raw
+    signature columns (no band-hash materialization — the composite key
+    hashes inside the join)."""
+    joins = []
+    for b in range(_BANDS):
+        cond = " AND ".join(
+            f"a.h{i} = b.h{i}"
+            for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
+        )
+        joins.append(
+            f"    SELECT a.doc_id AS da, b.doc_id AS db FROM sig a "
+            f"JOIN sig b ON {cond} AND a.doc_id < b.doc_id"
+        )
+    union = "\n    UNION\n".join(joins)
+    return f"cand AS (\n{union}\n    )"
+
+
+_AGREE = " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(_N_HASHES))
+
+
+def _minhash_oracle() -> str:
+    return f"""
+    {_sig_cte()},
+    {_cand_cte()}
     SELECT c.da AS doc_a, c.db AS doc_b,
-           ({agree}) / 16.0 AS est_jaccard
+           ({_AGREE}) / 16.0 AS est_jaccard
     FROM cand c
     JOIN sig sa ON sa.doc_id = c.da
     JOIN sig sb ON sb.doc_id = c.db
@@ -100,65 +119,105 @@ def _minhash_oracle() -> str:
     """
 
 
-@query("c02_minhash_lsh_pairs", oracle=_minhash_oracle())
-def c02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(16) + LSH(2 bands × 8) candidate pairs with estimated
-    jaccard. The only joins are equi-joins on band hashes — candidate
-    generation is output-bound, never O(n²); at 100 TB the band join is
-    an ordinary shuffle join on a 32-hex key with skew handled by AQE
-    (a band bucket containing k docs costs k² only within that bucket —
-    band width is the knob that bounds k)."""
-    docs = load_table(spark, sf_dir, "documents")
+def _sig_df(docs: DataFrame) -> DataFrame:
+    """MinHash(16) signature per doc: explode distinct tokens, hash each
+    token ONCE (md5), derive the 16-function family arithmetically, MIN
+    per function. One shuffle (groupBy doc_id)."""
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
-    sig = tok.groupBy("doc_id").agg(
-        *[
-            F.min(md5_prefix(F.col("tok"), seed=f"s{i}:")).alias(f"h{i}")
-            for i in range(_N_HASHES)
+    hashes = minhash_hashes(F.col("tok"), _N_HASHES)
+    return tok.groupBy("doc_id").agg(
+        *[F.min(h).alias(f"h{i}") for i, h in enumerate(hashes)]
+    )
+
+
+def _band_pairs(sig: DataFrame, extra_cols) -> DataFrame:
+    """Banded LSH candidate pairs: per band, a self-equi-join of the
+    signature table on that band's raw hash columns (Spark hashes the
+    composite key inside the exchange — no band-digest column needed).
+
+    ``extra_cols(a_prefixed, b_prefixed) -> list[Column]`` computes any
+    pair-level columns INLINE from the two signature rows the join
+    already co-located — e.g. the jaccard estimate. Computing it here
+    instead of re-joining the pair list against ``sig`` twice removes
+    two shuffles of the O(pairs) relation, which dominates on
+    duplicate-heavy corpora (this fixture: 7.7 M pairs from 5 k docs).
+
+    Cross-band dedup uses band exclusivity instead of ``distinct``: band
+    ``b`` only emits pairs that did NOT match in any earlier band (a
+    cheap residual predicate on columns the join already holds), so the
+    union is disjoint by construction and the O(pairs) relation never
+    shuffles at all — the pair stream goes straight to the consumer.
+    """
+    parts = []
+    for b in range(_BANDS):
+        conds = [
+            " AND ".join(
+                f"a.h{i} = b.h{i}"
+                for i in range(k * _ROWS_PER_BAND, (k + 1) * _ROWS_PER_BAND)
+            )
+            for k in range(b + 1)
         ]
-    )
-    # The signature table is referenced 3× (band build + both sides of the
-    # estimate join) and is tiny relative to the corpus (docs × 16 hashes
-    # vs. the full text) — persist it so the tokenize+minhash pass over
-    # the corpus runs once, exactly as a production pipeline would
-    # checkpoint signatures before the LSH stage.
-    sig = sig.persist()
-    band = sig.select(
-        "doc_id",
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        f"h{i}"
-                        for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
-                    ],
-                )
-            ).alias(f"b{b}")
-            for b in range(_BANDS)
-        ],
-    )
-    cands = [
-        band.alias("a")
-        .join(band.alias("b"), F.expr(f"a.b{b} = b.b{b} AND a.doc_id < b.doc_id"))
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        for b in range(_BANDS)
-    ]
-    cand = reduce(DataFrame.union, cands).distinct()
-    agree = reduce(
-        lambda acc, i: acc + F.expr(f"CAST(sa.h{i} = sb.h{i} AS INT)"),
-        range(1, _N_HASHES),
-        F.expr("CAST(sa.h0 = sb.h0 AS INT)"),
-    )
-    return (
-        cand.join(sig.alias("sa"), F.col("da") == F.col("sa.doc_id"))
-        .join(sig.alias("sb"), F.col("db") == F.col("sb.doc_id"))
-        .select(
-            F.col("da").alias("doc_a"),
-            F.col("db").alias("doc_b"),
-            (agree / 16.0).alias("est_jaccard"),
+        # this band matches; no earlier band does; canonical orientation
+        expr = (
+            conds[b]
+            + "".join(f" AND NOT ({c})" for c in conds[:b])
+            + " AND a.doc_id < b.doc_id"
         )
+        parts.append(
+            sig.alias("a")
+            .join(sig.alias("b"), F.expr(expr))
+            .select(
+                F.col("a.doc_id").alias("da"),
+                F.col("b.doc_id").alias("db"),
+                *extra_cols("a", "b", b),
+            )
+        )
+    return reduce(DataFrame.union, parts)
+
+
+def _agree_col(pa: str, pb: str, matched_band: int):
+    """Number of agreeing minhashes between two prefixed signature rows.
+    The pair came out of band ``matched_band``'s equi-join, so those
+    ``_ROWS_PER_BAND`` hashes are equal by construction — start the count
+    there and compare only the remaining hashes."""
+    matched = set(
+        range(matched_band * _ROWS_PER_BAND, (matched_band + 1) * _ROWS_PER_BAND)
+    )
+    rest = [i for i in range(_N_HASHES) if i not in matched]
+    return reduce(
+        lambda acc, i: acc + F.expr(f"CAST({pa}.h{i} = {pb}.h{i} AS INT)"),
+        rest,
+        F.lit(_ROWS_PER_BAND),
+    )
+
+
+@query("c02_minhash_lsh_pairs", oracle=_minhash_oracle())
+def c02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(2 bands × 8) candidate pairs with estimated
+    jaccard. The only joins are equi-joins on band signature columns —
+    candidate generation is output-bound, never O(n²); at 100 TB the
+    band join is an ordinary shuffle join with skew handled by AQE (a
+    band bucket containing k docs costs k² only within that bucket —
+    band width is the knob that bounds k). The estimate is computed
+    inside the band join (both signatures are on the row), so the
+    O(pairs) set shuffles exactly once — for the dedup across bands."""
+    docs = load_table(spark, sf_dir, "documents")
+    # The signature table feeds both sides of each band join and is tiny
+    # relative to the corpus (docs × 16 bigints vs. the full text) —
+    # persist it so the tokenize+minhash pass over the corpus runs once,
+    # exactly as a production pipeline would checkpoint signatures
+    # before the LSH stage.
+    sig = _sig_df(docs).persist()
+    pairs = _band_pairs(
+        sig,
+        lambda pa, pb, band: [(_agree_col(pa, pb, band) / 16.0).alias("est_jaccard")],
+    )
+    return pairs.select(
+        F.col("da").alias("doc_a"),
+        F.col("db").alias("doc_b"),
+        "est_jaccard",
         # No ORDER BY: candidate-pair output feeds a downstream verify/
         # cluster stage, and a global sort of an O(pairs) set is exactly
         # the kind of needless exchange that dies at 100 TB. The
@@ -405,40 +464,18 @@ _CC_MIN_AGREE = 14  # est_jaccard >= 14/16: near-dup edges only
 
 
 def _cc_oracle() -> str:
-    sig_cols = ",\n           ".join(
-        f"MIN(substr(md5('s{i}:' || tok), 1, 12)) AS h{i}" for i in range(_N_HASHES)
-    )
-    band_cols = ",\n           ".join(
-        "md5(concat_ws('|', "
-        + ", ".join(f"h{i}" for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND))
-        + f")) AS b{b}"
-        for b in range(_BANDS)
-    )
-    cand_union = "\n    UNION\n".join(
-        f"    SELECT a.doc_id AS da, b.doc_id AS db FROM band a "
-        f"JOIN band b ON a.b{b} = b.b{b} AND a.doc_id < b.doc_id"
-        for b in range(_BANDS)
-    )
-    agree = " + ".join(f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(_N_HASHES))
+    # Same sig/cand chain as c02 (shared builders), recursive for the
+    # label-propagation fixpoint.
+    sig = _sig_cte().replace("WITH t AS", "WITH RECURSIVE t AS", 1)
     return f"""
-    WITH RECURSIVE t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
-               FROM documents),
-    x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
-    sig AS (SELECT doc_id,
-           {sig_cols}
-           FROM x GROUP BY doc_id),
-    band AS (SELECT doc_id,
-           {band_cols}
-           FROM sig),
-    cand AS (
-{cand_union}
-    ),
+    {sig},
+    {_cand_cte()},
     near AS (
         SELECT c.da, c.db
         FROM cand c
         JOIN sig sa ON sa.doc_id = c.da
         JOIN sig sb ON sb.doc_id = c.db
-        WHERE ({agree}) >= {_CC_MIN_AGREE}
+        WHERE ({_AGREE}) >= {_CC_MIN_AGREE}
     ),
     edges AS (SELECT da AS s, db AS d FROM near
               UNION ALL SELECT db, da FROM near),
@@ -474,46 +511,12 @@ def c07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-insensitive hash compare can certify.
     """
     docs = load_table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
-    )
-    sig = tok.groupBy("doc_id").agg(
-        *[
-            F.min(md5_prefix(F.col("tok"), seed=f"s{i}:")).alias(f"h{i}")
-            for i in range(_N_HASHES)
-        ]
-    ).persist()
-    band = sig.select(
-        "doc_id",
-        *[
-            F.md5(
-                F.concat_ws(
-                    "|",
-                    *[
-                        f"h{i}"
-                        for i in range(b * _ROWS_PER_BAND, (b + 1) * _ROWS_PER_BAND)
-                    ],
-                )
-            ).alias(f"b{b}")
-            for b in range(_BANDS)
-        ],
-    )
-    cands = [
-        band.alias("a")
-        .join(band.alias("b"), F.expr(f"a.b{b} = b.b{b} AND a.doc_id < b.doc_id"))
-        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
-        for b in range(_BANDS)
-    ]
-    cand = reduce(DataFrame.union, cands).distinct()
-    agree = reduce(
-        lambda acc, i: acc + F.expr(f"CAST(sa.h{i} = sb.h{i} AS INT)"),
-        range(1, _N_HASHES),
-        F.expr("CAST(sa.h0 = sb.h0 AS INT)"),
-    )
+    sig = _sig_df(docs).persist()
     near = (
-        cand.join(sig.alias("sa"), F.col("da") == F.col("sa.doc_id"))
-        .join(sig.alias("sb"), F.col("db") == F.col("sb.doc_id"))
-        .filter(agree >= _CC_MIN_AGREE)
+        _band_pairs(
+            sig, lambda pa, pb, band: [_agree_col(pa, pb, band).alias("agree")]
+        )
+        .filter(F.col("agree") >= _CC_MIN_AGREE)
         .select("da", "db")
     )
     edges = near.union(
