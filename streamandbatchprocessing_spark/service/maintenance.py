@@ -29,6 +29,7 @@ Delta's log gives the reference (AGENTS.md:765,1701).
 
 from __future__ import annotations
 
+import datetime as dt
 import json
 import math
 import os
@@ -49,6 +50,16 @@ class VersionedTable:
 
         <root>/_manifest.json   {"current": 2, "versions": [...]}
         <root>/v=0/  <root>/v=1/  <root>/v=2/   (parquet dirs)
+
+    Each version references a LIST of directories (Delta's add-file log
+    entries, at directory granularity): ``write()`` snapshots into one
+    new dir; ``append()`` commits a new dir and the new version points
+    at the previous version's dirs plus it — no rewrite of existing
+    data, which is what makes appends O(increment) instead of O(table)
+    at 100 TB. Reads load all dirs of the resolved version with parquet
+    schema merging, so an appended column surfaces as Delta's
+    ``schema.autoMerge`` would: old rows read NULL for it, and time
+    travel to a pre-append version still shows the old schema.
     """
 
     def __init__(self, root: str, fmt: str = "parquet") -> None:
@@ -73,8 +84,14 @@ class VersionedTable:
         os.replace(tmp, self._manifest_path())  # atomic pointer swap
 
     # -- write ------------------------------------------------------------
-    def write(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
-        """Commit ``df`` as the next version; returns the version number.
+    def _commit(
+        self,
+        df: DataFrame,
+        dirs_from_prev: list[str],
+        partition_by: list[str] | None,
+    ) -> int:
+        """Write ``df`` into the next ``v=N`` dir, then commit a version
+        whose dir list is ``dirs_from_prev + [v=N]``.
 
         The data lands fully before the manifest points at it, so a crash
         mid-write leaves the table at the previous version (write-ahead
@@ -88,27 +105,59 @@ class VersionedTable:
             writer = writer.partitionBy(*partition_by)
         writer.save(vdir)
         manifest["versions"].append(
-            {"version": version, "committed_at": time.time(), "dir": f"v={version}"}
+            {
+                "version": version,
+                "committed_at": time.time(),
+                "dirs": [*dirs_from_prev, f"v={version}"],
+            }
         )
         manifest["current"] = version
         self._write_manifest(manifest)
         return version
+
+    @staticmethod
+    def _dirs_of(entry: dict) -> list[str]:
+        # Back-compat with single-"dir" manifests.
+        return entry["dirs"] if "dirs" in entry else [entry["dir"]]
+
+    def write(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        """Commit ``df`` as the next version (full snapshot: the new
+        version references only the new directory); returns the version
+        number."""
+        return self._commit(df, [], partition_by)
+
+    def append(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
+        """Append ``df`` as the next version WITHOUT rewriting existing
+        data: only the increment is written, the new version references
+        the previous dirs plus the new one. ``df`` may carry new columns
+        (Delta ``schema.autoMerge``): reads of the new version merge
+        schemas across dirs and old rows surface NULLs."""
+        manifest = self.manifest()
+        prev = [v for v in manifest["versions"] if v["version"] == manifest["current"]]
+        prev_dirs = self._dirs_of(prev[0]) if prev else []
+        return self._commit(df, prev_dirs, partition_by)
 
     # -- read (time travel) -------------------------------------------------
     def read(
         self,
         spark: SparkSession,
         version: int | None = None,
-        as_of: float | None = None,
+        as_of: float | str | None = None,
     ) -> DataFrame:
         """Current version by default; ``version=`` is Delta's
-        ``versionAsOf``, ``as_of=`` (unix seconds) is ``timestampAsOf``
-        (latest version committed at-or-before the timestamp)."""
+        ``versionAsOf``, ``as_of=`` is ``timestampAsOf`` — unix seconds
+        or an ISO-8601 string like ``2025-01-15T14:00:00Z`` (the form the
+        reference documents, AGENTS.md:1186); resolves to the latest
+        version committed at-or-before the timestamp."""
         manifest = self.manifest()
         live = {v["version"]: v for v in manifest["versions"]}
         if version is None and as_of is None:
             version = manifest["current"]
         elif as_of is not None:
+            if isinstance(as_of, str):
+                as_of = dt.datetime.fromisoformat(
+                    as_of.replace("Z", "+00:00")
+                ).timestamp()
             eligible = [
                 v["version"]
                 for v in manifest["versions"]
@@ -121,8 +170,15 @@ class VersionedTable:
             raise ValueError(
                 f"version {version} not available (have {sorted(live)})"
             )
-        return spark.read.format(self.fmt).load(
-            os.path.join(self.root, live[version]["dir"])
+        paths = [
+            os.path.join(self.root, d) for d in self._dirs_of(live[version])
+        ]
+        # mergeSchema: appended dirs may have evolved the schema — the
+        # resolved version's read schema is the union (autoMerge parity).
+        return (
+            spark.read.format(self.fmt)
+            .option("mergeSchema", "true")
+            .load(paths)
         )
 
     # -- vacuum -------------------------------------------------------------
@@ -130,17 +186,24 @@ class VersionedTable:
         """Drop all but the newest ``keep`` versions; returns the dropped
         version numbers. The manifest shrinks first, then directories are
         deleted — a reader holding an old manifest can fail loudly but a
-        new reader can never resolve a deleted version."""
+        new reader can never resolve a deleted version. Directories
+        shared with surviving versions (append chains) are retained —
+        Delta's vacuum makes the same reachability distinction at file
+        granularity."""
         manifest = self.manifest()
         versions = sorted(manifest["versions"], key=lambda v: v["version"])
         doomed = versions[:-keep] if keep > 0 else versions
         if not doomed:
             return []
-        manifest["versions"] = versions[len(doomed):]
+        survivors = versions[len(doomed):]
+        manifest["versions"] = survivors
         self._write_manifest(manifest)
+        reachable = {d for v in survivors for d in self._dirs_of(v)}
         dropped = []
         for v in doomed:
-            shutil.rmtree(os.path.join(self.root, v["dir"]), ignore_errors=True)
+            for d in self._dirs_of(v):
+                if d not in reachable:
+                    shutil.rmtree(os.path.join(self.root, d), ignore_errors=True)
             dropped.append(v["version"])
         return dropped
 
@@ -238,6 +301,7 @@ def merge_upsert(
     table: VersionedTable,
     updates: DataFrame,
     keys: list[str],
+    allow_schema_merge: bool = False,
 ) -> int:
     """Delta ``MERGE INTO`` analog over a VersionedTable: rows matching
     on ``keys`` are replaced by the update row, unmatched update rows are
@@ -250,16 +314,23 @@ def merge_upsert(
     updates are small — the common CDC case, which AQE picks
     automatically); no row-level file rewrites, so the cost is
     proportional to the table, the lever Delta's deletion vectors also
-    pull. Column sets must match; enforced loudly.
+    pull. Column sets must match unless ``allow_schema_merge`` (Delta's
+    ``schema.autoMerge.enabled``, which the reference sets globally —
+    SparkManager.scala:37): then updates may add columns and carried-over
+    rows read NULL for them; enforced loudly otherwise.
 
     Returns the new version number.
     """
     current = table.read(spark)
-    if set(current.columns) != set(updates.columns):
+    if set(current.columns) != set(updates.columns) and not allow_schema_merge:
         raise ValueError(
             f"merge schema mismatch: table={sorted(current.columns)} "
-            f"updates={sorted(updates.columns)}"
+            f"updates={sorted(updates.columns)} "
+            f"(pass allow_schema_merge=True for Delta-autoMerge behavior)"
         )
+    missing_keys = [k for k in keys if k not in updates.columns]
+    if missing_keys:
+        raise ValueError(f"updates missing merge keys: {missing_keys}")
     survivors = current.join(updates.select(*keys), keys, "left_anti")
-    merged = survivors.unionByName(updates)
+    merged = survivors.unionByName(updates, allowMissingColumns=True)
     return table.write(merged)

@@ -138,3 +138,98 @@ def test_merge_upsert_rejects_schema_drift(spark, nation, tmp_path):
     bad = nation.withColumnRenamed("n_name", "name")
     with pytest.raises(ValueError, match="schema mismatch"):
         merge_upsert(spark, t, bad, keys=["n_nationkey"])
+
+
+# -- Delta-parity extensions: append log, schema autoMerge, ISO as_of ------
+
+def test_append_does_not_rewrite_existing_data(spark, nation, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(nation.filter(F.col("n_nationkey") < 5))
+    files_v0, _ = dir_stats(str(tmp_path / "tbl" / "v=0"))
+    mtimes = {
+        f: os.path.getmtime(os.path.join(r, f))
+        for r, _d, fs in os.walk(str(tmp_path / "tbl" / "v=0"))
+        for f in fs
+    }
+    v = t.append(nation.filter(F.col("n_nationkey") >= 5))
+    assert v == 1
+    # v=0's files are untouched (append is O(increment), not O(table))
+    files_after, _ = dir_stats(str(tmp_path / "tbl" / "v=0"))
+    assert files_after == files_v0
+    for r, _d, fs in os.walk(str(tmp_path / "tbl" / "v=0")):
+        for f in fs:
+            assert os.path.getmtime(os.path.join(r, f)) == mtimes[f]
+    # the new version reads the union; the old version is unchanged
+    assert t.read(spark).count() == nation.count()
+    assert t.read(spark, version=0).count() == 5
+
+
+def test_append_schema_merge_and_time_travel_schema(spark, nation, tmp_path):
+    # Delta schema.autoMerge parity (SparkManager.scala:37): an appended
+    # column surfaces with NULLs on old rows in the NEW version, while
+    # time travel to the pre-append version still shows the old schema.
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(nation.select("n_nationkey", "n_name"))
+    t.append(
+        nation.filter(F.col("n_nationkey") < 3)
+        .select("n_nationkey", "n_name")
+        .withColumn("review_score", F.lit(4.5))
+    )
+    cur = t.read(spark)
+    assert "review_score" in cur.columns
+    assert cur.filter(F.col("review_score").isNull()).count() == nation.count()
+    assert cur.filter(F.col("review_score").isNotNull()).count() == 3
+    assert "review_score" not in t.read(spark, version=0).columns
+
+
+def test_time_travel_by_iso_timestamp(spark, nation, tmp_path):
+    import datetime as dt
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(nation.filter(F.col("n_nationkey") < 5))
+    mid_iso = (
+        dt.datetime.now(dt.timezone.utc).isoformat().replace("+00:00", "Z")
+    )
+    time.sleep(0.01)
+    t.write(nation)
+    assert t.read(spark, as_of=mid_iso).count() == 5
+    with pytest.raises(ValueError):
+        t.read(spark, as_of="1970-01-01T00:00:00Z")
+
+
+def test_vacuum_keeps_dirs_shared_with_survivors(spark, nation, tmp_path):
+    # v=1 (append) references v=0's dir; vacuuming version 0 must keep
+    # the shared directory because version 1 still reaches it.
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(nation.filter(F.col("n_nationkey") < 5))
+    t.append(nation.filter(F.col("n_nationkey") >= 5))
+    t.write(nation.limit(1))  # v=2: independent snapshot
+    dropped = t.vacuum(keep=2)  # drops version 0 only
+    assert dropped == [0]
+    assert os.path.isdir(str(tmp_path / "tbl" / "v=0"))  # shared with v=1
+    assert t.read(spark, version=1).count() == nation.count()
+    dropped = t.vacuum(keep=1)  # drops version 1 → v=0 now unreachable
+    assert dropped == [1]
+    assert not os.path.isdir(str(tmp_path / "tbl" / "v=0"))
+    assert t.read(spark).count() == 1
+
+
+def test_merge_upsert_schema_merge(spark, nation, tmp_path):
+    from streamandbatchprocessing_spark.service.maintenance import merge_upsert
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(nation.select("n_nationkey", "n_name"))
+    updates = (
+        nation.filter(F.col("n_nationkey") < 2)
+        .select("n_nationkey", "n_name")
+        .withColumn("flagged", F.lit(True))
+    )
+    with pytest.raises(ValueError, match="schema mismatch"):
+        merge_upsert(spark, t, updates, keys=["n_nationkey"])
+    v = merge_upsert(
+        spark, t, updates, keys=["n_nationkey"], allow_schema_merge=True
+    )
+    cur = t.read(spark, version=v)
+    assert cur.count() == nation.count()
+    assert cur.filter(F.col("flagged")).count() == 2
+    assert cur.filter(F.col("flagged").isNull()).count() == nation.count() - 2
