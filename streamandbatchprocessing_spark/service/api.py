@@ -40,14 +40,28 @@ def _error(code: str, message: str, http: int):
     return jsonify({"error": code, "message": message}), http
 
 
-def create_app(runner: BatchJobRunner, stream_manager=None) -> "Flask":
+def create_app(
+    runner: BatchJobRunner,
+    stream_manager=None,
+    on_stop=None,
+    stop_grace_seconds: float = 2.0,
+    pool: ThreadPoolExecutor | None = None,
+) -> "Flask":
     """Build the service app around a BatchJobRunner and an optional
-    streaming manager (an object with start(topic)/stop()/status())."""
+    streaming manager (an object with start(topic)/stop()/status()).
+
+    ``on_stop`` runs LAST in the /stop sequence (after streams and the
+    batch pool) — the bootstrap passes the spark-stop/exit step here,
+    mirroring ``ControlRoutes.scala:50-76`` → ``Main.scala:43-51``.
+    ``stop_grace_seconds`` is the reference's response-flush pause before
+    the drain begins (tests pass 0). A caller-owned ``pool`` lets the
+    bootstrap drain it from the signal/atexit path too.
+    """
     if Flask is None:
         raise RuntimeError("flask is not installed")
     app = Flask("streamandbatchprocessing-spark")
     registry: BatchRegistry = runner.registry
-    pool = ThreadPoolExecutor(
+    pool = pool or ThreadPoolExecutor(
         max_workers=MAX_CONCURRENT_BATCHES, thread_name_prefix="batch-pool"
     )
     started_at = time.time()
@@ -171,9 +185,30 @@ def create_app(runner: BatchJobRunner, stream_manager=None) -> "Flask":
 
     @app.post("/stop")
     def stop():
+        # Reference sequence (ControlRoutes.scala:50-76): stop streaming
+        # queries synchronously (their count goes in the response), then
+        # hand the rest to a shutdown thread so the HTTP response can
+        # flush: grace pause → drain in-flight batches (pool shutdown
+        # waits on running futures) → on_stop (spark.stop / exit).
+        queries_stopped = 0
         if stream_manager is not None:
+            queries_stopped = len(stream_manager.status().get("queries", []))
             stream_manager.stop()
-        pool.shutdown(wait=False)
-        return jsonify({"status": "SHUTTING_DOWN"})
+
+        def _drain_and_stop():
+            if stop_grace_seconds:
+                time.sleep(stop_grace_seconds)
+            pool.shutdown(wait=True)
+            if on_stop is not None:
+                on_stop()
+
+        import threading
+
+        threading.Thread(
+            target=_drain_and_stop, name="shutdown-thread", daemon=True
+        ).start()
+        return jsonify(
+            {"status": "SHUTTING_DOWN", "queriesStopped": queries_stopped}
+        )
 
     return app
