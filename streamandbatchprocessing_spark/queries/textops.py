@@ -4,10 +4,10 @@ fingerprinting).
 
 All expressions are JVM built-ins (split / higher-order filter / md5);
 no Python touches the row path, so these scale exactly like any other
-whole-stage-codegen'd projection. The real multilingual language-ID
-heuristic lives in ``functions/text.py``
-(the fixture corpus is single-vocabulary word salad, so lang-ID is
-exercised by unit tests, and corpus statistics by oracle here).
+whole-stage-codegen'd projection. The multilingual language-ID
+heuristic lives in ``functions/text.py``; e06 runs it as an
+oracle-checked query against the fixture's ground-truth ``lang``
+column (plus multilingual unit tests in tests/test_textops.py).
 """
 
 from __future__ import annotations
@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, md5_prefix
+from ..functions.text import LANG_STOPWORDS, langid, langid_scores
 from ..sources.batch import load_table
 from .registry import query
 
@@ -273,4 +274,68 @@ def e05_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e06 — language identification (stopword-hit argmax) vs ground truth
+# ---------------------------------------------------------------------------
+def _langid_oracle() -> str:
+    langs = list(LANG_STOPWORDS)
+    score_cols = ",\n           ".join(
+        "CAST(len(list_filter(toks, x -> x IN ({words}))) AS BIGINT) AS s_{lang}".format(
+            words=", ".join(f"'{w}'" for w in LANG_STOPWORDS[lang]), lang=lang
+        )
+        for lang in langs
+    )
+    best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
+    # Same tie order as functions.text.langid: first language in table
+    # order wins among equals; zero hits → 'und'.
+    case = "CASE WHEN best = 0 THEN 'und' " + " ".join(
+        f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs[:-1]
+    ) + f" ELSE '{langs[-1]}' END"
+    return f"""
+    WITH t AS (SELECT lang, string_split(lower(text), ' ') AS toks
+               FROM documents),
+    s AS (SELECT lang,
+           {score_cols}
+          FROM t),
+    p AS (SELECT lang, {best} AS best, s_{', s_'.join(langs)} FROM s),
+    l AS (SELECT lang, best, {case} AS predicted FROM p)
+    SELECT lang, predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(best) AS BIGINT) AS total_hits
+    FROM l
+    GROUP BY lang, predicted
+    ORDER BY lang, predicted
+    """
+
+
+@query("e06_language_id", oracle=_langid_oracle())
+def e06_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion grid: run the n-gram/stopword argmax
+    heuristic (``functions/text.py langid``) over every document and
+    compare against the fixture's ground-truth ``lang`` column —
+    (truth, predicted) doc counts plus total stopword hits.
+
+    Scale: the scorer is a fixed set of higher-order-filter counts and
+    a when-chain — one codegen'd projection pass, then a tiny
+    (|langs|²-bounded) aggregation; no shuffle before the groupBy. The
+    same shape serves corpus-level language filtering at 100 TB, where
+    langid gates which documents enter a training mix."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.col("text")), " ")
+    best = F.greatest(*langid_scores(toks).values())
+    scored = docs.select(
+        "lang",
+        langid(F.col("text")).alias("predicted"),
+        best.cast("long").alias("best"),
+    )
+    return (
+        scored.groupBy("lang", "predicted")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("best").alias("total_hits"),
+        )
+        .orderBy("lang", "predicted")
     )
