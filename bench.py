@@ -56,13 +56,19 @@ def _run(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+#: Tracked but NOT in the headline total (kept stable round-to-round):
+#: a real checkpointed streaming drain and the Arrow/pandas feature path.
+EXTRA = ["f01_streaming_dashboard", "m02_payload_features_pandas"]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = build_spark(app_name="sbp-bench", enable_fair_scheduler=False,
                         extra_conf={"spark.ui.enabled": "false"})
     names = [n for n in HEADLINE if n in QUERIES]
-    for name in names:  # JIT/codegen warmup at tiny scale
+    extra_names = [n for n in EXTRA if n in QUERIES]
+    for name in names + extra_names:  # JIT/codegen warmup at tiny scale
         try:
             _run(spark, name, WARMUP_DIR)
         except Exception:
@@ -70,12 +76,19 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in names:
         timings[name] = round(_run(spark, name, sf_dir), 3)
+    extra: dict[str, float] = {}
+    for name in extra_names:
+        try:
+            extra[name] = round(_run(spark, name, sf_dir), 3)
+        except Exception:
+            extra[name] = -1.0  # tracked failure, never blocks the headline
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_query_wall_time_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "extra": extra,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
     spark.stop()
