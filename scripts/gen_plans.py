@@ -1,0 +1,89 @@
+"""Regenerate PLANS.md: captured AQE-final physical plans for the
+plan-shape queries that tests/test_plans.py asserts on.
+
+Usage: python scripts/gen_plans.py [sf_dir]   (default /root/testdata/sf0.01)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from streamandbatchprocessing_spark.queries import QUERIES  # noqa: E402
+from streamandbatchprocessing_spark.session import build_spark  # noqa: E402
+
+#: query → one-line annotation of the shape that matters at 100 TB
+ANNOTATED = {
+    "b01_pricing_summary": (
+        "Scan→hash-agg spine: pushed shipdate filter, 7-column pruned "
+        "ReadSchema, partial/final HashAggregate inside WholeStageCodegen."
+    ),
+    "b02_top_unshipped_orders": (
+        "Fact ⋈ fact unhinted: lineitem ⋈ orders is AQE's choice (broadcast "
+        "at toy SF, SMJ at scale — no forced hint); customer broadcast; "
+        "top-k fused to TakeOrderedAndProject."
+    ),
+    "b03_regional_supplier_volume": (
+        "Star join: all four true dimensions BroadcastHashJoin; the "
+        "lineitem ⋈ orders fact edge carries no hint (AQE decides), fact "
+        "scanned once."
+    ),
+    "b13_priority_revenue_share": (
+        "Share-of-total without Window.partitionBy(): scalar aggregate "
+        "arrives via BroadcastExchange, no single-partition exchange."
+    ),
+    "b19_small_quantity_revenue": (
+        "Q17 decorrelation: broadcast part prune, ONE shuffle into the "
+        "per-partkey window."
+    ),
+    "b21_large_volume_orders": (
+        "HAVING semi join: LeftSemi on the aggregated keyset before the "
+        "wide join; top-k fused to TakeOrderedAndProject."
+    ),
+    "c02_minhash_lsh_pairs": (
+        "MinHash+LSH: one md5 per token, signature groupBy is the only "
+        "corpus shuffle; band self-joins on raw signature columns with "
+        "band exclusivity — the O(pairs) stream never shuffles (no "
+        "distinct, no estimate re-joins)."
+    ),
+    "c03_simhash_neighbors": (
+        "SimHash: fingerprint groupBy, then 4 block equi-joins keyed on "
+        "the fingerprint's own 8-bit blocks (skew bounded by true dup "
+        "mass, not by any data column's distribution)."
+    ),
+    "d03_topk_pandas_vectorized": (
+        "Arrow-batched scoring: single MapInPandas over the candidate "
+        "scan, then one top-k window shuffle."
+    ),
+}
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = build_spark(
+        app_name="gen-plans",
+        enable_fair_scheduler=False,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    out = [
+        "# PLANS — captured physical plans (sf0.01, local[32], AQE final plans)",
+        "",
+        "Generated evidence for the plan shapes `tests/test_plans.py` asserts.",
+        "Regenerate: `python scripts/gen_plans.py`.",
+    ]
+    for name, note in ANNOTATED.items():
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # finalize AQE
+        plan = df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
+        out += ["", f"## {name}", "", note, "", "```", plan.rstrip(), "```"]
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "PLANS.md"), "w") as f:
+        f.write("\n".join(out) + "\n")
+    print(f"wrote PLANS.md with {len(ANNOTATED)} plans")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
