@@ -122,13 +122,23 @@ def _minhash_oracle() -> str:
 def _sig_df(docs: DataFrame) -> DataFrame:
     """MinHash(16) signature per doc: explode distinct tokens, hash each
     token ONCE (md5), derive the 16-function family arithmetically, MIN
-    per function. One shuffle (groupBy doc_id)."""
+    per function. One shuffle (groupBy doc_id).
+
+    The family is PROJECTED before the groupBy rather than inlined into
+    the 16 ``min(...)`` aggregate expressions: ProjectExec's codegen
+    subexpression elimination computes the md5 once per row, while
+    HashAggregate's update expressions get no CSE — inlining made the
+    plan evaluate md5 32× per token (measured 0.66s vs 0.40s for this
+    stage at sf0.1)."""
     tok = docs.select(
         "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok")
     )
     hashes = minhash_hashes(F.col("tok"), _N_HASHES)
-    return tok.groupBy("doc_id").agg(
-        *[F.min(h).alias(f"h{i}") for i, h in enumerate(hashes)]
+    projected = tok.select(
+        "doc_id", *[h.alias(f"x{i}") for i, h in enumerate(hashes)]
+    )
+    return projected.groupBy("doc_id").agg(
+        *[F.min(f"x{i}").alias(f"h{i}") for i in range(_N_HASHES)]
     )
 
 
