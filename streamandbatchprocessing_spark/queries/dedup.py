@@ -8,8 +8,9 @@ Scale design notes (the whole point of these operators at 100 TB):
   * MinHash+LSH never compares all pairs: banding restricts candidate
     generation to equi-joins on band hashes, so the cost is
     O(docs × bands) shuffle + output-proportional join, not O(n²).
-  * SimHash/n-gram pairs are bucketed (here by ``source``; in
-    production by LSH band or length band) to bound the quadratic term.
+  * SimHash pairs are bucketed by the fingerprint's own 8-bit hamming
+    blocks (pigeonhole-complete for distance ≤ 3); n-gram pairs by
+    shingle posting lists — data-column skew cannot re-create O(n²).
   * All hashes are md5-derived built-ins → portable to the DuckDB
     oracle and UDF-free in Spark.
 """
@@ -621,3 +622,75 @@ def c07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         if changed == 0:
             break
     return labels.select("doc_id", F.col("lab").alias("cluster_id")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# c08 — candidate verification (exact jaccard on LSH candidates only)
+# ---------------------------------------------------------------------------
+def _verify_oracle() -> str:
+    return f"""
+    {_sig_cte()},
+    {_cand_cte()},
+    est AS (
+        SELECT c.da, c.db, ({_AGREE}) / 16.0 AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.da
+        JOIN sig sb ON sb.doc_id = c.db
+    ),
+    toksets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                FROM documents)
+    SELECT e.da AS doc_a, e.db AS doc_b, e.est_jaccard,
+           ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0
+                 / (len(ta.toks) + len(tb.toks)
+                    - len(list_intersect(ta.toks, tb.toks))), 6)
+               AS exact_jaccard,
+           ROUND(abs(e.est_jaccard
+                     - len(list_intersect(ta.toks, tb.toks)) * 1.0
+                       / (len(ta.toks) + len(tb.toks)
+                          - len(list_intersect(ta.toks, tb.toks)))), 6)
+               AS est_error
+    FROM est e
+    JOIN toksets ta ON ta.doc_id = e.da
+    JOIN toksets tb ON tb.doc_id = e.db
+    """
+
+
+@query("c08_candidate_verify", oracle=_verify_oracle())
+def c08_candidate_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-pipeline verification stage: exact jaccard for the LSH
+    CANDIDATE pairs only (never all pairs — that's the whole point of
+    LSH), plus the estimate's absolute error.
+
+    Scale: the expensive exact measure runs on the output-bound
+    candidate set; token arrays arrive via two equi-joins keyed on
+    doc_id (the pair stream's only shuffles), and
+    ``array_intersect``/set-size arithmetic is per-row codegen. This is
+    the stage a production pipeline uses to pick the dedup threshold —
+    est_error quantifies how trustworthy the 16-hash estimate is.
+
+    No ORDER BY: feeds a threshold decision, not a report; the
+    correctness gate's value hash is order-insensitive."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _sig_df(docs).persist()
+    est = _band_pairs(
+        sig,
+        lambda pa, pb, band: [(_agree_col(pa, pb, band) / 16.0).alias("est_jaccard")],
+    )
+    toksets = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    ta, tb = toksets.alias("ta"), toksets.alias("tb")
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    union = F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
+    exact = inter * 1.0 / union
+    return (
+        est.join(ta, F.col("da") == F.col("ta.doc_id"))
+        .join(tb, F.col("db") == F.col("tb.doc_id"))
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            "est_jaccard",
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("est_error"),
+        )
+    )
