@@ -1,0 +1,66 @@
+"""Production tables are DIRECTORIES of many files, not single parquet
+files — every reader must give identical results on a multi-file layout
+(the 100 TB contract; the fixture's single-file-per-table shape is the
+special case). The nanos-timestamp events path is the risky one: the
+legacy nanosAsLong read must survive splitting too.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow.parquet as pq
+import pytest
+
+from streamandbatchprocessing_spark.queries import QUERIES
+
+
+@pytest.fixture(scope="module")
+def multifile_sf(tmp_path_factory, sf_dir):
+    """A copy of the fixture dir where lineitem/orders/events are split
+    into 4-file directories (same name, so load_table hits a dir) and
+    the rest are symlinks."""
+    root = tmp_path_factory.mktemp("sf_multi")
+    split = {"lineitem", "orders", "events"}
+    for fname in os.listdir(sf_dir):
+        src = os.path.join(sf_dir, fname)
+        name = fname.removesuffix(".parquet")
+        if name in split:
+            # pyarrow round-trips the physical schema (incl. the events
+            # TIMESTAMP(NANOS) column with version>=2.6) — Spark can't
+            # rewrite it without downcasting to micros.
+            table = pq.read_table(src)
+            out_dir = root / fname
+            out_dir.mkdir()
+            n = max(1, table.num_rows // 4)
+            for i in range(4):
+                chunk = table.slice(i * n, table.num_rows - 3 * n if i == 3 else n)
+                pq.write_table(chunk, out_dir / f"part-{i:02d}.parquet",
+                               version="2.6")
+        else:
+            os.symlink(src, root / fname)
+    return str(root)
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "b01_pricing_summary",    # lineitem (split)
+        "b02_top_unshipped_orders",  # lineitem + orders (split) + customer
+        "a01_revenue_by_category",   # events (split, nanos ts path)
+        "a09_dashboard_windows",     # events windows
+    ],
+)
+def test_query_identical_on_multifile_layout(spark, sf_dir, multifile_sf, name):
+    single = QUERIES[name](spark, sf_dir).collect()
+    multi = QUERIES[name](spark, multifile_sf).collect()
+    assert sorted(map(repr, single)) == sorted(map(repr, multi))
+
+
+def test_events_nanos_schema_survives_split(multifile_sf):
+    # Guard the fixture itself: the split files must still carry NANOS
+    # (if pyarrow ever downcast, the test above would silently stop
+    # covering the legacy-read path).
+    f = os.path.join(multifile_sf, "events.parquet", "part-00.parquet")
+    ts_type = pq.read_schema(f).field("ts").type
+    assert str(ts_type) == "timestamp[ns]"
