@@ -180,7 +180,17 @@ def d03_topk_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double(F.col("embedding")).alias("v")
     )
-    q_rows = sorted(emb.filter(F.col("vec_id") < 20).collect(), key=lambda r: r.vec_id)
+    # Driver-side collect of the QUERY set only — safe because the query
+    # set is bounded by construction (20 vectors here; thousands at most
+    # in production, broadcast to every scoring task). NEVER collect the
+    # candidate side: it is the 100-TB relation and stays distributed in
+    # mapInPandas below. The limit() is a hard guard so a widened filter
+    # can't silently turn this into an unbounded driver transfer.
+    _MAX_QUERY_VECTORS = 1024
+    q_rows = sorted(
+        emb.filter(F.col("vec_id") < 20).limit(_MAX_QUERY_VECTORS).collect(),
+        key=lambda r: r.vec_id,
+    )
     q_ids = np.array([r.vec_id for r in q_rows])
     q_mat = np.array([r.v for r in q_rows], dtype=np.float64)  # (nq, dim)
     q_norm = np.linalg.norm(q_mat, axis=1)
