@@ -192,7 +192,13 @@ def create_app(
         # waits on running futures) → on_stop (spark.stop / exit).
         queries_stopped = 0
         if stream_manager is not None:
-            queries_stopped = len(stream_manager.status().get("queries", []))
+            # Reference counts only ACTIVE queries (StreamRoutes.scala:
+            # stopAllQueries increments per q.isActive).
+            queries_stopped = sum(
+                1
+                for q in stream_manager.status().get("queries", [])
+                if q.get("isActive")
+            )
             stream_manager.stop()
 
         def _drain_and_stop():
