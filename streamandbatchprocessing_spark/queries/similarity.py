@@ -228,3 +228,214 @@ def d03_topk_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# d04 — IVF with a k-means coarse quantizer (deterministic, oracle-exact)
+# ---------------------------------------------------------------------------
+# Float k-means is NOT oracle-able: double summation order perturbs the
+# centroids, which can flip boundary assignments. Quantize embeddings to
+# integers once (round(x·1e6), exact int64 arithmetic everywhere), run
+# Lloyd on the integer vectors (means via floor division — exact on both
+# engines because |sum| ≤ 4e9 « 2^53), and only the FINAL cosine uses
+# the original doubles (left-to-right fold, same as d01). Every step is
+# then bit-identical between Spark and the DuckDB oracle.
+_IVF_K = 8
+_IVF_ITERS = 3
+_IVF_NPROBE = 2
+_IVF_NQ = 5
+_IVF_TOPK = 10
+_IVF_SCALE = "1000000.0"
+
+
+def _ivf_oracle() -> str:
+    dist = (
+        "list_sum(list_transform(list_zip({a}, c.cv), "
+        "p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    parts = [
+        f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    ei AS (SELECT vec_id, v,
+                  list_transform(v, x -> CAST(round(x * {_IVF_SCALE}) AS BIGINT))
+                      AS iv
+           FROM e),
+    c0 AS (SELECT vec_id AS cid, iv AS cv FROM ei WHERE vec_id < {_IVF_K})"""
+    ]
+    for it in range(1, _IVF_ITERS + 1):
+        prev = f"c{it - 1}"
+        d = dist.format(a="ei.iv")
+        parts.append(
+            f"""a{it} AS (SELECT vec_id, iv, cid FROM (
+        SELECT ei.vec_id, ei.iv, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY ei.vec_id
+                                  ORDER BY {d}, c.cid) AS rn
+        FROM ei CROSS JOIN {prev} c) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""m{it} AS (SELECT cid, pos,
+                  CAST(floor(SUM(val) * 1.0 / COUNT(*)) AS BIGINT) AS mu
+           FROM (SELECT cid, generate_subscripts(iv, 1) AS pos,
+                        unnest(iv) AS val FROM a{it})
+           GROUP BY cid, pos)"""
+        )
+        parts.append(
+            f"""c{it} AS (SELECT p.cid, COALESCE(l.lv, p.cv) AS cv
+           FROM {prev} p
+           LEFT JOIN (SELECT cid, list(mu ORDER BY pos) AS lv
+                      FROM m{it} GROUP BY cid) l USING (cid))"""
+        )
+    last = f"c{_IVF_ITERS}"
+    parts.append(
+        f"""af AS (SELECT vec_id, cid FROM (
+        SELECT ei.vec_id, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY ei.vec_id
+                                  ORDER BY {dist.format(a='ei.iv')}, c.cid) AS rn
+        FROM ei CROSS JOIN {last} c) WHERE rn = 1)"""
+    )
+    parts.append(
+        f"""q AS (SELECT vec_id AS qid, iv, v AS qv FROM ei
+          WHERE vec_id < {_IVF_NQ})"""
+    )
+    parts.append(
+        f"""probe AS (SELECT qid, cid FROM (
+        SELECT q.qid, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY q.qid
+                                  ORDER BY {dist.format(a='q.iv')}, c.cid) AS rn
+        FROM q CROSS JOIN {last} c) WHERE rn <= {_IVF_NPROBE})"""
+    )
+    parts.append(
+        """cand AS (SELECT p.qid, q.qv, a.vec_id AS nid, e.v AS nv
+          FROM probe p
+          JOIN q ON q.qid = p.qid
+          JOIN af a ON a.cid = p.cid
+          JOIN e ON e.vec_id = a.vec_id
+          WHERE a.vec_id <> p.qid)"""
+    )
+    parts.append(
+        """s AS (SELECT qid, nid,
+                 list_cosine_similarity(qv, nv) AS cos_sim
+          FROM cand)"""
+    )
+    body = ",\n    ".join(parts)
+    return f"""
+    {body}
+    SELECT qid AS query_id, nid AS neighbor_id, cos_sim,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT qid, nid, cos_sim,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY cos_sim DESC, nid) AS rank
+          FROM s)
+    WHERE rank <= {_IVF_TOPK}
+    ORDER BY query_id, rank
+    """
+
+
+@query("d04_ivf_kmeans_ann", oracle=_ivf_oracle())
+def d04_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True IVF: k-means(8) coarse quantizer (3 Lloyd iterations on
+    integer-quantized vectors), then nprobe=2 probing — each query
+    scans only its 2 nearest cells instead of the whole corpus.
+
+    Scale design: the per-iteration pattern is the canonical distributed
+    k-means — broadcast k·dim centroid literals into a codegen'd
+    assignment pass, reduce per-(cluster, dim) integer sums (one shuffle
+    of k·dim rows), collect ONLY the k·dim centroid table to the driver
+    (bounded, like MLlib). The corpus never moves; assignments are
+    recomputed, not stored. Probing turns ANN into an equi-join on
+    cell id — the candidate volume drops by ~nprobe/k while the exact
+    d01 baseline measures the recall cost."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    ei = base.select(
+        "vec_id",
+        "v",
+        F.transform(
+            F.col("v"), lambda x: F.round(x * 1e6).cast("long")
+        ).alias("iv"),
+    ).persist()
+
+    def lit_vec(ints):
+        return F.array(*[F.lit(int(x)).cast("long") for x in ints])
+
+    def dist_to(civ):
+        return F.aggregate(
+            F.zip_with(F.col("iv"), lit_vec(civ), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def assign(centroids):
+        scored = ei.select(
+            "vec_id", "iv",
+            *[dist_to(civ).alias(f"d{cid}") for cid, civ in centroids],
+        )
+        best = F.least(*[F.col(f"d{cid}") for cid, _ in centroids])
+        expr = None
+        for cid, _ in centroids:  # ascending cid → min-cid tie-break
+            cond = F.col(f"d{cid}") == best
+            expr = F.when(cond, cid) if expr is None else expr.when(cond, cid)
+        return scored.select("vec_id", "iv", expr.alias("cid"))
+
+    init = {
+        r["vec_id"]: list(r["iv"])
+        for r in ei.filter(F.col("vec_id") < _IVF_K).collect()
+    }
+    centroids = [(cid, init[cid]) for cid in sorted(init)]
+
+    for _ in range(_IVF_ITERS):
+        sums = (
+            assign(centroids)
+            .select("cid", F.posexplode("iv").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # bounded: k·dim rows — the MLlib reduce pattern
+        )
+        upd: dict[int, dict[int, int]] = {}
+        for r in sums:
+            upd.setdefault(r["cid"], {})[r["pos"]] = r["s"] // r["n"]
+        centroids = [
+            (cid, [upd[cid][p] for p in range(len(civ))] if cid in upd else civ)
+            for cid, civ in centroids
+        ]
+
+    final_assign = assign(centroids).select("vec_id", "cid")
+
+    # Probe: per query, its nprobe nearest FINAL centroids — computed on
+    # the driver with the same integer arithmetic (queries are bounded).
+    q_rows = ei.filter(F.col("vec_id") < _IVF_NQ).collect()
+    probe_rows = []
+    for r in q_rows:
+        dists = sorted(
+            (sum((a - b) * (a - b) for a, b in zip(r["iv"], civ)), cid)
+            for cid, civ in centroids
+        )
+        probe_rows += [(r["vec_id"], cid) for _, cid in dists[:_IVF_NPROBE]]
+    probe = spark.createDataFrame(probe_rows, "qid long, cid long")
+
+    qs = base.filter(F.col("vec_id") < _IVF_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    cand = (
+        probe.join(final_assign, "cid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .join(F.broadcast(qs), "qid")
+        .join(base.select(F.col("vec_id"), F.col("v").alias("nv")), "vec_id")
+    )
+    scored = cand.select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        cosine(F.col("qv"), F.col("nv")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _IVF_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "cos_sim",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -232,6 +232,7 @@ _BOUNDED_BROADCAST_OK = {
     "d01_topk_bruteforce",
     "d02_ivf_bucket_ann",
     "d03_topk_pandas_vectorized",
+    "d04_ivf_kmeans_ann",
 }
 
 
