@@ -132,3 +132,63 @@ def m03_frame_sample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "frame_ts_ms")
     )
+
+
+@query(
+    "m04_resize_plan",
+    oracle="""
+    WITH m AS (SELECT doc_id AS media_id,
+                      CASE WHEN doc_id % 3 = 0 THEN 'image'
+                           WHEN doc_id % 3 = 1 THEN 'video'
+                           ELSE 'audio' END AS kind,
+                      CASE WHEN doc_id % 3 = 2 THEN NULL
+                           ELSE CAST(160 + (doc_id * 7) % 1920 AS INTEGER)
+                           END AS width,
+                      CASE WHEN doc_id % 3 = 2 THEN NULL
+                           ELSE CAST(90 + n_chars % 1080 AS INTEGER)
+                           END AS height
+               FROM documents),
+    s AS (SELECT *,
+                 least(1.0, 128 / CAST(greatest(width, height) AS DOUBLE))
+                     AS scale
+          FROM m)
+    SELECT media_id, kind, width, height,
+           CASE WHEN width IS NOT NULL
+                THEN CAST(ceil(width * scale) AS INTEGER) END AS target_width,
+           CASE WHEN height IS NOT NULL
+                THEN CAST(ceil(height * scale) AS INTEGER) END AS target_height
+    FROM s
+    ORDER BY media_id
+    """,
+)
+def m04_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize planning (the real ``operators/multimodal.resize_metadata``
+    operator): aspect-preserving target dimensions under a 128-px cap,
+    driven by deterministic fixture-derived metadata (every 3rd document
+    stands in for image/video/audio; audio has no dimensions and must
+    pass through as NULLs).
+
+    Scale: pure column arithmetic over typed metadata — the payload
+    bytes are never touched, so the scan prunes the heavy binary column
+    (asserted for the operator in
+    ``test_payload_pruned_for_metadata_only_plan``) and the plan is one
+    codegen'd projection; the actual pixel resample happens later,
+    batched, in the stubbed codec step."""
+    from ..operators.multimodal import resize_metadata
+
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image")
+        .when(F.col("doc_id") % 3 == 1, "video")
+        .otherwise("audio")
+        .alias("kind"),
+        F.when(
+            F.col("doc_id") % 3 != 2,
+            (160 + (F.col("doc_id") * 7) % 1920).cast("int"),
+        ).alias("width"),
+        F.when(
+            F.col("doc_id") % 3 != 2, (90 + F.col("n_chars") % 1080).cast("int")
+        ).alias("height"),
+    )
+    return resize_metadata(media, max_dim=128).orderBy("media_id")
