@@ -1,0 +1,94 @@
+"""Property-based invariants for the LSH candidate generators.
+
+The band/block-exclusivity join conditions (c02/c03/c07/c08) replace a
+pair-level ``distinct`` shuffle; their correctness rests on two
+properties that must hold for EVERY signature distribution:
+
+  1. completeness — every ordered pair sharing at least one full band
+     is emitted;
+  2. exclusivity — no pair is emitted by two different bands (the union
+     is disjoint, so UNION ALL needs no dedup).
+
+Hypothesis explores adversarial signature distributions (heavy
+duplication, near-misses) against a pure-Python evaluation of the same
+conditions the SQL/Spark expressions encode.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from streamandbatchprocessing_spark.queries.dedup import (
+    _BANDS,
+    _ROWS_PER_BAND,
+    _SIM_BLOCK_BITS,
+    _SIM_BLOCK_MASK,
+    _SIM_BLOCKS,
+)
+
+# Small value domain → lots of accidental band collisions.
+_sig = st.lists(st.integers(0, 3), min_size=_BANDS * _ROWS_PER_BAND,
+                max_size=_BANDS * _ROWS_PER_BAND)
+
+
+def _band_eq(a, b, band):
+    lo, hi = band * _ROWS_PER_BAND, (band + 1) * _ROWS_PER_BAND
+    return a[lo:hi] == b[lo:hi]
+
+
+def _emitted_by(a, b, band):
+    """Python mirror of the band-b join condition built in _band_pairs."""
+    if not _band_eq(a, b, band):
+        return False
+    return not any(_band_eq(a, b, k) for k in range(band))
+
+
+@settings(max_examples=200)
+@given(st.lists(_sig, min_size=2, max_size=8))
+def test_band_exclusivity_complete_and_disjoint(sigs):
+    for i in range(len(sigs)):
+        for j in range(i + 1, len(sigs)):
+            a, b = sigs[i], sigs[j]
+            emitting = [band for band in range(_BANDS) if _emitted_by(a, b, band)]
+            shares_a_band = any(_band_eq(a, b, k) for k in range(_BANDS))
+            if shares_a_band:
+                assert len(emitting) == 1, (a, b, emitting)
+            else:
+                assert emitting == []
+
+
+def _block(v, j):
+    return (v >> (j * _SIM_BLOCK_BITS)) & _SIM_BLOCK_MASK
+
+
+def _sim_emitted_by(a, b, j):
+    if _block(a, j) != _block(b, j):
+        return False
+    return not any(_block(a, k) == _block(b, k) for k in range(j))
+
+
+@settings(max_examples=200)
+@given(st.lists(st.integers(0, 2**32 - 1), min_size=2, max_size=10))
+def test_simhash_block_exclusivity(fps):
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            a, b = fps[i], fps[j]
+            emitting = [k for k in range(_SIM_BLOCKS) if _sim_emitted_by(a, b, k)]
+            shares = any(_block(a, k) == _block(b, k) for k in range(_SIM_BLOCKS))
+            assert len(emitting) == (1 if shares else 0), (a, b, emitting)
+
+
+@settings(max_examples=200)
+@given(st.integers(0, 2**32 - 1), st.integers(0, 6))
+def test_hamming_le_block_count_minus_one_always_shares_a_block(fp, ham):
+    """Pigeonhole guarantee: flipping ≤ _SIM_BLOCKS-1 bits cannot touch
+    every block, so such pairs always share one (detection is exact for
+    hamming ≤ 3 with 4 blocks)."""
+    import random
+
+    rng = random.Random(fp ^ ham)
+    flipped = fp
+    for _ in range(min(ham, _SIM_BLOCKS - 1)):
+        flipped ^= 1 << rng.randrange(32)
+    assert any(_block(fp, k) == _block(flipped, k) for k in range(_SIM_BLOCKS))
