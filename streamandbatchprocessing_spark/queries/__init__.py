@@ -17,6 +17,7 @@ from . import tpch  # noqa: F401
 from . import tpch_sub  # noqa: F401
 from . import dedup  # noqa: F401
 from . import multimodal_q  # noqa: F401
+from . import pipeline  # noqa: F401
 from . import similarity  # noqa: F401
 from . import textops  # noqa: F401
 from . import streaming  # noqa: F401

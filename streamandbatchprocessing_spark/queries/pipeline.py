@@ -1,0 +1,149 @@
+"""Composed training-data pipeline (p-group): the families chained the
+way a real 100 TB data-mix job chains them, with a funnel of per-stage
+doc/token counts as the observable output.
+
+Stages (each reuses the single-family operator logic):
+  raw → quality gate (e02 class != poor) → language gate (e06 langid)
+      → exact dedup (c01 canonicalization) → near-dedup suppression
+        (c02 MinHash-LSH candidates, est ≥ 14/16 against a smaller
+        doc_id suppresses the larger — one pass, no iteration).
+
+Scale: the funnel prunes BEFORE the expensive stages — quality and
+langid are codegen'd projections that cut the corpus ahead of the
+signature shuffle, and the LSH pair stream stays shuffle-free
+(band-exclusive joins). The final aggregation is 5 rows. Greedy
+min-id suppression is deterministic and needs no cluster fixpoint:
+every near-dup GROUP keeps exactly its smallest member (any larger
+member pairs with the group's minimum via the band join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import LANG_STOPWORDS
+from ..sources.batch import load_table
+from .dedup import _agree_col, _band_pairs, _CC_MIN_AGREE, _sig_df
+from .registry import query
+
+_EN_WORDS = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+
+def _mix_oracle() -> str:
+    # Stage CTEs; each s{i} carries doc_id, text, n_tokens.
+    from .dedup import _MERSENNE61, _MH_H1, _MH_H2, _N_HASHES, _ROWS_PER_BAND, _BANDS
+
+    sig_cols = ",\n               ".join(
+        f"MIN(({_MH_H1} + {i} * {_MH_H2}) % {_MERSENNE61}) AS h{i}"
+        for i in range(_N_HASHES)
+    )
+    band_joins = []
+    for b in range(_BANDS):
+        conds = [
+            " AND ".join(
+                f"a.h{i} = b.h{i}"
+                for i in range(k * _ROWS_PER_BAND, (k + 1) * _ROWS_PER_BAND)
+            )
+            for k in range(b + 1)
+        ]
+        expr = (
+            conds[b]
+            + "".join(f" AND NOT ({c})" for c in conds[:b])
+            + " AND a.doc_id < b.doc_id"
+        )
+        agree = " + ".join(
+            f"CAST(a.h{i} = b.h{i} AS INT)" for i in range(_N_HASHES)
+        )
+        band_joins.append(
+            f"        SELECT b.doc_id AS loser FROM sig a JOIN sig b ON {expr}\n"
+            f"        WHERE ({agree}) >= {_CC_MIN_AGREE}"
+        )
+    suppress = "\n        UNION\n".join(band_joins)
+    return f"""
+    WITH s0 AS (SELECT doc_id, lang, text,
+                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                       string_split(lower(text), ' ') AS ltoks
+                FROM documents),
+    s1 AS (SELECT * FROM s0 WHERE n_tokens >= 15),
+    s2 AS (SELECT * FROM s1
+           WHERE len(list_filter(ltoks, x -> x IN ({_EN_WORDS}))) > 0),
+    canon AS (SELECT text, MIN(doc_id) AS kid FROM s2 GROUP BY text),
+    s3 AS (SELECT s2.* FROM s2 JOIN canon c
+           ON s2.text = c.text AND s2.doc_id = c.kid),
+    t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+          FROM s3),
+    x AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    sig AS (SELECT doc_id,
+               {sig_cols}
+            FROM x GROUP BY doc_id),
+    losers AS (
+{suppress}
+    ),
+    s4 AS (SELECT * FROM s3 WHERE doc_id NOT IN (SELECT loser FROM losers))
+    SELECT stage, stage_order, n_docs, total_tokens FROM (
+        SELECT 'raw' AS stage, 0 AS stage_order,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens FROM s0
+        UNION ALL SELECT 'quality', 1, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n_tokens) AS BIGINT) FROM s1
+        UNION ALL SELECT 'language', 2, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n_tokens) AS BIGINT) FROM s2
+        UNION ALL SELECT 'exact_dedup', 3, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n_tokens) AS BIGINT) FROM s3
+        UNION ALL SELECT 'near_dedup', 4, CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n_tokens) AS BIGINT) FROM s4
+    )
+    ORDER BY stage_order
+    """
+
+
+@query("p01_training_mix", oracle=_mix_oracle())
+def p01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end data-mix funnel: per-stage surviving doc/token counts.
+    See module docstring for the stage chain and scale rationale."""
+    docs = load_table(spark, sf_dir, "documents")
+    s0 = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        F.split(F.lower("text"), " ").alias("ltoks"),
+    )
+    s1 = s0.filter(F.col("n_tokens") >= 15)
+    s2 = s1.filter(
+        F.size(F.filter("ltoks", lambda x: x.isin(*LANG_STOPWORDS["en"]))) > 0
+    )
+    canon = s2.groupBy("text").agg(F.min("doc_id").alias("kid"))
+    s3 = (
+        s2.join(canon, "text")
+        .filter(F.col("doc_id") == F.col("kid"))
+        .drop("kid")
+    )
+    sig = _sig_df(s3).persist()
+    losers = (
+        _band_pairs(
+            sig, lambda pa, pb, band: [_agree_col(pa, pb, band).alias("agree")]
+        )
+        .filter(F.col("agree") >= _CC_MIN_AGREE)
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+    )
+    s4 = s3.join(losers, "doc_id", "left_anti")
+
+    def stage(df: DataFrame, name: str, order: int) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.lit(order).alias("stage_order"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        ).select("stage", "stage_order", "n_docs", "total_tokens")
+
+    funnel = (
+        stage(s0, "raw", 0)
+        .union(stage(s1, "quality", 1))
+        .union(stage(s2, "language", 2))
+        .union(stage(s3, "exact_dedup", 3))
+        .union(stage(s4, "near_dedup", 4))
+    )
+    return funnel.orderBy("stage_order")
