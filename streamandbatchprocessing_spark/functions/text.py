@@ -62,11 +62,14 @@ def langid_scores(toks: Column) -> dict[str, Column]:
     return {lang: count_matching(toks, words) for lang, words in LANG_STOPWORDS.items()}
 
 
-def langid(text: Column) -> Column:
-    """Argmax language by stopword hits ('und' = undetermined on a
-    zero-score tie), computed as a when-chain over score columns —
-    entirely JVM-side."""
-    toks = F.split(F.lower(text), r"\s+")
+def langid_from_tokens(toks: Column) -> Column:
+    """Argmax language by stopword hits over an ALREADY-TOKENIZED array
+    ('und' = undetermined on a zero score), computed as a when-chain over
+    score columns — entirely JVM-side. Taking the token array (rather
+    than re-tokenizing internally) lets callers feed the SAME array to
+    both the argmax and any score/hit columns they emit alongside it —
+    mixed tokenizers made ``predicted`` disagree with ``best`` on text
+    containing tabs/newlines/double spaces."""
     scores = langid_scores(toks)
     langs = list(scores)
     best = F.greatest(*[scores[lang] for lang in langs])
@@ -75,3 +78,9 @@ def langid(text: Column) -> Column:
     for lang in reversed(langs):
         expr = F.when(scores[lang] == best, lang).otherwise(expr)
     return F.when(best == 0, "und").otherwise(expr)
+
+
+def langid(text: Column) -> Column:
+    """Language-ID for raw natural text: regex whitespace tokenization
+    (tabs/newlines/runs of spaces all split) + :func:`langid_from_tokens`."""
+    return langid_from_tokens(F.split(F.lower(text), r"\s+"))

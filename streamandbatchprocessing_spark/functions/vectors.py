@@ -35,14 +35,24 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def sign_bucket(vec: Column, n_bits: int = 4) -> Column:
-    """Coarse quantization bucket from the sign bits of the first
-    ``n_bits`` dimensions — the cheap IVF-style partitioner used to
-    restrict ANN search to one bucket (2^n_bits cells). DuckDB:
-    ``sum over CASE WHEN v[i+1] >= 0 THEN 2^i ELSE 0 END``."""
+def sign_bucket(vec: Column, n_bits: int = 4, offset: int = 0) -> Column:
+    """Coarse quantization bucket from the sign bits of dimensions
+    ``offset+1 .. offset+n_bits`` — the cheap IVF-style partitioner used
+    to restrict ANN search to one bucket (2^n_bits cells). Distinct
+    ``offset`` values give independent LSH-style bands over the same
+    vector. DuckDB: ``sum over CASE WHEN v[offset+i+1] >= 0 THEN 2^i
+    ELSE 0 END``."""
     bucket = F.lit(0)
     for i in range(n_bits):
         bucket = bucket + F.when(
-            F.element_at(vec, i + 1) >= 0, F.lit(2**i)
+            F.element_at(vec, offset + i + 1) >= 0, F.lit(2**i)
         ).otherwise(0)
     return bucket
+
+
+def sign_bucket_sql(col: str, n_bits: int = 4, offset: int = 0) -> str:
+    """DuckDB rendering of :func:`sign_bucket` (1-based list indexing)."""
+    return "(" + " + ".join(
+        f"CASE WHEN {col}[{offset + i + 1}] >= 0 THEN {2 ** i} ELSE 0 END"
+        for i in range(n_bits)
+    ) + ")"

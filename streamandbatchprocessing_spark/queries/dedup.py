@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, minhash_hashes
 from ..sources.batch import load_table
-from .registry import query
+from .registry import persist_tracked, query
 
 _N_HASHES = 16
 _BANDS = 2  # 2 bands × 8 rows — tuned for the fixture's high base jaccard
@@ -220,7 +220,7 @@ def c02_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # persist it so the tokenize+minhash pass over the corpus runs once,
     # exactly as a production pipeline would checkpoint signatures
     # before the LSH stage.
-    sig = _sig_df(docs).persist()
+    sig = persist_tracked(_sig_df(docs))
     pairs = _band_pairs(
         sig,
         lambda pa, pb, band: [(_agree_col(pa, pb, band) / 16.0).alias("est_jaccard")],
@@ -353,7 +353,7 @@ def c03_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # fp feeds both sides of each of the 4 block joins — persist so the
     # corpus tokenize+hash pass runs once.
-    fp = s.select("doc_id", fp_col.alias("simhash")).persist()
+    fp = persist_tracked(s.select("doc_id", fp_col.alias("simhash")))
     parts = [
         fp.alias("a")
         .join(fp.alias("b"), F.expr(cond))
@@ -380,9 +380,20 @@ def c03_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # c04 — n-gram (3-shingle) exact Jaccard pairs
 # ---------------------------------------------------------------------------
+#: Stop-shingle pruning: a shingle present in more than this many
+#: documents (per source) is dropped from candidate generation. A k-doc
+#: posting emits k(k-1)/2 pairs, so one boilerplate shingle ("terms of
+#: service apply") with 10⁶ docs would emit 5·10¹¹ pairs at 100 TB — a
+#: job-killer. Capping bounds every posting's expansion at K²/2 while
+#: near-dup pairs keep colliding on their many RARE shingles; the
+#: intersection count (and thus jaccard) is computed over surviving
+#: shingles only — the standard, documented recall tradeoff.
+_MAX_SHINGLE_DF = 64
+
+
 @query(
     "c04_ngram_jaccard_pairs",
-    oracle="""
+    oracle=f"""
     WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
                FROM documents),
     s AS (SELECT doc_id, source,
@@ -392,7 +403,10 @@ def c03_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
                       END) AS sh
           FROM t),
     sz AS (SELECT doc_id, len(sh) AS n FROM s),
-    x AS (SELECT doc_id, source, unnest(sh) AS g FROM s),
+    x0 AS (SELECT doc_id, source, unnest(sh) AS g FROM s),
+    keep AS (SELECT source, g FROM x0 GROUP BY source, g
+             HAVING COUNT(*) BETWEEN 2 AND {_MAX_SHINGLE_DF}),
+    x AS (SELECT x0.* FROM x0 JOIN keep USING (source, g)),
     inter AS (SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
               FROM x a JOIN x b
                 ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
@@ -431,7 +445,9 @@ def c04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     posts = (
         x.groupBy("source", "g")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .filter(F.size("ds") > 1)
+        .filter(
+            (F.size("ds") > 1) & (F.size("ds") <= _MAX_SHINGLE_DF)
+        )  # stop-shingle pruning — see _MAX_SHINGLE_DF
     )
     pairs = posts.select(
         F.explode(
@@ -460,40 +476,84 @@ def c04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# c05 — embedding-cosine near-duplicates (bucketed by label)
+# c05 — embedding-cosine near-duplicates (sign-hyperplane LSH bands)
 # ---------------------------------------------------------------------------
+#: 2 bands × 4 sign bits. The bucket key is derived from the VECTOR
+#: itself (sign of dims 1–4 / 5–8), never from a data column: bucketing
+#: on ``label`` (round-2 version) re-created the dominant-bucket
+#: quadratic whenever one label dominates the corpus — the same
+#: anti-pattern as c03's round-1 ``source`` bucket. Sign-bit cells are
+#: bounded by vector geometry; two bands give near-dups (which agree on
+#: most signs) two chances to collide, band exclusivity keeps the union
+#: disjoint (no distinct shuffle), exactly like c02's bands.
+_EMB_BANDS = ((4, 0), (4, 4))  # (n_bits, dim offset) per band
+
+
 @query(
     "c05_embedding_neardup",
     oracle="""
-    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
-               FROM embeddings)
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
-           list_cosine_similarity(a.v, b.v) AS cos_sim
-    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_cosine_similarity(a.v, b.v) >= 0.35
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v,
+                      (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END
+                       + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END
+                       + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END
+                       + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS b0,
+                      (CASE WHEN embedding[5] >= 0 THEN 1 ELSE 0 END
+                       + CASE WHEN embedding[6] >= 0 THEN 2 ELSE 0 END
+                       + CASE WHEN embedding[7] >= 0 THEN 4 ELSE 0 END
+                       + CASE WHEN embedding[8] >= 0 THEN 8 ELSE 0 END) AS b1
+               FROM embeddings),
+    cand AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb, a.label AS lab,
+               a.v AS av, b.v AS bv
+        FROM e a JOIN e b ON a.b0 = b.b0 AND a.vec_id < b.vec_id
+        UNION ALL
+        SELECT a.vec_id, b.vec_id, a.label, a.v, b.v
+        FROM e a JOIN e b
+          ON a.b1 = b.b1 AND a.b0 <> b.b0 AND a.vec_id < b.vec_id
+    )
+    SELECT va AS vec_a, vb AS vec_b, lab AS label,
+           list_cosine_similarity(av, bv) AS cos_sim
+    FROM cand
+    WHERE list_cosine_similarity(av, bv) >= 0.35
     ORDER BY vec_a, vec_b
     """,
 )
 def c05_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate detection by embedding cosine within label buckets
-    — the bucket join is the scale lever (per-bucket quadratic only);
-    cosine is a codegen'd higher-order fold, bit-identical to the
-    oracle's list_cosine_similarity (verified)."""
-    from ..functions.vectors import as_double, cosine
+    """Near-duplicate detection by embedding cosine over sign-hyperplane
+    LSH bands (2 bands × 4 sign bits, band-exclusive disjoint union).
+    The bucket join is the scale lever — per-cell quadratic only, and
+    the cell key comes from the vector's own sign bits so no data-column
+    skew (a dominant ``label``) can recreate O(n²); ``label`` is carried
+    as an output column. Cosine is a codegen'd higher-order fold,
+    bit-identical to the oracle's list_cosine_similarity (verified)."""
+    from ..functions.vectors import as_double, cosine, sign_bucket
 
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "label", as_double(F.col("embedding")).alias("v")
+        "vec_id",
+        "label",
+        as_double(F.col("embedding")).alias("v"),
+        *[
+            sign_bucket(F.col("embedding"), bits, off).alias(f"b{i}")
+            for i, (bits, off) in enumerate(_EMB_BANDS)
+        ],
     )
     a, b = emb.alias("a"), emb.alias("b")
     cos = cosine(F.col("a.v"), F.col("b.v"))
-    return (
-        a.join(b, F.expr("a.label = b.label AND a.vec_id < b.vec_id"))
-        .select(
+    band_conds = [
+        "a.b0 = b.b0 AND a.vec_id < b.vec_id",
+        "a.b1 = b.b1 AND a.b0 <> b.b0 AND a.vec_id < b.vec_id",
+    ]
+    parts = [
+        a.join(b, F.expr(cond)).select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.label").alias("label"),
             cos.alias("cos_sim"),
         )
+        for cond in band_conds
+    ]
+    return (
+        reduce(DataFrame.union, parts)
         .filter(F.col("cos_sim") >= 0.35)
         .orderBy("vec_a", "vec_b")
     )
@@ -583,7 +643,7 @@ def c07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     order-insensitive hash compare can certify.
     """
     docs = load_table(spark, sf_dir, "documents")
-    sig = _sig_df(docs).persist()
+    sig = persist_tracked(_sig_df(docs))
     near = (
         _band_pairs(
             sig, lambda pa, pb, band: [_agree_col(pa, pb, band).alias("agree")]
@@ -602,23 +662,24 @@ def c07_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy(F.col("d").alias("doc_id"))
             .agg(F.min("lab").alias("nlab"))
         )
-        new_labels = (
+        # The convergence flag rides on the SAME pass that builds the
+        # new labels (a lazy localCheckpoint materialized by the count),
+        # so each round costs exactly one action — round 2 ran a second
+        # join+count against the old labels per round just to detect
+        # convergence, doubling actions.
+        staged = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
                 "doc_id",
                 F.least(F.col("lab"), F.coalesce(F.col("nlab"), F.col("lab"))).alias(
                     "lab"
                 ),
+                F.coalesce(F.col("nlab") < F.col("lab"), F.lit(False)).alias("chg"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.expr("n.lab <> o.lab"))
-            .count()
-        )
-        labels = new_labels
+        changed = staged.filter("chg").count()
+        labels = staged.select("doc_id", "lab")
         if changed == 0:
             break
     return labels.select("doc_id", F.col("lab").alias("cluster_id")).orderBy("doc_id")
@@ -671,7 +732,7 @@ def c08_candidate_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     No ORDER BY: feeds a threshold decision, not a report; the
     correctness gate's value hash is order-insensitive."""
     docs = load_table(spark, sf_dir, "documents")
-    sig = _sig_df(docs).persist()
+    sig = persist_tracked(_sig_df(docs))
     est = _band_pairs(
         sig,
         lambda pa, pb, band: [(_agree_col(pa, pb, band) / 16.0).alias("est_jaccard")],

@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.text import LANG_STOPWORDS
 from ..sources.batch import load_table
 from .dedup import _agree_col, _band_pairs, _CC_MIN_AGREE, _sig_df
-from .registry import query
+from .registry import persist_tracked, query
 
 _EN_WORDS = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
 
@@ -120,7 +120,7 @@ def p01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_id") == F.col("kid"))
         .drop("kid")
     )
-    sig = _sig_df(s3).persist()
+    sig = persist_tracked(_sig_df(s3))
     losers = (
         _band_pairs(
             sig, lambda pa, pb, band: [_agree_col(pa, pb, band).alias("agree")]

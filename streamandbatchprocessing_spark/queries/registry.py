@@ -13,6 +13,27 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+#: DataFrames persisted by the most recent query invocation. Query
+#: results are returned lazily (the caller runs the terminal action), so
+#: a query cannot unpersist its own intermediates before returning;
+#: instead each invocation releases the PREVIOUS query's cache, bounding
+#: a long-lived session (bench loop, the service) to one query's worth
+#: of cached blocks instead of accumulating forever.
+_TRACKED_CACHE: list[DataFrame] = []
+
+
+def persist_tracked(df: DataFrame) -> DataFrame:
+    """Persist an intermediate and register it for release when the next
+    query runs (or on an explicit ``release_tracked_caches`` call)."""
+    df.persist()
+    _TRACKED_CACHE.append(df)
+    return df
+
+
+def release_tracked_caches() -> None:
+    while _TRACKED_CACHE:
+        _TRACKED_CACHE.pop().unpersist()
+
 
 def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     """Register a correctness query.
@@ -26,6 +47,7 @@ def query(name: str, oracle: str | None = None) -> Callable[[QueryFn], QueryFn]:
     def decorate(fn: QueryFn) -> QueryFn:
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ensure_query_conf(spark)
+            release_tracked_caches()
             return fn(spark, sf_dir)
 
         wrapped.__name__ = fn.__name__

@@ -16,16 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine, sign_bucket
+from ..functions.vectors import as_double, cosine, sign_bucket, sign_bucket_sql
 from ..sources.batch import load_table
-from .registry import query
+from .registry import persist_tracked, query
 
-_BUCKET_SQL = (
-    "(CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END"
-    " + CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END"
-    " + CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END"
-    " + CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END)"
-)
+_BUCKET_SQL = sign_bucket_sql("embedding", 4)
 
 
 @query(
@@ -273,8 +268,12 @@ def _ivf_oracle() -> str:
         FROM ei CROSS JOIN {prev} c) WHERE rn = 1)"""
         )
         parts.append(
+            # ``//`` is exact floor division on DuckDB HUGEINT — identical
+            # to Python's ``s // n`` on the Spark side at ANY magnitude;
+            # floor(SUM*1.0/COUNT) went through a double and could flip a
+            # centroid component once |SUM| exceeded 2^53.
             f"""m{it} AS (SELECT cid, pos,
-                  CAST(floor(SUM(val) * 1.0 / COUNT(*)) AS BIGINT) AS mu
+                  CAST(SUM(val) // COUNT(*) AS BIGINT) AS mu
            FROM (SELECT cid, generate_subscripts(iv, 1) AS pos,
                         unnest(iv) AS val FROM a{it})
            GROUP BY cid, pos)"""
@@ -347,13 +346,15 @@ def d04_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     d01 baseline measures the recall cost."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    ei = base.select(
-        "vec_id",
-        "v",
-        F.transform(
-            F.col("v"), lambda x: F.round(x * 1e6).cast("long")
-        ).alias("iv"),
-    ).persist()
+    ei = persist_tracked(
+        base.select(
+            "vec_id",
+            "v",
+            F.transform(
+                F.col("v"), lambda x: F.round(x * 1e6).cast("long")
+            ).alias("iv"),
+        )
+    )
 
     def lit_vec(ints):
         return F.array(*[F.lit(int(x)).cast("long") for x in ints])

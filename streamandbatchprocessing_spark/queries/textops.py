@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, md5_prefix
-from ..functions.text import LANG_STOPWORDS, langid, langid_scores
+from ..functions.text import LANG_STOPWORDS, langid_from_tokens, langid_scores
 from ..sources.batch import load_table
 from .registry import query
 
@@ -324,11 +324,15 @@ def e06_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     same shape serves corpus-level language filtering at 100 TB, where
     langid gates which documents enter a training mix."""
     docs = load_table(spark, sf_dir, "documents")
+    # ONE tokenization feeds both the argmax and the hit totals — the
+    # oracle splits on a single space, so predicted/best must come from
+    # the same token multiset (a regex-split argmax next to a
+    # space-split score diverges on tabs/newlines/double spaces).
     toks = F.split(F.lower(F.col("text")), " ")
     best = F.greatest(*langid_scores(toks).values())
     scored = docs.select(
         "lang",
-        langid(F.col("text")).alias("predicted"),
+        langid_from_tokens(toks).alias("predicted"),
         best.cast("long").alias("best"),
     )
     return (

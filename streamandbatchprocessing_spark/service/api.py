@@ -192,14 +192,11 @@ def create_app(
         # waits on running futures) → on_stop (spark.stop / exit).
         queries_stopped = 0
         if stream_manager is not None:
-            # Reference counts only ACTIVE queries (StreamRoutes.scala:
-            # stopAllQueries increments per q.isActive).
-            queries_stopped = sum(
-                1
-                for q in stream_manager.status().get("queries", [])
-                if q.get("isActive")
-            )
-            stream_manager.stop()
+            # Reference counts only queries that were ACTIVE at stop
+            # time (StreamRoutes.scala: stopAllQueries increments per
+            # q.isActive) — stop() returns that count directly, so the
+            # response can't drift from what was actually stopped.
+            queries_stopped = stream_manager.stop()
 
         def _drain_and_stop():
             if stop_grace_seconds:

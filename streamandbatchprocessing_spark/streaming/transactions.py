@@ -108,11 +108,19 @@ class StreamManager:
         )
         return [str(q.id) for q in self._queries]
 
-    def stop(self) -> None:
+    def stop(self) -> int:
+        """Stop all active queries; returns how many were ACTUALLY
+        stopped (reference parity: stopAllQueries increments per
+        q.isActive at stop time — deriving the count from a status()
+        snapshot taken before stopping can drift if a query terminates
+        or starts in between)."""
+        stopped = 0
         for q in self._queries:
             if q.isActive:
                 q.stop()
+                stopped += 1
         self._queries = []
+        return stopped
 
     def status(self) -> dict:
         return {

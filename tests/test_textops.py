@@ -58,3 +58,41 @@ def test_distinct_tokens(spark):
         distinct_tokens(F.col("text")).alias("d")
     )
     assert sorted(df.collect()[0].d) == ["a", "b", "c"]
+
+
+def test_e06_consistent_on_messy_whitespace(spark, tmp_path):
+    """predicted/best/oracle must agree on tabs, newlines, and runs of
+    spaces — round-2 advice: a regex-split argmax next to a space-split
+    score diverged on exactly these inputs. All three now share the
+    single-space tokenization."""
+    import duckdb
+    import pandas as pd
+
+    from streamandbatchprocessing_spark.queries.textops import (
+        _langid_oracle,
+        e06_language_id,
+    )
+
+    rows = [
+        (0, "the\tcat and  the dog", "en", "web", 20),   # tab + double space
+        (1, "der hund\nist nicht da", "de", "web", 20),  # newline
+        (2, "le chat   est la", "fr", "web", 16),        # triple space
+        (3, "plain the and of text", "en", "web", 21),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(tmp_path / "documents.parquet", index=False)
+
+    got = {
+        (r["lang"], r["predicted"]): (r["n_docs"], r["total_hits"])
+        for r in e06_language_id(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM '{tmp_path}/documents.parquet'"
+    )
+    want = {
+        (lang, pred): (n, hits)
+        for lang, pred, n, hits in con.sql(_langid_oracle()).fetchall()
+    }
+    assert got == want
