@@ -249,3 +249,52 @@ def f05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return result.select("purchase_id", "click_id", "user_id").orderBy(
         "purchase_id", "click_id"
     )
+
+
+@query(
+    "f06_idle_key_eviction",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+               AS total_cents,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def f06_idle_key_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary state WITH idle-key eviction (T8 completion):
+    applyInPandasWithState + ProcessingTimeTimeout — every update arms a
+    30-minute deadline, silent keys get a final ``finalized`` row and
+    their state removed (see ``stateful_totals_with_eviction_plan``).
+
+    The drain uses single-batch ``Trigger.Once`` — with processing-time
+    timeouts armed the engine always considers another batch runnable,
+    so an availableNow run never terminates on finite input. One batch
+    covers the whole fixture, no key times out mid-drain, and the final
+    update rows equal the batch aggregate (the oracle) — which is
+    exactly the invariant eviction must preserve: it changes WHEN rows
+    are finalized, never the totals. The eviction path itself is
+    wall-clock-dependent, so it is proven by the timeout test
+    (tests/test_streaming_pipeline.py), not the oracle compare."""
+    from ..streaming.pipeline import (
+        events_stream,
+        run_to_memory,
+        stateful_totals_with_eviction_plan,
+    )
+
+    stateful = stateful_totals_with_eviction_plan(events_stream(spark, sf_dir))
+    result = run_to_memory(
+        stateful, output_mode="update", name_prefix="f06_evict", trigger_once=True
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        result.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("user_id", "n_events", "total_cents", "n_types")
+        .orderBy("user_id")
+    )

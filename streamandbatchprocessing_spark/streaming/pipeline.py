@@ -68,6 +68,7 @@ def run_to_memory(
     df: DataFrame,
     output_mode: str = "complete",
     name_prefix: str = "sbp_mem",
+    trigger_once: bool = False,
 ) -> DataFrame:
     """Execute a streaming DataFrame to completion with an
     ``availableNow`` trigger into a memory sink; return the sink table.
@@ -76,18 +77,25 @@ def run_to_memory(
     the streaming engine plans the same incremental micro-batches it
     would for live data (checkpointed, watermark-tracked), which is what
     makes streaming logic testable against a batch oracle.
+
+    ``trigger_once=True`` swaps in the single-batch ``Trigger.Once``:
+    REQUIRED for plans with processing-time state timeouts, where the
+    engine always considers another batch runnable, so availableNow
+    (and ``processAllAvailable``) never terminate on finite input.
     """
     spark = df.sparkSession
     name = f"{name_prefix}_{next(_MEM_COUNTER)}"
     checkpoint = tempfile.mkdtemp(prefix="sbp-stream-ckpt-")
-    query = (
+    writer = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .option("checkpointLocation", os.path.join(checkpoint, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
     )
+    writer = writer.trigger(once=True) if trigger_once else writer.trigger(
+        availableNow=True
+    )
+    query = writer.start()
     query.awaitTermination()
     return spark.table(name)
 
@@ -129,6 +137,78 @@ def streaming_dedup_plan(stream: DataFrame) -> DataFrame:
     ``dropDuplicatesWithinWatermark`` for bounded state."""
     return stream.select("user_id", "event_type").dropDuplicates(
         ["user_id", "event_type"]
+    )
+
+
+def stateful_totals_with_eviction_plan(
+    stream: DataFrame, timeout_ms: int = 30 * 60 * 1000
+) -> DataFrame:
+    """Per-user running totals in explicit GroupState WITH idle-key
+    eviction (SURVEY.md T8 completion): ``ProcessingTimeTimeout`` arms a
+    per-key deadline on every update; a key that stays silent past it
+    gets one final ``finalized=true`` row and its state removed.
+
+    This is the missing piece that makes arbitrary state viable at
+    100 TB — without eviction, state is O(keys-ever) and a long-running
+    job eventually spills or dies; with it, state is O(recently-active
+    keys). Caveat (Spark semantics): processing-time timeouts only fire
+    when SOME micro-batch runs, so a fully idle stream evicts nothing
+    until data flows again — acceptable because state pressure and new
+    data arrive together.
+
+    State per key: (n, cents, types) — event count, exact integer cents
+    (money never accumulates in floats), and the bounded distinct
+    event-type set as a sorted comma-joined string (state schemas are
+    flat structs; the type universe is 5 values so the string is
+    bounded)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id bigint, n_events bigint, total_cents bigint, "
+        "n_types bigint, finalized boolean"
+    )
+    state_schema = "n bigint, cents bigint, types string"
+
+    def update(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, cents, types = state.get
+            n_types = len([t for t in types.split(",") if t])
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_cents": [cents],
+                    "n_types": [n_types],
+                    "finalized": [True],
+                }
+            )
+            return
+        n, cents, types = state.get if state.exists else (0, 0, "")
+        tset = {t for t in types.split(",") if t}
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            tset |= set(pdf["event_type"].unique())
+        state.update((n, cents, ",".join(sorted(tset))))
+        state.setTimeoutDuration(timeout_ms)
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_cents": [cents],
+                "n_types": [len(tset)],
+                "finalized": [False],
+            }
+        )
+
+    return stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
     )
 
 

@@ -13,9 +13,22 @@ def test_priority_order_is_window_prefix():
     assert len(set(PRIORITY_ORDER)) == 50
 
 
+#: Extension queries deliberately registered BEYOND the 50-slot window:
+#: their operator class is already represented in-window, and displacing
+#: a b/g representative would drop a §2 operator class from driver
+#: verification instead. Additions here must say what covers them.
+_BEYOND_WINDOW_OK = {
+    # T8 timeout-eviction variant; f04 covers arbitrary state in-window
+    # and f06's eviction path is proven by the two-batch timeout test.
+    "f06_idle_key_eviction",
+}
+
+
 def test_every_extension_family_inside_scoring_window():
     window = set(list(QUERIES)[:50])
-    extensions = [n for n in QUERIES if n[0] in "cdefmp"]
+    extensions = [
+        n for n in QUERIES if n[0] in "cdefmp" and n not in _BEYOND_WINDOW_OK
+    ]
     out = [n for n in extensions if n not in window]
     assert not out, f"extension queries outside driver scoring window: {out}"
     # the §2.10 parity analyses must stay in-window too

@@ -144,3 +144,98 @@ def test_foreach_batch_upsert_idempotent(spark, sf_dir, tmp_path):
     for epoch in list(sink.applied_epochs):
         sink.upsert(spark.createDataFrame([("zzz", 999)], "event_type string, n long"), epoch)
     assert sink.rows == before
+
+
+def test_processing_time_timeout_evicts_idle_keys(spark, tmp_path):
+    """f06's eviction contract: keys silent past their ProcessingTime
+    deadline get one final ``finalized=true`` row carrying the full
+    accumulated state, and the state itself is REMOVED — proven by the
+    key restarting from zero when it reappears.
+
+    Notes on the engine's semantics (learned the hard way): with
+    processing-time timeouts armed the engine considers another batch
+    always runnable, so (a) empty micro-batches DO run and fire
+    timeouts without needing keepalive data, and (b)
+    ``processAllAvailable()`` never returns — poll the sink instead."""
+    import time
+
+    import pandas as pd
+    from pyspark.sql.functions import col
+
+    from streamandbatchprocessing_spark.streaming.pipeline import (
+        EVENTS_FILE_SCHEMA,
+        stateful_totals_with_eviction_plan,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+
+    def write_events(name, rows):
+        pdf = pd.DataFrame(
+            rows,
+            columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+        ).astype(
+            {"event_id": "int64", "ts": "int64", "user_id": "int64",
+             "value": "float64"}
+        )
+        pdf.to_parquet(src / name, index=False)
+
+    def poll(predicate, timeout_s=45):
+        deadline = time.time() + timeout_s
+        while time.time() < deadline:
+            rows = spark.table("evict_test").collect()
+            if predicate(rows):
+                return rows
+            time.sleep(0.5)
+        raise AssertionError(f"condition not reached; sink={rows}")
+
+    write_events(
+        "batch1.parquet",
+        [
+            (1, 10**18, 1, "click", 1.25, "{}"),
+            (2, 10**18, 1, "view", 2.50, "{}"),
+            (3, 10**18, 2, "view", 4.00, "{}"),
+        ],
+    )
+    stream = spark.readStream.schema(EVENTS_FILE_SCHEMA).parquet(str(src))
+    plan = stateful_totals_with_eviction_plan(stream, timeout_ms=2000)
+    query = (
+        plan.writeStream.format("memory")
+        .queryName("evict_test")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="500 milliseconds")
+        .start()
+    )
+    try:
+        # both keys evicted once idle past the deadline; the final rows
+        # carry the fully accumulated state
+        rows = poll(
+            lambda rs: {r["user_id"] for r in rs if r["finalized"]} == {1, 2}
+        )
+        by_user = {
+            r["user_id"]: r for r in rows if r["finalized"]
+        }
+        assert (
+            by_user[1]["n_events"], by_user[1]["total_cents"], by_user[1]["n_types"]
+        ) == (2, 375, 2)
+        assert (
+            by_user[2]["n_events"], by_user[2]["total_cents"], by_user[2]["n_types"]
+        ) == (1, 400, 1)
+        # state was REMOVED, not just flushed: the key restarts from zero
+        write_events("batch2.parquet", [(4, 10**18, 1, "click", 1.00, "{}")])
+        rows = poll(
+            lambda rs: any(
+                r["user_id"] == 1 and not r["finalized"] and r["n_events"] == 1
+                and r["total_cents"] == 100
+                for r in rs
+            )
+        )
+        # and the restarted count is 1, not a resumed 3
+        restarted = [
+            r for r in rows
+            if r["user_id"] == 1 and not r["finalized"] and r["total_cents"] == 100
+        ]
+        assert restarted and all(r["n_events"] == 1 for r in restarted)
+    finally:
+        query.stop()
