@@ -21,6 +21,7 @@ from . import pipeline  # noqa: F401
 from . import similarity  # noqa: F401
 from . import textops  # noqa: F401
 from . import streaming  # noqa: F401
+from . import layout  # noqa: F401
 from .registry import ORACLES, QUERIES
 
 #: Explicit scoring order. The external driver scores the FIRST 50

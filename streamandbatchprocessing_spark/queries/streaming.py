@@ -252,6 +252,74 @@ def f05_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "p02_streaming_ingest_funnel",
+    oracle=f"""
+    WITH ev AS (SELECT event_id, event_type, value,
+                       CAST(ts AS TIMESTAMP) AS ts
+                FROM events
+                WHERE event_type IN ('purchase', 'click') AND value > 0)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           {_DSUM.format(x='value')} AS total_value
+    FROM ev
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def p02_streaming_ingest_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed streaming ingest funnel — the streaming twin of p01's
+    batch mix: quality gate (type + positive value) → streaming
+    exact-dedup on event_id (``dropDuplicatesWithinWatermark``: state
+    bounded by the watermark horizon, the only dedup that survives an
+    unbounded stream) → 1-hour tumbling windows per type, all in ONE
+    streaming plan the engine runs incrementally.
+
+    Scale: the funnel filters BEFORE the dedup state store (fewer keys
+    held) and the window state is (hours × types)-bounded; every stage's
+    eviction is driven by the same watermark. The fixture's event_ids
+    are unique, so the batch oracle is the plain filtered window
+    aggregate — which is the invariant a correct dedup must preserve on
+    duplicate-free input."""
+    from ..streaming.pipeline import events_stream, run_to_memory
+
+    plan = (
+        events_stream(spark, sf_dir)
+        .filter(
+            F.col("event_type").isin("purchase", "click") & (F.col("value") > 0)
+        )
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+    result = run_to_memory(plan, output_mode="update", name_prefix="p02_funnel")
+    # update mode may re-emit a window across micro-batches: keep the
+    # final (max-count) emission per (window, type).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start", "event_type").orderBy(
+        F.desc("n_events")
+    )
+    return (
+        result.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+        .orderBy("window_start", "event_type")
+    )
+
+
+@query(
     "f06_idle_key_eviction",
     oracle="""
     SELECT user_id,

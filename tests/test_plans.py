@@ -251,3 +251,21 @@ def test_no_forced_broadcast_of_fact_tables(spark, sf_dir, name):
             f"{name}: forced broadcast of fact table(s) {hit} — drop the "
             f"F.broadcast() hint and let AQE decide:\n{subtree[:1500]}"
         )
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """b30's layout contract: with both facts bucketed (and one file per
+    bucket, sorted) on the join key, the merge join needs NO Exchange
+    and NO Sort on either side — the write-time shuffle bought a
+    shuffle-free join. This is the plan that survives a 100× scale-up;
+    losing it (e.g. mismatched bucket counts, multi-file buckets)
+    silently reintroduces a per-query exabyte exchange."""
+    from streamandbatchprocessing_spark.queries.layout import (
+        bucketed_lineitem_orders_join,
+    )
+
+    plan = executed_plan(bucketed_lineitem_orders_join(spark, sf_dir))
+    assert plan.count("SortMergeJoin") == 1, plan[:2000]
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Sort (" not in plan, plan[:2000]
+    assert plan.count("Bucketed: true") == 2, plan[:2000]

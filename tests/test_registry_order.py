@@ -21,6 +21,9 @@ _BEYOND_WINDOW_OK = {
     # T8 timeout-eviction variant; f04 covers arbitrary state in-window
     # and f06's eviction path is proven by the two-batch timeout test.
     "f06_idle_key_eviction",
+    # Composed streaming funnel; its stages are individually in-window
+    # (f01 windowed agg, f02 dedup, p01 composed-batch funnel).
+    "p02_streaming_ingest_funnel",
 }
 
 
