@@ -30,6 +30,11 @@ ANNOTATED = {
         "lineitem ⋈ orders fact edge carries no hint (AQE decides), fact "
         "scanned once."
     ),
+    "b30_bucketed_colocated_join": (
+        "Bucketed fact ⋈ fact: both sides bucketed(8) + one sorted file "
+        "per bucket, SortMergeJoin with ZERO Exchange and ZERO Sort — the "
+        "write-time shuffle bought a shuffle-free join."
+    ),
     "b13_priority_revenue_share": (
         "Share-of-total without Window.partitionBy(): scalar aggregate "
         "arrives via BroadcastExchange, no single-partition exchange."
@@ -52,6 +57,16 @@ ANNOTATED = {
         "SimHash: fingerprint groupBy, then 4 block equi-joins keyed on "
         "the fingerprint's own 8-bit blocks (skew bounded by true dup "
         "mass, not by any data column's distribution)."
+    ),
+    "c04_ngram_jaccard_pairs": (
+        "Posting-list pair expansion with stop-shingle pruning: one "
+        "shuffle of the exploded shingles; postings with DF>64 dropped "
+        "before expansion so no boilerplate shingle can emit k²/2 pairs."
+    ),
+    "c05_embedding_neardup": (
+        "Sign-hyperplane LSH bands: candidate cells keyed by the "
+        "vector's own sign bits (2 band-exclusive equi-joins), never a "
+        "data column — a dominant label cannot recreate O(n²)."
     ),
     "d03_topk_pandas_vectorized": (
         "Arrow-batched scoring: single MapInPandas over the candidate "
