@@ -19,7 +19,7 @@ member pairs with the group's minimum via the band join).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.text import LANG_STOPWORDS
@@ -147,3 +147,172 @@ def p01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .union(stage(s4, "near_dedup", 4))
     )
     return funnel.orderBy("stage_order")
+
+
+# ---------------------------------------------------------------------------
+# p03 — sequence packing (context-window budgeting)
+# ---------------------------------------------------------------------------
+#: Target context length in tokens. Documents are packed contiguously in
+#: doc_id order; a document starting at token offset ``o`` belongs to
+#: sequence ``o // _CTX``, so sequences are fixed-capacity windows a
+#: trainer can consume directly (straddling docs spill into the next
+#: window — the standard streaming-packing rule, no bin-packing search).
+_CTX = 512
+
+
+@query(
+    "p03_sequence_packing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+    c AS (SELECT doc_id, source, n_tokens,
+                 SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                     ROWS UNBOUNDED PRECEDING) AS cum
+          FROM t),
+    b AS (SELECT source,
+                 CAST((cum - n_tokens) // {_CTX} AS BIGINT) AS seq_id,
+                 doc_id, n_tokens
+          FROM c)
+    SELECT source, seq_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           CAST(MIN(doc_id) AS BIGINT) AS first_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS last_doc
+    FROM b
+    GROUP BY source, seq_id
+    ORDER BY source, seq_id
+    """,
+)
+def p03_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential packing of documents into fixed token-budget
+    training sequences (``_CTX`` tokens), per source: running token
+    offset → sequence id → per-sequence doc/token rollup.
+
+    Scale: the running sum is windowed PER SOURCE — one hash shuffle on
+    the source key and every partition packs independently, which is
+    exactly how a 100 TB tokenize-and-pack job shards (window over the
+    whole corpus = single-partition death). Finer sharding (source ×
+    file split) drops in by extending the partition key; the rollup
+    after the window is a plain two-phase hash aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum", F.sum("n_tokens").over(w))
+    b = c.select(
+        "source",
+        F.floor((F.col("cum") - F.col("n_tokens")) / _CTX).cast("long").alias("seq_id"),
+        "doc_id",
+        "n_tokens",
+    )
+    return (
+        b.groupBy("source", "seq_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("seq_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("source", "seq_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p04 — deterministic stratified sampling (per-source hash rates)
+# ---------------------------------------------------------------------------
+#: Per-mille keep rate per stratum, derived from the source name's
+#: trailing digit (d → (d+1)·50‰, i.e. 50‰–500‰). A rule, not a lookup
+#: table, so any source population at any scale factor gets a defined
+#: rate; real mixes swap in their weight table (a broadcast map) without
+#: touching the mechanism.
+_SAMPLE_SALT = "smpl:"
+
+
+@query(
+    "p04_stratified_sample",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+                      (CAST(right(source, 1) AS BIGINT) + 1) * 50
+                          AS rate_permille,
+                      CAST(('0x' || substr(
+                               md5('{_SAMPLE_SALT}' || source || ':'
+                                   || CAST(doc_id AS VARCHAR)), 1, 15))
+                           AS BIGINT) % 1000 AS bucket
+               FROM documents)
+    SELECT source,
+           CAST(rate_permille AS BIGINT) AS rate_permille,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN bucket < rate_permille THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_sampled,
+           CAST(SUM(CASE WHEN bucket < rate_permille THEN n_tokens
+                         ELSE 0 END) AS BIGINT) AS sampled_tokens,
+           ROUND(SUM(CASE WHEN bucket < rate_permille THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*), 6) AS realized_rate
+    FROM t
+    GROUP BY source, rate_permille
+    ORDER BY source
+    """,
+)
+def p04_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: every document hashes to a
+    per-mille bucket (salted md5 of (source, doc_id)) and survives when
+    its bucket falls under its stratum's keep rate — reproducible
+    across runs, engines, and reshuffles, unlike ``sample()``/
+    ``TABLESAMPLE`` whose output depends on partition layout.
+
+    Scale: the keep decision is a codegen'd projection (hash + compare),
+    so sampling composes with scan pruning BEFORE any shuffle — the
+    sampled-down corpus is what flows into the expensive dedup/pack
+    stages. One two-phase aggregate reports per-stratum realized rates
+    vs. the configured rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(_SAMPLE_SALT),
+                        F.col("source"),
+                        F.lit(":"),
+                        F.col("doc_id").cast("string"),
+                    )
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1000
+    )
+    rate = (F.substring("source", -1, 1).cast("long") + 1) * 50
+    t = docs.select(
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        rate.alias("rate_permille"),
+        bucket.alias("bucket"),
+    )
+    keep = F.col("bucket") < F.col("rate_permille")
+    return (
+        t.groupBy("source", "rate_permille")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum(keep.cast("int")).cast("long").alias("n_sampled"),
+            F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
+            .cast("long")
+            .alias("sampled_tokens"),
+            F.round(
+                F.sum(keep.cast("int")) * F.lit(1.0) / F.count(F.lit(1)), 6
+            ).alias("realized_rate"),
+        )
+        .orderBy("source")
+    )

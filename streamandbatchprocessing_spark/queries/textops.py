@@ -343,3 +343,95 @@ def e06_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# e07 — repetition metrics (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+#: Gopher's repetition rules (Rae et al. 2021, table A1): a document is
+#: low-quality when the most frequent n-gram covers too much of it or
+#: when too many tokens are repeats. Thresholds below mirror the paper's
+#: 2-gram fraction cut (0.20); the duplicate-token cut is set for this
+#: corpus's short docs.
+_TOP_BIGRAM_MAX_FRAC = 0.20
+_DUP_TOKEN_MAX_FRAC = 0.50
+
+
+@query(
+    "e07_repetition_metrics",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    b AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 ROUND(1 - len(list_distinct(toks)) * 1.0 / len(toks), 6)
+                     AS dup_token_frac,
+                 list_transform(range(1, len(toks)),
+                                i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
+          FROM t WHERE len(toks) >= 2),
+    x AS (SELECT doc_id, n_tokens, dup_token_frac, unnest(bigrams) AS g
+          FROM b),
+    c AS (SELECT doc_id, n_tokens, dup_token_frac, g, COUNT(*) AS c
+          FROM x GROUP BY doc_id, n_tokens, dup_token_frac, g),
+    p AS (SELECT doc_id, n_tokens, dup_token_frac,
+                 CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                 CAST(MAX(c) AS BIGINT) AS top_bigram_n
+          FROM c GROUP BY doc_id, n_tokens, dup_token_frac)
+    SELECT doc_id, n_tokens, dup_token_frac, n_bigrams, top_bigram_n,
+           ROUND(top_bigram_n * 1.0 / n_bigrams, 6) AS top_bigram_frac,
+           (top_bigram_n * 1.0 / n_bigrams > {_TOP_BIGRAM_MAX_FRAC}
+            OR dup_token_frac > {_DUP_TOKEN_MAX_FRAC}) AS repetitive
+    FROM p
+    ORDER BY doc_id
+    """,
+)
+def e07_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition metrics: duplicate-token fraction and the
+    share of bigram slots taken by the single most frequent bigram —
+    the Gopher-style repetition quality filters a training-data mix
+    gates on before anything expensive runs.
+
+    Scale: bigrams are built by a codegen'd index transform (no Python),
+    then ONE explode feeds groupBy(doc_id, bigram) → groupBy(doc_id) —
+    two linear shuffles, never a per-doc quadratic: the all-in-array
+    alternative (count each distinct bigram by filtering the array)
+    is O(len²) per document and dies on long documents. Reference has
+    no text ops; family justified by SURVEY §2-ext (training-data
+    pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.round(
+            F.lit(1) - F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks), 6
+        ).alias("dup_token_frac"),
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat(
+                F.element_at(toks, i), F.lit(" "), F.element_at(toks, i + 1)
+            ),
+        ).alias("bigrams"),
+    ).filter(F.col("n_tokens") >= 2)
+    per_bigram = (
+        base.select("doc_id", "n_tokens", "dup_token_frac", F.explode("bigrams").alias("g"))
+        .groupBy("doc_id", "n_tokens", "dup_token_frac", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_doc = per_bigram.groupBy("doc_id", "n_tokens", "dup_token_frac").agg(
+        F.sum("c").cast("long").alias("n_bigrams"),
+        F.max("c").cast("long").alias("top_bigram_n"),
+    )
+    frac = F.col("top_bigram_n") * F.lit(1.0) / F.col("n_bigrams")
+    return per_doc.select(
+        "doc_id",
+        "n_tokens",
+        "dup_token_frac",
+        "n_bigrams",
+        "top_bigram_n",
+        F.round(frac, 6).alias("top_bigram_frac"),
+        (
+            (frac > _TOP_BIGRAM_MAX_FRAC)
+            | (F.col("dup_token_frac") > _DUP_TOKEN_MAX_FRAC)
+        ).alias("repetitive"),
+    ).orderBy("doc_id")
