@@ -24,6 +24,14 @@ _BEYOND_WINDOW_OK = {
     # Composed streaming funnel; its stages are individually in-window
     # (f01 windowed agg, f02 dedup, p01 composed-batch funnel).
     "p02_streaming_ingest_funnel",
+    # Round-3 additions: each family already holds an in-window seat
+    # (text via e01–e06, pipeline via p01) and displacing a b/g
+    # representative would cost a §2 operator class its round-3 row.
+    # Rotation candidates for round 4 once the first extension verdicts
+    # land.
+    "e07_repetition_metrics",
+    "p03_sequence_packing",
+    "p04_stratified_sample",
 }
 
 
