@@ -243,11 +243,20 @@ _IVF_TOPK = 10
 _IVF_SCALE = "1000000.0"
 
 
-def _ivf_oracle() -> str:
-    dist = (
-        "list_sum(list_transform(list_zip({a}, c.cv), "
-        "p -> (p[1]-p[2])*(p[1]-p[2])))"
-    )
+#: DuckDB integer squared-distance between a vector expression and a
+#: centroid row ``c.cv`` (exact BIGINT arithmetic).
+_KM_DIST = (
+    "list_sum(list_transform(list_zip({a}, c.cv), "
+    "p -> (p[1]-p[2])*(p[1]-p[2])))"
+)
+
+
+def _kmeans_parts() -> tuple[list[str], str]:
+    """Shared oracle CTE prefix: quantize → ``_IVF_ITERS`` Lloyd rounds
+    → final assignment ``af(vec_id, cid)``. Returns (parts, last
+    centroid CTE name); d04 appends its probe tail, c09 its
+    within-cluster dedup tail — one k-means, two operators."""
+    dist = _KM_DIST
     parts = [
         f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
@@ -292,6 +301,12 @@ def _ivf_oracle() -> str:
                                   ORDER BY {dist.format(a='ei.iv')}, c.cid) AS rn
         FROM ei CROSS JOIN {last} c) WHERE rn = 1)"""
     )
+    return parts, last
+
+
+def _ivf_oracle() -> str:
+    dist = _KM_DIST
+    parts, last = _kmeans_parts()
     parts.append(
         f"""q AS (SELECT vec_id AS qid, iv, v AS qv FROM ei
           WHERE vec_id < {_IVF_NQ})"""
@@ -330,20 +345,11 @@ def _ivf_oracle() -> str:
     """
 
 
-@query("d04_ivf_kmeans_ann", oracle=_ivf_oracle())
-def d04_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """True IVF: k-means(8) coarse quantizer (3 Lloyd iterations on
-    integer-quantized vectors), then nprobe=2 probing — each query
-    scans only its 2 nearest cells instead of the whole corpus.
-
-    Scale design: the per-iteration pattern is the canonical distributed
-    k-means — broadcast k·dim centroid literals into a codegen'd
-    assignment pass, reduce per-(cluster, dim) integer sums (one shuffle
-    of k·dim rows), collect ONLY the k·dim centroid table to the driver
-    (bounded, like MLlib). The corpus never moves; assignments are
-    recomputed, not stored. Probing turns ANN into an equi-join on
-    cell id — the candidate volume drops by ~nprobe/k while the exact
-    d01 baseline measures the recall cost."""
+def _quantized_vectors(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """(doubles, persisted integer-quantized) views of the embeddings —
+    the shared input of the k-means operators (d04, c09)."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
     ei = persist_tracked(
@@ -355,6 +361,15 @@ def d04_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("iv"),
         )
     )
+    return base, ei
+
+
+def _integer_kmeans(ei: DataFrame) -> tuple[list, DataFrame]:
+    """Deterministic Lloyd on integer-quantized vectors (see the module
+    comment above ``_IVF_K``): broadcast centroid literals → codegen'd
+    assignment, per-(cluster, dim) integer-sum reduce, k·dim driver
+    collect per round. Returns (final centroids, assignment DF
+    ``(vec_id, cid)``); shared by d04 (IVF probe) and c09 (SemDeDup)."""
 
     def lit_vec(ints):
         return F.array(*[F.lit(int(x)).cast("long") for x in ints])
@@ -400,7 +415,25 @@ def d04_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             for cid, civ in centroids
         ]
 
-    final_assign = assign(centroids).select("vec_id", "cid")
+    return centroids, assign(centroids).select("vec_id", "cid")
+
+
+@query("d04_ivf_kmeans_ann", oracle=_ivf_oracle())
+def d04_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True IVF: k-means(8) coarse quantizer (3 Lloyd iterations on
+    integer-quantized vectors), then nprobe=2 probing — each query
+    scans only its 2 nearest cells instead of the whole corpus.
+
+    Scale design: the per-iteration pattern is the canonical distributed
+    k-means — broadcast k·dim centroid literals into a codegen'd
+    assignment pass, reduce per-(cluster, dim) integer sums (one shuffle
+    of k·dim rows), collect ONLY the k·dim centroid table to the driver
+    (bounded, like MLlib). The corpus never moves; assignments are
+    recomputed, not stored. Probing turns ANN into an equi-join on
+    cell id — the candidate volume drops by ~nprobe/k while the exact
+    d01 baseline measures the recall cost."""
+    base, ei = _quantized_vectors(spark, sf_dir)
+    centroids, final_assign = _integer_kmeans(ei)
 
     # Probe: per query, its nprobe nearest FINAL centroids — computed on
     # the driver with the same integer arithmetic (queries are bounded).
@@ -436,6 +469,189 @@ def d04_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("qid").alias("query_id"),
             F.col("nid").alias("neighbor_id"),
             "cos_sim",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c09 — semantic dedup: cluster, then prune within clusters (SemDeDup)
+# ---------------------------------------------------------------------------
+#: Within-cluster cosine above this ⇒ the higher vec_id is dropped
+#: (greedy min-id survivor, same rule as p01's near-dedup). Matches
+#: c05's near-dup threshold so the two operators agree on "duplicate".
+_SEM_TAU = 0.35
+
+
+def _semdedup_oracle() -> str:
+    parts, _ = _kmeans_parts()
+    parts.append(
+        "w AS (SELECT a.vec_id, a.cid, e.v FROM af a "
+        "JOIN e ON e.vec_id = a.vec_id)"
+    )
+    parts.append(
+        f"""l AS (SELECT DISTINCT b.vec_id
+          FROM w a JOIN w b ON a.cid = b.cid AND a.vec_id < b.vec_id
+          WHERE list_cosine_similarity(a.v, b.v) >= {_SEM_TAU})"""
+    )
+    body = ",\n    ".join(parts)
+    return f"""
+    {body}
+    SELECT CAST(w.cid AS BIGINT) AS cluster_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(COUNT(l.vec_id) AS BIGINT) AS n_dropped,
+           CAST(COUNT(*) - COUNT(l.vec_id) AS BIGINT) AS n_kept
+    FROM w LEFT JOIN l ON l.vec_id = w.vec_id
+    GROUP BY w.cid
+    ORDER BY cluster_id
+    """
+
+
+@query("c09_semantic_dedup", oracle=_semdedup_oracle())
+def c09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): k-means-cluster the embeddings, then inside each
+    cluster drop every vector whose cosine to a LOWER-id cluster-mate
+    exceeds ``_SEM_TAU`` — per-cluster kept/dropped census.
+
+    Scale design: the pairwise stage is confined WITHIN clusters, so its
+    cost is Σ|cluster|², bounded by tuning k upward so clusters stay
+    small (k grows with the corpus; the k-means itself is the d04
+    broadcast/reduce pattern whose per-round cost is linear). The
+    within-cluster self-join is an equi-join on cid — no data-column
+    skew can widen it beyond what the quantizer geometry allows, the
+    same property c05 gets from sign buckets. Reuses d04's deterministic
+    integer k-means (one implementation, two operators — exactly how a
+    production pipeline amortizes its quantizer)."""
+    base, ei = _quantized_vectors(spark, sf_dir)
+    _, final_assign = _integer_kmeans(ei)
+    w = final_assign.join(base, "vec_id").select("vec_id", "cid", "v")
+    a, b = w.alias("a"), w.alias("b")
+    losers = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cosine(F.col("a.v"), F.col("b.v")) >= _SEM_TAU)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+        .withColumn("dropped", F.lit(1))
+    )
+    return (
+        w.join(losers, "vec_id", "left")
+        .groupBy(F.col("cid").cast("long").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("dropped").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.count("dropped")).alias("n_kept"),
+        )
+        .orderBy("cluster_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d05 — scalar-quantized (SQ8) integer top-k
+# ---------------------------------------------------------------------------
+#: SQ8: per-dimension min/max scaling to 0..255 (FAISS's
+#: ScalarQuantizer.QT_8bit). Scoring is then pure int64 arithmetic —
+#: 4× smaller vectors, SIMD-friendly, and (unlike float dot products)
+#: bit-identical on every engine, so the ANN result itself is
+#: oracle-checkable with no rounding escape hatch.
+_SQ_LEVELS = 255
+_SQ_NQ = 5
+_SQ_TOPK = 10
+
+
+def _sq8_oracle() -> str:
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    m AS (SELECT pos, MIN(val) AS mn, MAX(val) AS mx
+          FROM (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS val
+                FROM e)
+          GROUP BY pos),
+    ml AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+           FROM m),
+    z AS (SELECT vec_id,
+                 list_transform(range(1, len(v) + 1),
+                     i -> CASE WHEN mxs[i] = mns[i] THEN 0
+                               ELSE CAST(round((v[i] - mns[i]) * {_SQ_LEVELS}.0
+                                               / (mxs[i] - mns[i])) AS BIGINT)
+                          END) AS qv
+          FROM e CROSS JOIN ml),
+    q AS (SELECT vec_id AS qid, qv AS qqv FROM z WHERE vec_id < {_SQ_NQ}),
+    s AS (SELECT q.qid, z.vec_id AS nid,
+                 CAST(list_sum(list_transform(list_zip(q.qqv, z.qv),
+                                              p -> p[1] * p[2])) AS BIGINT)
+                     AS score
+          FROM q JOIN z ON z.vec_id <> q.qid),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY score DESC, nid) AS rank
+          FROM s)
+    SELECT qid AS query_id, nid AS neighbor_id, score,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {_SQ_TOPK}
+    ORDER BY query_id, rank
+    """
+
+
+@query("d05_sq8_topk", oracle=_sq8_oracle())
+def d05_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantized top-k: per-dim min/max scaling to 8-bit codes,
+    then integer dot-product scoring — the memory-bound ANN hot path
+    (4× smaller vectors than float32, integer SIMD) with d01 as its
+    recall baseline.
+
+    Scale design: quantization bounds come from ONE per-dimension
+    min/max aggregate whose result is dim-sized (collected like d04's
+    centroid table — the MLlib reduce pattern), turned into literals
+    inside a codegen'd projection; the corpus is scanned, never
+    shuffled. Scoring broadcasts the quantized query panel exactly like
+    d01; ranking is the same top-k window. Integer scores make the
+    ENTIRE operator exact: no float comparison decides an output row."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    stats = sorted(
+        (r["pos"], r["mn"], r["mx"])
+        for r in base.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .collect()  # bounded: one row per dimension
+    )
+    qv = F.array(
+        *[
+            F.lit(0).cast("long")
+            if mx == mn
+            else F.round(
+                (F.element_at("v", pos + 1) - F.lit(mn))
+                * float(_SQ_LEVELS)
+                / F.lit(mx - mn)
+            ).cast("long")
+            for pos, mn, mx in stats
+        ]
+    )
+    z = base.select("vec_id", qv.alias("qv"))
+    q = z.filter(F.col("vec_id") < _SQ_NQ).select(
+        F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
+    )
+    score = F.aggregate(
+        F.zip_with(F.col("qqv"), F.col("qv"), lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    scored = z.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid", F.col("vec_id").alias("nid"), score.alias("score")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _SQ_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "score",
             "rank",
         )
         .orderBy("query_id", "rank")

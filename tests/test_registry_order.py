@@ -32,6 +32,10 @@ _BEYOND_WINDOW_OK = {
     "e07_repetition_metrics",
     "p03_sequence_packing",
     "p04_stratified_sample",
+    # dedup via c01–c08, similarity via d01–d04 in-window; c09 reuses
+    # d04's k-means and d05 is d01's quantized twin.
+    "c09_semantic_dedup",
+    "d05_sq8_topk",
 }
 
 
