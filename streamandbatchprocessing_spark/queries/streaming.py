@@ -366,3 +366,50 @@ def f06_idle_key_eviction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "n_events", "total_cents", "n_types")
         .orderBy("user_id")
     )
+
+
+@query(
+    "f07_stream_static_enrichment",
+    oracle=f"""
+    SELECT c.c_mktsegment AS segment, e.event_type,
+           COUNT(*) AS n_events,
+           {_DSUM.format(x='e.value')} AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY segment, e.event_type
+    ORDER BY segment, e.event_type
+    """,
+)
+def f07_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream–static enrichment join (the T8 shape f05 does NOT cover:
+    f05 joins two streams with interval state; here a stream joins a
+    STATIC dimension): each micro-batch of events is enriched against
+    the customer table, then rolled up per (segment, type) in complete
+    mode.
+
+    Scale: a stream–static equi-join is STATELESS — the static side is
+    broadcast into every micro-batch (re-planned per batch, so a dim
+    refresh is picked up on the next batch), no watermark bookkeeping,
+    no join state store. That makes it the cheapest enrichment path in
+    Structured Streaming and the default way a 100 TB event firehose
+    picks up slowly-changing dimensions; aggregation state here is
+    bounded by |segments| × |event types|, not by input volume. Exact
+    decimal accumulation for the value total, as everywhere (dsum
+    rule)."""
+    from ..streaming.pipeline import events_stream, run_to_memory
+
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    enriched = events_stream(spark, sf_dir).join(F.broadcast(dim), "user_id")
+    agg = (
+        enriched.groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+    result = run_to_memory(agg, output_mode="complete", name_prefix="f07_enrich")
+    return result.orderBy("segment", "event_type")

@@ -36,6 +36,9 @@ _BEYOND_WINDOW_OK = {
     # d04's k-means and d05 is d01's quantized twin.
     "c09_semantic_dedup",
     "d05_sq8_topk",
+    # streaming via f01–f05 in-window; f07's join is stateless (batch
+    # broadcast per micro-batch) and its aggregation shape is f01's.
+    "f07_stream_static_enrichment",
 }
 
 
