@@ -584,13 +584,14 @@ def _sq8_oracle() -> str:
     q AS (SELECT vec_id AS qid, qv AS qqv FROM z WHERE vec_id < {_SQ_NQ}),
     s AS (SELECT q.qid, z.vec_id AS nid,
                  CAST(list_sum(list_transform(list_zip(q.qqv, z.qv),
-                                              p -> p[1] * p[2])) AS BIGINT)
-                     AS score
+                                              p -> (p[1] - p[2])
+                                                   * (p[1] - p[2])))
+                      AS BIGINT) AS sq_dist
           FROM q JOIN z ON z.vec_id <> q.qid),
     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
-                                       ORDER BY score DESC, nid) AS rank
+                                       ORDER BY sq_dist, nid) AS rank
           FROM s)
-    SELECT qid AS query_id, nid AS neighbor_id, score,
+    SELECT qid AS query_id, nid AS neighbor_id, sq_dist,
            CAST(rank AS BIGINT) AS rank
     FROM r WHERE rank <= {_SQ_TOPK}
     ORDER BY query_id, rank
@@ -600,9 +601,14 @@ def _sq8_oracle() -> str:
 @query("d05_sq8_topk", oracle=_sq8_oracle())
 def d05_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar-quantized top-k: per-dim min/max scaling to 8-bit codes,
-    then integer dot-product scoring — the memory-bound ANN hot path
-    (4× smaller vectors than float32, integer SIMD) with d01 as its
-    recall baseline.
+    then integer squared-L2 ranking on the CODES — the memory-bound ANN
+    hot path (4× smaller vectors than float32, integer SIMD; FAISS
+    ScalarQuantizer QT_8bit + L2) with d01 as its recall baseline
+    (~85% top-10 overlap, pinned in tests/test_round3_ops.py).
+    Distance must be L2, not dot product: quantization is an affine
+    shift per dimension, which CANCELS in (qa−qb) but corrupts qa·qb
+    (the offset term tracks the candidate's mean, not similarity —
+    measured 6% recall).
 
     Scale design: quantization bounds come from ONE per-dimension
     min/max aggregate whose result is dim-sized (collected like d04's
@@ -636,22 +642,22 @@ def d05_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = z.filter(F.col("vec_id") < _SQ_NQ).select(
         F.col("vec_id").alias("qid"), F.col("qv").alias("qqv")
     )
-    score = F.aggregate(
-        F.zip_with(F.col("qqv"), F.col("qv"), lambda a, b: a * b),
+    sq_dist = F.aggregate(
+        F.zip_with(F.col("qqv"), F.col("qv"), lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )
     scored = z.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
-        "qid", F.col("vec_id").alias("nid"), score.alias("score")
+        "qid", F.col("vec_id").alias("nid"), sq_dist.alias("sq_dist")
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("nid"))
+    w = Window.partitionBy("qid").orderBy(F.asc("sq_dist"), F.asc("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _SQ_TOPK)
         .select(
             F.col("qid").alias("query_id"),
             F.col("nid").alias("neighbor_id"),
-            "score",
+            "sq_dist",
             "rank",
         )
         .orderBy("query_id", "rank")
