@@ -316,3 +316,85 @@ def p04_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# p05 — token-budget mix allocation (per-stratum water level)
+# ---------------------------------------------------------------------------
+#: Global training-token budget, split uniformly across strata; a
+#: stratum with less than its share contributes everything it has
+#: (single-pass allocation — the surplus column makes the shortfall
+#: observable so a driver can rerun with a higher share, which is how
+#: iterative mix tuning à la DoReMi consumes this).
+_MIX_BUDGET = 50_000
+
+
+@query(
+    "p05_mix_budget",
+    oracle=f"""
+    WITH t AS (SELECT source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+    avail AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS avail_tokens,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs
+              FROM t GROUP BY source),
+    tot AS (SELECT COUNT(*) AS n_sources FROM avail)
+    SELECT source, n_docs, avail_tokens,
+           ROUND({_MIX_BUDGET} * 1.0 / n_sources, 6) AS target_tokens,
+           ROUND(LEAST(1.0, ({_MIX_BUDGET} * 1.0 / n_sources)
+                            / avail_tokens), 6) AS keep_frac,
+           CAST(round(avail_tokens
+                      * LEAST(1.0, ({_MIX_BUDGET} * 1.0 / n_sources)
+                                   / avail_tokens)) AS BIGINT) AS kept_tokens,
+           CAST(GREATEST(0, CAST(round(({_MIX_BUDGET} * 1.0 / n_sources)
+                                       - avail_tokens) AS BIGINT))
+                AS BIGINT) AS shortfall_tokens
+    FROM avail CROSS JOIN tot
+    ORDER BY source
+    """,
+)
+def p05_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix budget allocation: split a global token budget
+    uniformly across source strata, cap each stratum at what it has,
+    and report per-stratum keep fraction + shortfall — the planning
+    step that feeds p04's sampler its rates.
+
+    Scale: one two-phase aggregate builds the per-stratum availability
+    table (|strata| rows), the stratum count arrives as a broadcast
+    scalar (BroadcastNestedLoopJoin of a 1-row relation — the W1
+    share-of-total pattern, no single-partition window), and every
+    output column is arithmetic over those rows. Nothing rescans the
+    corpus: at 100 TB the mix plan is a metadata-sized computation."""
+    docs = load_table(spark, sf_dir, "documents")
+    avail = (
+        docs.select(
+            "source",
+            F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("avail_tokens"),
+        )
+    )
+    tot = avail.agg(F.count(F.lit(1)).alias("n_sources"))
+    target = F.lit(_MIX_BUDGET) * F.lit(1.0) / F.col("n_sources")
+    keep = F.least(F.lit(1.0), target / F.col("avail_tokens"))
+    return (
+        avail.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "avail_tokens",
+            F.round(target, 6).alias("target_tokens"),
+            F.round(keep, 6).alias("keep_frac"),
+            F.round(F.col("avail_tokens") * keep)
+            .cast("long")
+            .alias("kept_tokens"),
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.round(target - F.col("avail_tokens")).cast("long"),
+            ).alias("shortfall_tokens"),
+        )
+        .orderBy("source")
+    )

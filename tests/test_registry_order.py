@@ -39,6 +39,9 @@ _BEYOND_WINDOW_OK = {
     # streaming via f01–f05 in-window; f07's join is stateless (batch
     # broadcast per micro-batch) and its aggregation shape is f01's.
     "f07_stream_static_enrichment",
+    # pipeline via p01 in-window; p05 is metadata-sized arithmetic over
+    # the W1 broadcast-scalar pattern (both in-window: a03, b13).
+    "p05_mix_budget",
 }
 
 
