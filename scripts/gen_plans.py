@@ -72,6 +72,28 @@ ANNOTATED = {
         "Arrow-batched scoring: single MapInPandas over the candidate "
         "scan, then one top-k window shuffle."
     ),
+    "c09_semantic_dedup": (
+        "SemDeDup within-cluster prune: the pairwise stage is a true "
+        "equi-join on cid (SortMergeJoin [cid],[cid] with the cosine as "
+        "residual condition) — Σ|cluster|² work, bounded by the "
+        "quantizer's k, never a data column's skew."
+    ),
+    "d05_sq8_topk": (
+        "SQ8: dim-sized min/max stats collected once, quantization as "
+        "literal-folded codegen projection, broadcast query panel, one "
+        "top-k window shuffle — corpus scanned, never shuffled."
+    ),
+    "e07_repetition_metrics": (
+        "Bigram repetition filter: index-transform bigrams in the scan "
+        "projection (length filter pushed as DataFilter, 2-column "
+        "ReadSchema), explode → two linear shuffles with map-side "
+        "partial aggregation — no per-doc quadratic."
+    ),
+    "p03_sequence_packing": (
+        "Packing: running-sum window partitioned by source (parallel per "
+        "stratum, no global window), then a plain two-phase hash "
+        "aggregate on (source, seq_id)."
+    ),
 }
 
 
