@@ -89,6 +89,8 @@ class VersionedTable:
         df: DataFrame,
         dirs_from_prev: list[str],
         partition_by: list[str] | None,
+        operation: str = "WRITE",
+        params: dict | None = None,
     ) -> int:
         """Write ``df`` into the next ``v=N`` dir, then commit a version
         whose dir list is ``dirs_from_prev + [v=N]``.
@@ -109,6 +111,29 @@ class VersionedTable:
                 "version": version,
                 "committed_at": time.time(),
                 "dirs": [*dirs_from_prev, f"v={version}"],
+                "operation": operation,
+                **({"params": params} if params else {}),
+            }
+        )
+        manifest["current"] = version
+        self._write_manifest(manifest)
+        return version
+
+    def _commit_dirs(
+        self, dirs: list[str], operation: str, params: dict | None = None
+    ) -> int:
+        """Commit a new version that only re-points at EXISTING data
+        directories — a metadata-only transaction (no bytes move), the
+        mechanism behind RESTORE."""
+        manifest = self.manifest()
+        version = manifest["current"] + 1
+        manifest["versions"].append(
+            {
+                "version": version,
+                "committed_at": time.time(),
+                "dirs": list(dirs),
+                "operation": operation,
+                **({"params": params} if params else {}),
             }
         )
         manifest["current"] = version
@@ -124,7 +149,7 @@ class VersionedTable:
         """Commit ``df`` as the next version (full snapshot: the new
         version references only the new directory); returns the version
         number."""
-        return self._commit(df, [], partition_by)
+        return self._commit(df, [], partition_by, operation="WRITE")
 
     def append(self, df: DataFrame, partition_by: list[str] | None = None) -> int:
         """Append ``df`` as the next version WITHOUT rewriting existing
@@ -135,7 +160,80 @@ class VersionedTable:
         manifest = self.manifest()
         prev = [v for v in manifest["versions"] if v["version"] == manifest["current"]]
         prev_dirs = self._dirs_of(prev[0]) if prev else []
-        return self._commit(df, prev_dirs, partition_by)
+        return self._commit(df, prev_dirs, partition_by, operation="APPEND")
+
+    # -- history / restore / optimize ---------------------------------------
+    def history(self) -> list[dict]:
+        """Delta's ``DESCRIBE HISTORY``: one row per version, newest
+        first — version, commit timestamp, operation, referenced-dir
+        count, and any operation params (e.g. RESTORE's source
+        version). Pure manifest read: no data touched."""
+        return [
+            {
+                "version": v["version"],
+                "committed_at": v["committed_at"],
+                "operation": v.get("operation", "WRITE"),
+                "n_dirs": len(self._dirs_of(v)),
+                **({"params": v["params"]} if "params" in v else {}),
+            }
+            for v in sorted(
+                self.manifest()["versions"],
+                key=lambda v: v["version"],
+                reverse=True,
+            )
+        ]
+
+    def restore(self, version: int) -> int:
+        """Delta's ``RESTORE TABLE ... TO VERSION AS OF``: commit a NEW
+        version whose dir list is the target version's — a
+        metadata-only rollback (no data copied, history preserved, the
+        bad version stays inspectable). Returns the new version."""
+        manifest = self.manifest()
+        live = {v["version"]: v for v in manifest["versions"]}
+        if version not in live:
+            raise ValueError(
+                f"version {version} not available (have {sorted(live)})"
+            )
+        return self._commit_dirs(
+            self._dirs_of(live[version]),
+            operation="RESTORE",
+            params={"restored_from": version},
+        )
+
+    def optimize(
+        self,
+        spark: SparkSession,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> int:
+        """Delta's ``OPTIMIZE`` as a versioned transaction: read the
+        current version, rewrite it as ``ceil(bytes / target)`` balanced
+        files into a fresh dir, and commit a version referencing ONLY
+        that dir. Unlike the standalone :func:`compact` (which swaps a
+        plain directory in place), time travel is preserved — prior
+        versions still reference the un-compacted dirs until
+        :meth:`vacuum` reclaims them, exactly Delta's
+        OPTIMIZE-then-VACUUM lifecycle. An append-heavy table (every
+        micro-batch a new dir of small files) degrades every scan;
+        this is the maintenance op that pays that debt back."""
+        manifest = self.manifest()
+        cur = [
+            v for v in manifest["versions"] if v["version"] == manifest["current"]
+        ]
+        if not cur:
+            raise ValueError("cannot optimize an empty table")
+        total = sum(
+            dir_stats(os.path.join(self.root, d))[1]
+            for d in self._dirs_of(cur[0])
+        )
+        target_files = max(1, math.ceil(total / target_file_bytes))
+        df = self.read(spark).repartition(target_files)
+        return self._commit(
+            df,
+            [],
+            None,
+            operation="OPTIMIZE",
+            params={"target_files": target_files},
+        )
 
     # -- read (time travel) -------------------------------------------------
     def read(

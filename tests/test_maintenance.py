@@ -233,3 +233,59 @@ def test_merge_upsert_schema_merge(spark, nation, tmp_path):
     assert cur.count() == nation.count()
     assert cur.filter(F.col("flagged")).count() == 2
     assert cur.filter(F.col("flagged").isNull()).count() == nation.count() - 2
+
+
+def test_history_records_operations(spark, nation, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(nation.filter(F.col("n_nationkey") < 5))
+    t.append(nation.filter(F.col("n_nationkey") >= 5))
+    t.restore(0)
+    h = t.history()
+    assert [e["version"] for e in h] == [2, 1, 0]  # newest first
+    assert [e["operation"] for e in h] == ["RESTORE", "APPEND", "WRITE"]
+    assert h[0]["params"] == {"restored_from": 0}
+    assert all(e["committed_at"] > 0 for e in h)
+
+
+def test_restore_is_metadata_only_rollback(spark, nation, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(nation.filter(F.col("n_nationkey") < 5))
+    t.append(nation.filter(F.col("n_nationkey") >= 5))
+    before = {d for d in os.listdir(t.root) if d.startswith("v=")}
+    new_v = t.restore(0)
+    # no new data directory: the restore commit re-points at v=0's dirs
+    assert {d for d in os.listdir(t.root) if d.startswith("v=")} == before
+    assert t.read(spark).count() == 5  # current == the restored snapshot
+    assert t.read(spark, version=1).count() == nation.count()  # kept
+    assert new_v == 2
+
+
+def test_restore_unknown_version_raises(spark, nation, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(nation)
+    with pytest.raises(ValueError, match="not available"):
+        t.restore(7)
+
+
+def test_optimize_preserves_time_travel(spark, nation, tmp_path):
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(nation.filter(F.col("n_nationkey") < 5))
+    for lo, hi in ((5, 10), (10, 15), (15, 25)):
+        t.append(
+            nation.filter((F.col("n_nationkey") >= lo) & (F.col("n_nationkey") < hi))
+        )
+    rows = t.read(spark).count()
+    dirs_of_current = len(t.manifest()["versions"][-1]["dirs"])
+    assert dirs_of_current == 4  # append chain: 4 referenced dirs
+    v = t.optimize(spark)
+    h = t.history()[0]
+    assert h["operation"] == "OPTIMIZE"
+    # compacted current: same rows, ONE referenced dir, balanced files
+    cur = [e for e in t.manifest()["versions"] if e["version"] == v][0]
+    assert len(cur["dirs"]) == 1
+    assert t.read(spark).count() == rows
+    # prior versions still resolve (un-compacted dirs retained)
+    assert t.read(spark, version=0).count() == 5
+    # vacuum reclaims the superseded append dirs, current survives
+    t.vacuum(keep=1)
+    assert t.read(spark).count() == rows
