@@ -57,8 +57,16 @@ def _run(spark, name: str, sf_dir: str) -> float:
 
 
 #: Tracked but NOT in the headline total (kept stable round-to-round):
-#: a real checkpointed streaming drain and the Arrow/pandas feature path.
-EXTRA = ["f01_streaming_dashboard", "m02_payload_features_pandas"]
+#: a real checkpointed streaming drain, the Arrow/pandas feature path,
+#: and (round 3+) the newest extension ops so their perf is on record
+#: without disturbing the headline curve.
+EXTRA = [
+    "f01_streaming_dashboard",
+    "m02_payload_features_pandas",
+    "e07_repetition_metrics",
+    "c09_semantic_dedup",
+    "p03_sequence_packing",
+]
 
 
 def main() -> None:

@@ -192,3 +192,60 @@ def m04_resize_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("height"),
     )
     return resize_metadata(media, max_dim=128).orderBy("media_id")
+
+
+@query(
+    "m05_crossmodal_join",
+    oracle="""
+    WITH d AS (SELECT doc_id, lang,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+    e AS (SELECT vec_id, label,
+                 sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                              x -> x * x))) AS vnorm
+          FROM embeddings)
+    SELECT d.lang, e.label,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(d.n_tokens) AS BIGINT) AS total_tokens,
+           CAST(SUM(CAST(e.vnorm AS DECIMAL(25,6))) AS DOUBLE) AS total_norm
+    FROM d JOIN e ON e.vec_id = d.doc_id
+    GROUP BY d.lang, e.label
+    ORDER BY d.lang, e.label
+    """,
+)
+def m05_crossmodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal alignment join: the text table and the embedding
+    table co-keyed on document id, rolled up per (lang, label) with
+    token totals and exact-decimal vector-norm totals — the join every
+    multimodal training pipeline runs to marry captions/transcripts to
+    their media embeddings.
+
+    Scale: an equi-join of two co-keyed modality tables — written with
+    the same key layout (bucketed/partitioned on id, the b30 machinery)
+    it is exchange-free; here AQE picks the plan. The norm is a
+    codegen'd higher-order fold (bit-identical to the oracle's linear
+    list_sum, as d01 proves for cosine), and its SUM accumulates in
+    decimal (dsum rule) so the rollup is partition-order-independent."""
+    from ..functions.aggregates import dsum
+    from ..functions.vectors import as_double, norm
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        norm(as_double(F.col("embedding"))).alias("vnorm"),
+    )
+    return (
+        docs.join(emb, docs.doc_id == emb.vec_id)
+        .groupBy("lang", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            dsum("vnorm", "total_norm"),
+        )
+        .orderBy("lang", "label")
+    )

@@ -398,3 +398,107 @@ def p05_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# p06 — benchmark-contamination check (eval-panel n-gram overlap)
+# ---------------------------------------------------------------------------
+#: Held-out "benchmark" panel = doc_id < _EVAL_N; everything else is the
+#: training corpus. A train document contaminates an eval document when
+#: they share a 5-gram — the standard n-gram decontamination screen run
+#: before every LLM training job (GPT-3 App. C / PaLM style, with the
+#: n-gram order shrunk to the fixture's short texts).
+_EVAL_N = 25
+_CONTAM_N = 5
+
+
+@query(
+    "p06_contamination_check",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id,
+                 list_distinct(CASE WHEN len(toks) < {_CONTAM_N}
+                      THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(range(1, len(toks) - {_CONTAM_N - 2}),
+                                          i -> array_to_string(
+                                              toks[i:i+{_CONTAM_N - 1}], ' '))
+                      END) AS gs
+          FROM t),
+    ev AS (SELECT doc_id AS eval_doc, gs FROM s WHERE doc_id < {_EVAL_N}),
+    evs AS (SELECT eval_doc, CAST(len(gs) AS BIGINT) AS n_grams FROM ev),
+    evg AS (SELECT eval_doc, unnest(gs) AS g FROM ev),
+    trg AS (SELECT doc_id AS train_doc, unnest(gs) AS g FROM s
+            WHERE doc_id >= {_EVAL_N}),
+    hits AS (SELECT evg.eval_doc,
+                    COUNT(DISTINCT evg.g) AS n_hit_grams,
+                    COUNT(DISTINCT trg.train_doc) AS n_train_docs
+             FROM trg JOIN evg ON trg.g = evg.g
+             GROUP BY evg.eval_doc)
+    SELECT evs.eval_doc, evs.n_grams,
+           CAST(COALESCE(hits.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
+           CAST(COALESCE(hits.n_train_docs, 0) AS BIGINT) AS n_train_docs,
+           CASE WHEN evs.n_grams = 0 THEN 0.0
+                ELSE ROUND(COALESCE(hits.n_hit_grams, 0) * 1.0
+                           / evs.n_grams, 6) END AS contamination_frac
+    FROM evs LEFT JOIN hits ON hits.eval_doc = evs.eval_doc
+    ORDER BY evs.eval_doc
+    """,
+)
+def p06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: for each eval-panel document, how much
+    of its distinct 5-gram set also occurs in the training corpus, and
+    how many train documents touch it.
+
+    Scale design: the eval panel is BOUNDED (a benchmark suite is
+    thousands of docs, not billions), so its exploded gram set is
+    broadcast and the 100-TB train side streams through a map-side hash
+    join — the big side is never shuffled and never re-scanned. The
+    per-eval-doc rollup aggregates the join output (distinct grams /
+    distinct train docs), 2-phase like any countDistinct. Output volume
+    is linear in matching train rows — no pair expansion exists in this
+    shape (contrast c04, which must enumerate doc PAIRS)."""
+    docs = load_table(spark, sf_dir, "documents")
+    grams = F.array_distinct(
+        F.expr(
+            f"CASE WHEN size(split(text, ' ')) < {_CONTAM_N} THEN array() "
+            f"ELSE transform(sequence(0, size(split(text, ' ')) - {_CONTAM_N}), "
+            f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {_CONTAM_N}))) "
+            "END"
+        )
+    )
+    g = docs.select("doc_id", grams.alias("gs"))
+    ev = g.filter(F.col("doc_id") < _EVAL_N)
+    ev_sz = ev.select(
+        F.col("doc_id").alias("eval_doc"), F.size("gs").cast("long").alias("n_grams")
+    )
+    ev_g = ev.select(F.col("doc_id").alias("eval_doc"), F.explode("gs").alias("g"))
+    tr_g = g.filter(F.col("doc_id") >= _EVAL_N).select(
+        F.col("doc_id").alias("train_doc"), F.explode("gs").alias("g")
+    )
+    hits = (
+        tr_g.join(F.broadcast(ev_g), "g")
+        .groupBy("eval_doc")
+        .agg(
+            F.countDistinct("g").alias("n_hit_grams"),
+            F.countDistinct("train_doc").alias("n_train_docs"),
+        )
+    )
+    return (
+        ev_sz.join(hits, "eval_doc", "left")
+        .select(
+            "eval_doc",
+            "n_grams",
+            F.coalesce("n_hit_grams", F.lit(0)).cast("long").alias("n_hit_grams"),
+            F.coalesce("n_train_docs", F.lit(0)).cast("long").alias("n_train_docs"),
+            F.when(F.col("n_grams") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.coalesce("n_hit_grams", F.lit(0)) * F.lit(1.0)
+                    / F.col("n_grams"),
+                    6,
+                )
+            )
+            .alias("contamination_frac"),
+        )
+        .orderBy("eval_doc")
+    )

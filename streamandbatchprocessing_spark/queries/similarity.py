@@ -13,6 +13,8 @@ higher-order fold over array<double>.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -371,27 +373,29 @@ def _integer_kmeans(ei: DataFrame) -> tuple[list, DataFrame]:
     collect per round. Returns (final centroids, assignment DF
     ``(vec_id, cid)``); shared by d04 (IVF probe) and c09 (SemDeDup)."""
 
-    def lit_vec(ints):
-        return F.array(*[F.lit(int(x)).cast("long") for x in ints])
-
-    def dist_to(civ):
-        return F.aggregate(
-            F.zip_with(F.col("iv"), lit_vec(civ), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-
     def assign(centroids):
-        scored = ei.select(
-            "vec_id", "iv",
-            *[dist_to(civ).alias(f"d{cid}") for cid, civ in centroids],
-        )
-        best = F.least(*[F.col(f"d{cid}") for cid, _ in centroids])
-        expr = None
-        for cid, _ in centroids:  # ascending cid → min-cid tie-break
-            cond = F.col(f"d{cid}") == best
-            expr = F.when(cond, cid) if expr is None else expr.when(cond, cid)
-        return scored.select("vec_id", "iv", expr.alias("cid"))
+        # Vectorized Arrow assignment — the 100-TB hot path. A Catalyst
+        # HOF fold interprets (~45 µs/call; it dominated the pass), and
+        # expanding k·dim scalar terms into codegen blows the janino
+        # compiler up at dim=64 (k×dim×argmin re-inlining ⇒ driver OOM).
+        # Instead: broadcast the k·dim centroid matrix in the UDF
+        # closure and let numpy do exact int64 (x−c)² batch argmin —
+        # SIMD over Arrow batches, no per-row Python. np.argmin takes
+        # the FIRST minimum and `centroids` is cid-ascending, so the
+        # tie-break is min-cid, matching the oracle. |d²| ≤ dim·(2·10⁶)²
+        # ≈ 2.6e14 ≪ 2⁶³ — int64-exact, no overflow.
+        C = np.array([civ for _, civ in centroids], dtype=np.int64)
+        cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+
+        @F.pandas_udf("long")
+        def best_cid(iv: pd.Series) -> pd.Series:
+            if len(iv) == 0:
+                return pd.Series([], dtype="int64")
+            X = np.array(iv.tolist(), dtype=np.int64)  # (n, dim)
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            return pd.Series(cids[np.argmin(d2, axis=1)])
+
+        return ei.select("vec_id", "iv", best_cid("iv").alias("cid"))
 
     init = {
         r["vec_id"]: list(r["iv"])
@@ -524,17 +528,44 @@ def c09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same property c05 gets from sign buckets. Reuses d04's deterministic
     integer k-means (one implementation, two operators — exactly how a
     production pipeline amortizes its quantizer)."""
+    from ..functions.vectors import dot_fixed, norm_fixed
+
     base, ei = _quantized_vectors(spark, sf_dir)
-    _, final_assign = _integer_kmeans(ei)
-    w = final_assign.join(base, "vec_id").select("vec_id", "cid", "v")
-    a, b = w.alias("a"), w.alias("b")
+    centroids, final_assign = _integer_kmeans(ei)
+    dim = len(centroids[0][1])
+    # Materialize each vector's norm ONCE here: the pairwise filter then
+    # costs one codegen'd dot (dim is plan-known → dot_fixed, no
+    # interpreted HOF) per candidate — dot/(n_a·n_b) is the IDENTICAL
+    # arithmetic tree to cosine(), with the sqrt(Σx²) factors computed
+    # per vector, not per pair.
+    w = final_assign.join(base, "vec_id").select(
+        "vec_id", "cid", "v", norm_fixed(F.col("v"), dim).alias("n")
+    )
+    # Salt the within-cluster join: an equi-join on cid alone has at
+    # most k non-empty partitions, so with k « cores most executors sit
+    # idle while each cluster's quadratic runs single-threaded. Salting
+    # the b side by vec_id and replicating the a side across the salt
+    # domain (the b12 replicated-salt pattern) raises parallelism to
+    # k·_SEM_SALT with identical pair coverage.
+    _SEM_SALT = 8
+    a = (
+        w.withColumn(
+            "salt", F.explode(F.sequence(F.lit(0), F.lit(_SEM_SALT - 1)))
+        )
+    ).alias("a")
+    b = w.withColumn("salt", F.pmod("vec_id", F.lit(_SEM_SALT))).alias("b")
     losers = (
         a.join(
             b,
             (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.salt") == F.col("b.salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cosine(F.col("a.v"), F.col("b.v")) >= _SEM_TAU)
+        .filter(
+            dot_fixed(F.col("a.v"), F.col("b.v"), dim)
+            / (F.col("a.n") * F.col("b.n"))
+            >= _SEM_TAU
+        )
         .select(F.col("b.vec_id").alias("vec_id"))
         .distinct()
         .withColumn("dropped", F.lit(1))

@@ -399,8 +399,12 @@ def e07_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     no text ops; family justified by SURVEY §2-ext (training-data
     pipeline)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split("text", " ")
-    base = docs.select(
+    # Project the token array ONCE before consuming it: inlined, the
+    # split() re-executes inside every element_at of the bigram lambda
+    # (~2·len splits per doc — measured 5.1 s vs 0.5 s at sf0.1, the
+    # round-2 no-CSE gotcha in by-index HOF form).
+    toks = F.col("toks")
+    base = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
         F.round(
@@ -414,7 +418,16 @@ def e07_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bigrams"),
     ).filter(F.col("n_tokens") >= 2)
     per_bigram = (
-        base.select("doc_id", "n_tokens", "dup_token_frac", F.explode("bigrams").alias("g"))
+        # explode_outer, deliberately: plain explode plants an implicit
+        # size(bigrams)>0 filter that pushdown rewrites into the SCAN
+        # with the whole bigram transform inlined — re-tokenizing every
+        # row twice (measured 3.7 s → 0.9 s at sf0.1). Outer explode
+        # generates no such filter; bigrams are never empty here because
+        # n_tokens >= 2 already gates the row.
+        base.select(
+            "doc_id", "n_tokens", "dup_token_frac",
+            F.explode_outer("bigrams").alias("g"),
+        )
         .groupBy("doc_id", "n_tokens", "dup_token_frac", "g")
         .agg(F.count(F.lit(1)).alias("c"))
     )

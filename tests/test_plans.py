@@ -233,6 +233,9 @@ _BOUNDED_BROADCAST_OK = {
     "d02_ivf_bucket_ann",
     "d03_topk_pandas_vectorized",
     "d04_ivf_kmeans_ann",
+    "d05_sq8_topk",
+    # p06 broadcasts the eval panel's exploded gram set (doc_id < K).
+    "p06_contamination_check",
 }
 
 

@@ -42,6 +42,12 @@ _BEYOND_WINDOW_OK = {
     # pipeline via p01 in-window; p05 is metadata-sized arithmetic over
     # the W1 broadcast-scalar pattern (both in-window: a03, b13).
     "p05_mix_budget",
+    # multimodal via m01–m04 in-window; m05's join/agg shapes are b03's
+    # and the norm fold is d01's (both in-window).
+    "m05_crossmodal_join",
+    # pipeline via p01 in-window; p06 is c04's shingle machinery (in-
+    # window) over a broadcast panel join (d01's shape, in-window).
+    "p06_contamination_check",
 }
 
 
