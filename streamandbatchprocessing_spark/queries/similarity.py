@@ -404,11 +404,46 @@ def _integer_kmeans(ei: DataFrame) -> tuple[list, DataFrame]:
     centroids = [(cid, init[cid]) for cid in sorted(init)]
 
     for _ in range(_IVF_ITERS):
+        # One vectorized pass per round: mapInPandas assigns each batch
+        # AND reduces it to per-(cluster, dim) partial integer sums, so
+        # the shuffle carries k·dim rows per partition instead of the
+        # n·dim posexplode stream, and the round is a single Python
+        # stage (assign-then-shuffle-the-explosion measured ~6× slower).
+        # int64 partial sums + Spark SUM = associative exact integer
+        # arithmetic — partitioning cannot change the result.
+        C = np.array([civ for _, civ in centroids], dtype=np.int64)
+        cids_arr = np.array([cid for cid, _ in centroids], dtype=np.int64)
+
+        def partial_sums(it, C=C, cids_arr=cids_arr):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = np.array(pdf["iv"].tolist(), dtype=np.int64)
+                idx = np.argmin(
+                    ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1
+                )
+                frames = []
+                for i, c in enumerate(cids_arr):
+                    m = X[idx == i]
+                    if len(m):
+                        frames.append(
+                            pd.DataFrame(
+                                {
+                                    "cid": int(c),
+                                    "pos": np.arange(X.shape[1]),
+                                    "s": m.sum(axis=0),
+                                    "n": len(m),
+                                }
+                            )
+                        )
+                if frames:
+                    yield pd.concat(frames, ignore_index=True)
+
         sums = (
-            assign(centroids)
-            .select("cid", F.posexplode("iv").alias("pos", "val"))
+            ei.select("iv")
+            .mapInPandas(partial_sums, "cid long, pos long, s long, n long")
             .groupBy("cid", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("s").alias("s"), F.sum("n").alias("n"))
             .collect()  # bounded: k·dim rows — the MLlib reduce pattern
         )
         upd: dict[int, dict[int, int]] = {}
@@ -528,19 +563,38 @@ def c09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same property c05 gets from sign buckets. Reuses d04's deterministic
     integer k-means (one implementation, two operators — exactly how a
     production pipeline amortizes its quantizer)."""
-    from ..functions.vectors import dot_fixed, norm_fixed
+    from ..functions.vectors import norm_fixed
 
     base, ei = _quantized_vectors(spark, sf_dir)
     centroids, final_assign = _integer_kmeans(ei)
     dim = len(centroids[0][1])
-    # Materialize each vector's norm ONCE here: the pairwise filter then
-    # costs one codegen'd dot (dim is plan-known → dot_fixed, no
-    # interpreted HOF) per candidate — dot/(n_a·n_b) is the IDENTICAL
-    # arithmetic tree to cosine(), with the sqrt(Σx²) factors computed
-    # per vector, not per pair.
-    w = final_assign.join(base, "vec_id").select(
-        "vec_id", "cid", "v", norm_fixed(F.col("v"), dim).alias("n")
+    # Materialize each vector's norm ONCE (codegen'd scalar chain); the
+    # pairwise stage then needs only the cross dot per candidate.
+    # persist_tracked: both self-join sides read w — uncached, the whole
+    # assignment subtree (incl. the Arrow UDF pass) would run twice.
+    w = persist_tracked(
+        final_assign.join(base, "vec_id").select(
+            "vec_id", "cid", "v", norm_fixed(F.col("v"), dim).alias("n")
+        )
     )
+
+    # The cross dot runs as an Arrow pandas UDF, NOT a Catalyst
+    # expression: a JVM expression here gets pushed INTO the join
+    # condition, where the fold interprets at ~45 µs/pair (11 s for the
+    # 250 k-pair fixture). Catalyst cannot push Python UDFs into join
+    # conditions — it extracts them to a vectorized post-join stage, so
+    # numpy does one (batch × dim) multiply-reduce per Arrow batch.
+    # Summation order differs from the oracle's sequential loop only at
+    # ~1e-16 relative error; the nearest pair sits ~4e-5 from τ
+    # (measured at sf0.01 and sf0.1), so the threshold decision is
+    # order-independent in any float64 implementation.
+    @F.pandas_udf("double")
+    def pair_dot(av: pd.Series, bv: pd.Series) -> pd.Series:
+        if len(av) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.array(av.tolist(), dtype=np.float64)
+        B = np.array(bv.tolist(), dtype=np.float64)
+        return pd.Series((A * B).sum(axis=1))
     # Salt the within-cluster join: an equi-join on cid alone has at
     # most k non-empty partitions, so with k « cores most executors sit
     # idle while each cluster's quadratic runs single-threaded. Salting
@@ -562,7 +616,7 @@ def c09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .filter(
-            dot_fixed(F.col("a.v"), F.col("b.v"), dim)
+            pair_dot(F.col("a.v"), F.col("b.v"))
             / (F.col("a.n") * F.col("b.n"))
             >= _SEM_TAU
         )

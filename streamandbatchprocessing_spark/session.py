@@ -50,6 +50,14 @@ def build_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Split small files finer than the 4 MB default pretends they
+        # cost: at 100 TB the bytes/parallelism term dominates the split
+        # formula so this is scale-neutral, while multi-file local dirs
+        # parallelize better (~5% on the scan-bound queries). NOTE: the
+        # sf* fixtures are single-row-group parquet, so a single file's
+        # scan stays 1 task no matter the split size — that ceiling is a
+        # fixture artifact, not a plan property.
+        .config("spark.sql.files.openCostInBytes", str(1024 * 1024))
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
         .config("spark.sql.streaming.stateStore.providerClass",
                 "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider")
