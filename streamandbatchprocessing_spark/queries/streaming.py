@@ -413,3 +413,70 @@ def f07_stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = run_to_memory(agg, output_mode="complete", name_prefix="f07_enrich")
     return result.orderBy("segment", "event_type")
+
+
+@query(
+    "f08_stream_left_outer_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           p.user_id
+    FROM events p
+    LEFT JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 5 MINUTE
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    ORDER BY purchase_id, click_id
+    """,
+)
+def f08_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream interval join — f05's inner join plus
+    the null-padded row for every purchase with NO click in its trailing
+    5 minutes (the attribution query's "unattributed conversions" side).
+
+    Outer emission is watermark-driven: a purchase's null row may only
+    be emitted once the watermark proves no qualifying click can still
+    arrive, and emission happens in a batch AFTER the watermark advance.
+    On finite input that means the tail would be withheld forever, so
+    the source is staged with sentinel files (see
+    ``events_stream_staged``): batch 2 advances both branch watermarks
+    past all real events, batch 3 flushes every expired left row. State
+    stays bounded by rate × (watermark + interval) exactly as in f05 —
+    the outer variant adds no state, only deferred emission. Sentinel
+    rows carry ``user_id = -1`` and are dropped from the result."""
+    from ..streaming.pipeline import events_stream_staged, run_to_memory
+
+    stream = events_stream_staged(spark, sf_dir)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "leftOuter",
+    )
+    result = run_to_memory(joined, output_mode="append", name_prefix="f08_ssloj")
+    return (
+        result.filter(F.col("user_id") >= 0)
+        .select("purchase_id", "click_id", "user_id")
+        .orderBy("purchase_id", "click_id")
+    )

@@ -448,3 +448,87 @@ def e07_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("dup_token_frac") > _DUP_TOKEN_MAX_FRAC)
         ).alias("repetitive"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# e08 — TF-IDF top terms per source (corpus vocabulary profile)
+# ---------------------------------------------------------------------------
+#: Smoothed IDF (sklearn's formula): ln((N + 1) / (df + 1)) + 1. Scores
+#: are ranked AFTER rounding to 6 decimals so an engine's last-ulp ln()
+#: difference cannot reorder the ranking.
+_TFIDF_TOPN = 5
+
+
+@query(
+    "e08_tfidf_terms",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS term
+               FROM documents),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    df AS (SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM t
+           GROUP BY term),
+    tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t
+           GROUP BY source, term),
+    scored AS (SELECT tf.source, tf.term, tf.tf, df.df,
+                      ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0),
+                            6) AS score
+               FROM tf JOIN df ON df.term = tf.term CROSS JOIN n)
+    SELECT source, term, tf, df, score, CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY score DESC, term) AS rank
+          FROM scored)
+    WHERE rank <= {_TFIDF_TOPN}
+    ORDER BY source, rank
+    """,
+)
+def e08_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF profile: the ``_TFIDF_TOPN`` most source-distinctive terms
+    per source (term frequency within the source × smoothed inverse
+    document frequency across the corpus) — the classic vocabulary
+    fingerprint a corpus audit runs per data source.
+
+    Scale: two linear aggregations over the exploded token stream (tf
+    keyed by (source, term), df keyed by term — each one shuffle with
+    map-side partial aggregation), joined on term; the corpus size N is
+    a broadcast scalar (W1 pattern), never a recomputation. The top-k
+    window partitions by source, so no global sort touches the full
+    vocabulary. Ranking compares ROUND(score, 6) — engine-identical —
+    not raw ln() doubles."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("term")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    df = t.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = t.groupBy("source", "term").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    scored = (
+        tf.join(df, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "term",
+            "tf",
+            F.col("df").cast("long").alias("df"),
+            F.round(
+                F.col("tf")
+                * (
+                    F.log(
+                        (F.col("n_docs") + F.lit(1.0))
+                        / (F.col("df") + F.lit(1.0))
+                    )
+                    + F.lit(1.0)
+                ),
+                6,
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _TFIDF_TOPN)
+        .orderBy("source", "rank")
+    )

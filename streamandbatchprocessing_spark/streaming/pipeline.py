@@ -64,6 +64,65 @@ def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
+def events_stream_staged(
+    spark: SparkSession, sf_dir: str, n_sentinels: int = 2
+) -> DataFrame:
+    """Streaming read of the events fixture staged for OUTER-join /
+    eviction semantics on finite input.
+
+    The fixture is a single parquet file, so ``availableNow`` drains it
+    in ONE micro-batch — and outer-join results (and any
+    watermark-expiry output) are only emitted in a batch AFTER the
+    watermark has advanced past a row's expiry, so on a 1-batch drain
+    they would be withheld forever. Staging copies the fixture into a
+    temp dir alongside ``n_sentinels`` far-future sentinel files and
+    reads with ``maxFilesPerTrigger=1``: batch 1 = the data, batch 2
+    advances every branch's watermark past all real event times, batch 3
+    flushes the expired state. Each sentinel carries one 'purchase' AND
+    one 'click' row (``user_id = -1``) because watermarks are tracked
+    per branch and the GLOBAL watermark is their minimum — a
+    click-only sentinel would stall the purchase branch. Callers must
+    drop ``user_id < 0`` rows from the result."""
+    import shutil
+    import time as _time
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    stage = tempfile.mkdtemp(prefix="sbp-staged-events-")
+    src = os.path.join(sf_dir, "events.parquet")
+    dst = os.path.join(stage, "00-events.parquet")
+    shutil.copyfile(src, dst)
+    mx = pc.max(pq.read_table(src, columns=["ts"])["ts"]).as_py()
+    mx_ns = int(mx.value if hasattr(mx, "value") else mx)
+    base = _time.time()
+    os.utime(dst, (base - 30, base - 30))
+    day_ns = 86_400 * 1_000_000_000
+    for i in range(n_sentinels):
+        ts_val = mx_ns + (i + 1) * day_ns
+        tbl = pa.table(
+            {
+                "event_id": pa.array([-2 * i - 1, -2 * i - 2], pa.int64()),
+                "ts": pa.array([ts_val, ts_val], pa.timestamp("ns")),
+                "user_id": pa.array([-1, -1], pa.int64()),
+                "event_type": pa.array(["purchase", "click"]),
+                "value": pa.array([0.0, 0.0], pa.float64()),
+                "props": pa.array(["{}", "{}"]),
+            }
+        )
+        path = os.path.join(stage, f"{i + 1:02d}-sentinel.parquet")
+        pq.write_table(tbl, path)
+        os.utime(path, (base - 20 + 10 * i, base - 20 + 10 * i))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw = (
+        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def run_to_memory(
     df: DataFrame,
     output_mode: str = "complete",

@@ -48,6 +48,12 @@ _BEYOND_WINDOW_OK = {
     # pipeline via p01 in-window; p06 is c04's shingle machinery (in-
     # window) over a broadcast panel join (d01's shape, in-window).
     "p06_contamination_check",
+    # text via e01–e06 in-window; e08 composes in-window shapes only
+    # (explode-agg = e01, broadcast scalar = a03, top-k window = b08).
+    "e08_tfidf_terms",
+    # streaming via f01–f05 in-window; f08 is f05's interval join with
+    # outer emission — the state machinery is identical.
+    "f08_stream_left_outer_join",
 }
 
 
