@@ -115,3 +115,64 @@ def test_e07_flags_repetitive_corpus_subset(spark, sf_dir):
         for r in QUERIES["e07_repetition_metrics"](spark, sf_dir).collect()
     ]
     assert any(flags) and not all(flags)
+
+
+def test_p06_contamination_bounds_and_panel(spark, sf_dir):
+    """One row per eval-panel doc; hit counts bounded by gram counts;
+    frac in [0, 1] and 0 exactly when nothing hit."""
+    from streamandbatchprocessing_spark.queries.pipeline import _EVAL_N
+
+    rows = QUERIES["p06_contamination_check"](spark, sf_dir).collect()
+    assert len(rows) == _EVAL_N
+    assert [r["eval_doc"] for r in rows] == sorted(r["eval_doc"] for r in rows)
+    for r in rows:
+        assert 0 <= r["n_hit_grams"] <= r["n_grams"]
+        assert 0.0 <= r["contamination_frac"] <= 1.0
+        if r["n_hit_grams"] == 0:
+            assert r["contamination_frac"] == 0.0 and r["n_train_docs"] == 0
+        else:
+            assert r["n_train_docs"] >= 1
+
+
+def test_e08_tfidf_topk_shape(spark, sf_dir):
+    """Exactly TOPN ranked rows per source, rank dense from 1, scores
+    non-increasing within a source (ties broken by term ascending)."""
+    from streamandbatchprocessing_spark.queries.textops import _TFIDF_TOPN
+
+    rows = QUERIES["e08_tfidf_terms"](spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        assert [r["rank"] for r in rs] == list(range(1, _TFIDF_TOPN + 1)), src
+        for a, b in zip(rs, rs[1:]):
+            assert a["score"] > b["score"] or (
+                a["score"] == b["score"] and a["term"] < b["term"]
+            ), src
+
+
+def test_f08_outer_rows_complete_the_purchase_set(spark, sf_dir):
+    """The left-outer stream join must emit EVERY purchase exactly once
+    per qualifying click (or once with a null click): its purchase_id
+    multiset equals the inner join's (f05) plus one null row for each
+    purchase f05 left unmatched — proving the watermark flush released
+    the entire withheld tail."""
+    outer = QUERIES["f08_stream_left_outer_join"](spark, sf_dir).collect()
+    inner = QUERIES["f05_stream_stream_join"](spark, sf_dir).collect()
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    purchases = {
+        r["event_id"]
+        for r in load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id")
+        .collect()
+    }
+    assert {r["purchase_id"] for r in outer} == purchases
+    matched_outer = [r for r in outer if r["click_id"] is not None]
+    null_outer = [r for r in outer if r["click_id"] is None]
+    inner_pairs = {(r["purchase_id"], r["click_id"]) for r in inner}
+    assert {(r["purchase_id"], r["click_id"]) for r in matched_outer} == inner_pairs
+    assert {r["purchase_id"] for r in null_outer} == purchases - {
+        p for p, _ in inner_pairs
+    }
