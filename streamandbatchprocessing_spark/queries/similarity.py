@@ -747,3 +747,173 @@ def d05_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# d06 — product quantization + asymmetric distance (ADC) top-k
+# ---------------------------------------------------------------------------
+#: PQ(M=8, ks=16): the 64-dim integer vector is split into 8 subspaces
+#: of 8 dims; each subvector is encoded as the id of its nearest
+#: codeword, so a vector stores as 8 small codes (the FAISS IndexPQ
+#: memory layout — 8 bytes instead of 256). Query scoring is ADC: the
+#: query's EXACT subvectors are compared to each codeword once,
+#: producing an M×ks lookup table, and every candidate's distance is
+#: then M table lookups + adds — no per-candidate vector arithmetic at
+#: all. Codebooks here are SAMPLED (first-``_PQ_KS`` vectors' per-
+#: subspace slices) rather than Lloyd-trained, keeping the whole
+#: operator integer-exact against the oracle; production training would
+#: reuse d04's per-subspace Lloyd machinery unchanged.
+_PQ_M = 8
+_PQ_KS = 16
+_PQ_NQ = 5
+_PQ_TOPK = 10
+
+
+def _pq_oracle() -> str:
+    sd = f"(64 // {_PQ_M})"
+    dist = (
+        "list_sum(list_transform(list_zip({a}, {b}), "
+        "p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    ei AS (SELECT vec_id,
+                  list_transform(v, x -> CAST(round(x * {_IVF_SCALE}) AS BIGINT))
+                      AS iv
+           FROM e),
+    sub AS (SELECT vec_id, r.m,
+                   iv[r.m * {sd} + 1 : r.m * {sd} + {sd}] AS sv
+            FROM ei CROSS JOIN range(0, {_PQ_M}) r(m)),
+    cb AS (SELECT vec_id AS code, m, sv FROM sub WHERE vec_id < {_PQ_KS}),
+    codes AS (SELECT vec_id, m, code FROM (
+        SELECT s.vec_id, s.m, c.code,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                  ORDER BY {dist.format(a='s.sv', b='c.sv')},
+                                           c.code) AS rn
+        FROM sub s JOIN cb c ON c.m = s.m) WHERE rn = 1),
+    lut AS (SELECT q.vec_id AS qid, c.m, c.code,
+                   {dist.format(a='q.sv', b='c.sv')} AS d
+            FROM sub q JOIN cb c ON c.m = q.m
+            WHERE q.vec_id < {_PQ_NQ}),
+    adc AS (SELECT l.qid, co.vec_id AS nid,
+                   CAST(SUM(l.d) AS BIGINT) AS adc_dist
+            FROM codes co JOIN lut l ON l.m = co.m AND l.code = co.code
+            WHERE co.vec_id != l.qid
+            GROUP BY l.qid, co.vec_id)
+    SELECT qid AS query_id, nid AS neighbor_id, adc_dist,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT qid, nid, adc_dist,
+                 ROW_NUMBER() OVER (PARTITION BY qid
+                                    ORDER BY adc_dist, nid) AS rank
+          FROM adc)
+    WHERE rank <= {_PQ_TOPK}
+    ORDER BY query_id, rank
+    """
+
+
+@query("d06_pq_adc_topk", oracle=_pq_oracle())
+def d06_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encoded ANN with ADC scoring (see the module comment above
+    ``_PQ_M``).
+
+    Scale design: encoding is ONE vectorized Arrow pass over the corpus
+    (numpy computes all M argmins per batch against the broadcast
+    codebook tensor); the corpus thereafter exists as M small codes per
+    row. Scoring never touches vectors again — each query contributes an
+    M×ks integer LUT (built on the driver from the BOUNDED query panel,
+    like d04's probe table) that compiles into literal arrays, so the
+    scan does M codegen'd array lookups + adds per (candidate, query)
+    and the top-k window does the rest. All arithmetic is int64 —
+    argmin ties break to the lowest code on both engines (numpy
+    first-min over code-ascending rows; SQL ROW_NUMBER code tiebreak)."""
+    base, ei = _quantized_vectors(spark, sf_dir)
+    cb_rows = sorted(
+        ei.filter(F.col("vec_id") < _PQ_KS).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    dim = len(cb_rows[0]["iv"])
+    sd = dim // _PQ_M
+    # (M, ks, sd) codebook tensor; row order = code order = vec_id order.
+    CB = np.array(
+        [[list(r["iv"])[m * sd : (m + 1) * sd] for r in cb_rows]
+         for m in range(_PQ_M)],
+        dtype=np.int64,
+    )
+
+    def encode(it, CB=CB, sd=sd):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["iv"].tolist(), dtype=np.int64)
+            S = X.reshape(len(X), _PQ_M, sd)
+            codes = np.empty((len(X), _PQ_M), dtype=np.int64)
+            for m in range(_PQ_M):
+                d2 = ((S[:, m, None, :] - CB[m][None, :, :]) ** 2).sum(axis=2)
+                codes[:, m] = np.argmin(d2, axis=1)  # first min = low code
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].values, "codes": list(codes)}
+            )
+
+    coded = ei.select("vec_id", "iv").mapInPandas(
+        encode, "vec_id long, codes array<long>"
+    )
+
+    # Driver-built ADC lookup tables for the bounded query panel: the
+    # query's EXACT subvector vs every codeword, integer L2.
+    q_rows = sorted(
+        ei.filter(F.col("vec_id") < _PQ_NQ).collect(),
+        key=lambda r: r["vec_id"],
+    )
+    luts = {}
+    for r in q_rows:
+        Q = np.array(list(r["iv"]), dtype=np.int64).reshape(_PQ_M, sd)
+        luts[r["vec_id"]] = (
+            ((Q[:, None, :] - CB) ** 2).sum(axis=2)  # (M, ks)
+        )
+
+    def adc_expr(qid):
+        lut_lit = F.array(
+            *[
+                F.array(
+                    *[F.lit(int(d)).cast("long") for d in luts[qid][m]]
+                )
+                for m in range(_PQ_M)
+            ]
+        )
+        acc = F.lit(0).cast("long")
+        for m in range(_PQ_M):
+            acc = acc + F.element_at(
+                F.element_at(lut_lit, m + 1),
+                (F.element_at("codes", m + 1) + 1).cast("int"),
+            )
+        return acc
+
+    scored = coded.select(
+        F.col("vec_id").alias("nid"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(int(q)).cast("long").alias("qid"),
+                        adc_expr(q).alias("adc_dist"),
+                    )
+                    for q in sorted(luts)
+                ]
+            )
+        ).alias("s"),
+    ).select(
+        F.col("s.qid").alias("qid"), "nid", F.col("s.adc_dist").alias("adc_dist")
+    ).filter(F.col("nid") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _PQ_TOPK)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "adc_dist",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )

@@ -54,6 +54,9 @@ _BEYOND_WINDOW_OK = {
     # streaming via f01–f05 in-window; f08 is f05's interval join with
     # outer emission — the state machinery is identical.
     "f08_stream_left_outer_join",
+    # similarity via d01–d04 in-window; d06's encode pass is d03's
+    # mapInPandas shape and its LUT scan is d04's literal-probe shape.
+    "d06_pq_adc_topk",
 }
 
 

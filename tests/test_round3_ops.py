@@ -176,3 +176,20 @@ def test_f08_outer_rows_complete_the_purchase_set(spark, sf_dir):
     assert {r["purchase_id"] for r in null_outer} == purchases - {
         p for p, _ in inner_pairs
     }
+
+
+def test_d06_pq_recall_vs_exact(spark, sf_dir):
+    """PQ+ADC top-10 must overlap the exact d01 top-10 well above the
+    random floor — regression tripwire for the encode/LUT pipeline (a
+    scrambled codebook or off-by-one LUT index scores ~10/corpus)."""
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["d01_topk_bruteforce"](spark, sf_dir).collect()
+    }
+    pq = {
+        (r["query_id"], r["neighbor_id"])
+        for r in QUERIES["d06_pq_adc_topk"](spark, sf_dir).collect()
+    }
+    assert len(pq) == len(exact)
+    recall = len(exact & pq) / len(exact)
+    assert recall >= 0.2, f"PQ recall collapsed: {recall:.2f}"
