@@ -502,3 +502,79 @@ def p06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("eval_doc")
     )
+
+
+# ---------------------------------------------------------------------------
+# p07 — temperature-weighted source sampling (mC4 / XLM-R rebalancing)
+# ---------------------------------------------------------------------------
+#: p_i^α / Σ p_j^α with α < 1 flattens the source distribution: big
+#: sources are downsampled, small ones upsampled — the standard
+#: multilingual/source-mix correction applied before training.
+_TEMP_ALPHA = 0.7
+
+
+@query(
+    "p07_temperature_mix",
+    oracle=f"""
+    WITH s AS (SELECT source,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                          AS n_tokens
+               FROM documents GROUP BY source),
+    tot AS (SELECT SUM(n_tokens) AS t FROM s),
+    w AS (SELECT source, n_docs, n_tokens,
+                 n_tokens * 1.0 / tot.t AS p,
+                 pow(n_tokens * 1.0 / tot.t, {_TEMP_ALPHA}) AS pw
+          FROM s CROSS JOIN tot),
+    z AS (SELECT SUM(pw) AS z FROM w)
+    SELECT source, n_docs, n_tokens,
+           ROUND(p, 6) AS natural_share,
+           ROUND(pw / z.z, 6) AS temp_share,
+           ROUND((pw / z.z) / p, 6) AS sampling_factor
+    FROM w CROSS JOIN z
+    ORDER BY source
+    """,
+)
+def p07_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature sampling plan: per source, its natural token share,
+    its temperature-flattened share p^α/Σp^α (α = {alpha}), and the
+    resulting up/downsampling factor.
+
+    Scale: one linear aggregation to |sources| rows, then two broadcast
+    scalars (total tokens, partition-function Σ p^α — the a03/W1
+    grand-total pattern twice); the corpus is scanned once and never
+    rescanned for the normalizations. pow() evaluates on |sources| rows
+    only, and every published share is rounded to 6 dp so libm ulp
+    differences between engines cannot surface.""".format(
+        alpha=_TEMP_ALPHA
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens"),
+    )
+    tot = s.agg(F.sum("n_tokens").alias("t"))
+    w = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_tokens") * F.lit(1.0) / F.col("t")).alias("p"),
+        F.pow(F.col("n_tokens") * F.lit(1.0) / F.col("t"), _TEMP_ALPHA).alias(
+            "pw"
+        ),
+    )
+    z = w.agg(F.sum("pw").alias("z"))
+    return (
+        w.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round("p", 6).alias("natural_share"),
+            F.round(F.col("pw") / F.col("z"), 6).alias("temp_share"),
+            F.round((F.col("pw") / F.col("z")) / F.col("p"), 6).alias(
+                "sampling_factor"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -57,6 +57,9 @@ _BEYOND_WINDOW_OK = {
     # similarity via d01–d04 in-window; d06's encode pass is d03's
     # mapInPandas shape and its LUT scan is d04's literal-probe shape.
     "d06_pq_adc_topk",
+    # pipeline via p01 in-window; p07 is the a03/W1 broadcast-scalar
+    # pattern applied twice (total, partition function).
+    "p07_temperature_mix",
 }
 
 
