@@ -532,3 +532,81 @@ def e08_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _TFIDF_TOPN)
         .orderBy("source", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# e09 — stride-overlapped chunking plan (context-window chunk prep)
+# ---------------------------------------------------------------------------
+#: 64-token chunks advancing by 32 (50% overlap) — the standard chunking
+#: recipe for retrieval corpora and long-doc pretraining. A doc of n
+#: tokens yields 1 + max(0, ceil((n - 64) / 32)) chunks; the integer
+#: form (n - 33) // 32 avoids any float in the chunk count.
+_CHUNK = 64
+_CHUNK_STRIDE = 32
+
+
+@query(
+    "e09_chunk_plan",
+    oracle=f"""
+    WITH t AS (SELECT doc_id,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+               FROM documents),
+    n AS (SELECT doc_id, n_tokens,
+                 1 + GREATEST(0, (n_tokens - {_CHUNK + 1 - _CHUNK_STRIDE})
+                                 // {_CHUNK_STRIDE}) AS nc
+          FROM t),
+    c AS (SELECT doc_id, n_tokens, CAST(i AS BIGINT) AS chunk_id
+          FROM n, UNNEST(range(nc)) AS u(i))
+    SELECT doc_id, chunk_id,
+           CAST(chunk_id * {_CHUNK_STRIDE} AS BIGINT) AS start_token,
+           CAST(LEAST({_CHUNK},
+                      n_tokens - chunk_id * {_CHUNK_STRIDE}) AS BIGINT)
+               AS chunk_tokens
+    FROM c
+    ORDER BY doc_id, chunk_id
+    """,
+)
+def e09_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunking plan: every (doc, chunk) with its token offset and
+    length under 64-token windows advancing by 32.
+
+    Scale: pure codegen — the chunk index list is a ``sequence()``
+    materialized per row and exploded, so the output is produced in one
+    scan with no shuffle at all (the ORDER BY is presentation only;
+    a writer would partition by doc range instead). All arithmetic is
+    integer; the chunk count uses floor division, not float ceil."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (
+            F.lit(1)
+            + F.greatest(
+                F.lit(0).cast("long"),
+                F.expr(
+                    f"(n_tokens - {_CHUNK + 1 - _CHUNK_STRIDE}) "
+                    f"div {_CHUNK_STRIDE}"
+                ),
+            )
+        ).alias("nc"),
+    )
+    return (
+        n.select(
+            "doc_id",
+            "n_tokens",
+            F.explode(F.sequence(F.lit(0), F.col("nc") - 1)).alias("chunk_id"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            (F.col("chunk_id") * _CHUNK_STRIDE).cast("long").alias("start_token"),
+            F.least(
+                F.lit(_CHUNK).cast("long"),
+                F.col("n_tokens") - F.col("chunk_id") * _CHUNK_STRIDE,
+            ).alias("chunk_tokens"),
+        )
+        .orderBy("doc_id", "chunk_id")
+    )

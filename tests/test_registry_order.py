@@ -60,6 +60,9 @@ _BEYOND_WINDOW_OK = {
     # pipeline via p01 in-window; p07 is the a03/W1 broadcast-scalar
     # pattern applied twice (total, partition function).
     "p07_temperature_mix",
+    # text via e01–e06 in-window; e09 is a single-scan sequence+explode
+    # projection (e07's explode shape, integer arithmetic only).
+    "e09_chunk_plan",
 }
 
 
