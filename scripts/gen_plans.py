@@ -73,10 +73,44 @@ ANNOTATED = {
         "scan, then one top-k window shuffle."
     ),
     "c09_semantic_dedup": (
-        "SemDeDup within-cluster prune: the pairwise stage is a true "
-        "equi-join on cid (SortMergeJoin [cid],[cid] with the cosine as "
-        "residual condition) — Σ|cluster|² work, bounded by the "
-        "quantizer's k, never a data column's skew."
+        "SemDeDup within-cluster prune: salted equi-join on (cid, salt) "
+        "generates candidates; the cosine runs as a vectorized "
+        "ArrowEvalPython stage AFTER the join (a JVM expression would be "
+        "pushed into the join condition and interpreted per pair) — "
+        "Σ|cluster|² work, bounded by the quantizer's k, never a data "
+        "column's skew."
+    ),
+    "d06_pq_adc_topk": (
+        "PQ/ADC: one ArrowEvalPython encode pass (vectors → M codes), "
+        "then scoring is literal-array lookups + adds in a codegen'd "
+        "projection — no vector arithmetic per candidate, one top-k "
+        "window shuffle."
+    ),
+    "e08_tfidf_terms": (
+        "TF-IDF: two linear aggregations over the exploded token stream "
+        "(map-side partial agg on both), term-keyed join, broadcast "
+        "corpus-size scalar, per-source top-k window — the full "
+        "vocabulary is never globally sorted."
+    ),
+    "e09_chunk_plan": (
+        "Chunking: sequence()+explode in a single scan projection — "
+        "zero shuffles before the presentation sort."
+    ),
+    "p06_contamination_check": (
+        "Decontamination: eval-panel grams broadcast (BroadcastHashJoin "
+        "on g); the train-side scan streams through map-side — the big "
+        "side is never shuffled, aggregation is per-eval-doc "
+        "countDistinct."
+    ),
+    "p07_temperature_mix": (
+        "Temperature mix: one |sources|-row aggregate, then two "
+        "broadcast scalar joins (total tokens, partition function) — "
+        "the corpus is scanned exactly once."
+    ),
+    "m05_crossmodal_join": (
+        "Cross-modal join: doc⋈embedding equi-join left to AQE (both "
+        "sides pruned to 3 columns in ReadSchema), decimal-accumulated "
+        "norm rollup per (lang, label)."
     ),
     "d05_sq8_topk": (
         "SQ8: dim-sized min/max stats collected once, quantization as "
