@@ -23,10 +23,21 @@ from .registry import query
 
 _N_BUCKETS = 8
 
+#: (applicationId, sf_dir) → staged join. A bucketed layout is a
+#: write-once artifact: re-running b30 in the same session must REUSE
+#: it, not write fresh fact-table copies into a new temp dir each call
+#: (the DROP TABLE in write_bucketed only removes catalog metadata, so
+#: un-memoized re-staging orphaned the previous data directories).
+_STAGED: dict[tuple[str, str], DataFrame] = {}
+
 
 def bucketed_lineitem_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The co-located join itself (plan-testable): both facts bucketed
     into ``_N_BUCKETS`` on the order key, merge-join with no Exchange."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _STAGED.get(key)
+    if cached is not None:
+        return cached
     orders = load_table(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderpriority"
     )
@@ -34,7 +45,7 @@ def bucketed_lineitem_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame
         "l_orderkey", "l_extendedprice", "l_discount"
     )
     base = tempfile.mkdtemp(prefix="sbp-bucketed-")
-    return colocated_fact_join(
+    joined = colocated_fact_join(
         spark,
         lineitem,
         orders,
@@ -44,6 +55,8 @@ def bucketed_lineitem_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame
         n_buckets=_N_BUCKETS,
         names=("sbp_bucketed_lineitem", "sbp_bucketed_orders"),
     )
+    _STAGED[key] = joined
+    return joined
 
 
 @query(

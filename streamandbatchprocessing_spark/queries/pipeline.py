@@ -209,7 +209,11 @@ def p03_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = t.withColumn("cum", F.sum("n_tokens").over(w))
     b = c.select(
         "source",
-        F.floor((F.col("cum") - F.col("n_tokens")) / _CTX).cast("long").alias("seq_id"),
+        # Integral `div`, not floor(double /): a per-source cumulative
+        # token count past 2^53 would lose exactness in the double and
+        # misassign boundary docs vs the oracle's exact `//`. The
+        # dividend is non-negative, so trunc == floor on both engines.
+        F.expr(f"(cum - n_tokens) div {_CTX}").cast("long").alias("seq_id"),
         "doc_id",
         "n_tokens",
     )
@@ -458,15 +462,21 @@ def p06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     is linear in matching train rows — no pair expansion exists in this
     shape (contrast c04, which must enumerate doc PAIRS)."""
     docs = load_table(spark, sf_dir, "documents")
+    # Project the token array ONCE before building grams from it: the
+    # inlined form re-splits the full text inside the transform lambda
+    # (once per gram — the e07 no-CSE gotcha; CollapseProject keeps the
+    # projection because the non-cheap split is referenced 3×).
     grams = F.array_distinct(
         F.expr(
-            f"CASE WHEN size(split(text, ' ')) < {_CONTAM_N} THEN array() "
-            f"ELSE transform(sequence(0, size(split(text, ' ')) - {_CONTAM_N}), "
-            f"i -> concat_ws(' ', slice(split(text, ' '), i + 1, {_CONTAM_N}))) "
+            f"CASE WHEN size(toks) < {_CONTAM_N} THEN array() "
+            f"ELSE transform(sequence(0, size(toks) - {_CONTAM_N}), "
+            f"i -> concat_ws(' ', slice(toks, i + 1, {_CONTAM_N}))) "
             "END"
         )
     )
-    g = docs.select("doc_id", grams.alias("gs"))
+    g = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).select("doc_id", grams.alias("gs"))
     ev = g.filter(F.col("doc_id") < _EVAL_N)
     ev_sz = ev.select(
         F.col("doc_id").alias("eval_doc"), F.size("gs").cast("long").alias("n_grams")
@@ -537,17 +547,15 @@ _TEMP_ALPHA = 0.7
 )
 def p07_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature sampling plan: per source, its natural token share,
-    its temperature-flattened share p^α/Σp^α (α = {alpha}), and the
-    resulting up/downsampling factor.
+    its temperature-flattened share p^α/Σp^α (α = ``_TEMP_ALPHA``), and
+    the resulting up/downsampling factor.
 
     Scale: one linear aggregation to |sources| rows, then two broadcast
     scalars (total tokens, partition-function Σ p^α — the a03/W1
     grand-total pattern twice); the corpus is scanned once and never
     rescanned for the normalizations. pow() evaluates on |sources| rows
     only, and every published share is rounded to 6 dp so libm ulp
-    differences between engines cannot surface.""".format(
-        alpha=_TEMP_ALPHA
-    )
+    differences between engines cannot surface."""
     docs = load_table(spark, sf_dir, "documents")
     s = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -279,12 +279,16 @@ def _kmeans_parts() -> tuple[list[str], str]:
         FROM ei CROSS JOIN {prev} c) WHERE rn = 1)"""
         )
         parts.append(
-            # ``//`` is exact floor division on DuckDB HUGEINT — identical
-            # to Python's ``s // n`` on the Spark side at ANY magnitude;
-            # floor(SUM*1.0/COUNT) went through a double and could flip a
-            # centroid component once |SUM| exceeded 2^53.
+            # TRUE floor division, not DuckDB's ``//`` (which TRUNCATES
+            # toward zero: -7 // 2 = -3, while Python's s // n floors to
+            # -4 — negative non-divisible sums are common here, so bare
+            # ``//`` silently diverges from the engine's centroids).
+            # Subtracting the positive mod makes the numerator exactly
+            # divisible, so ``//`` on it is floor == trunc; everything
+            # stays HUGEINT-exact (never through a double).
             f"""m{it} AS (SELECT cid, pos,
-                  CAST(SUM(val) // COUNT(*) AS BIGINT) AS mu
+                  CAST((SUM(val) - (((SUM(val) % COUNT(*)) + COUNT(*))
+                                    % COUNT(*))) // COUNT(*) AS BIGINT) AS mu
            FROM (SELECT cid, generate_subscripts(iv, 1) AS pos,
                         unnest(iv) AS val FROM a{it})
            GROUP BY cid, pos)"""

@@ -150,6 +150,7 @@ def f04_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: state is one (count, cents) pair per user key, partitioned by
     the groupBy — bounded, shuffle-once; production adds a timeout to
     evict idle keys."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -162,7 +163,12 @@ def f04_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         n, cents = state.get if state.exists else (0, 0)
         for pdf in pdfs:
             n += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            # Half-AWAY-from-zero like the oracle's round(); pandas
+            # .round() is half-to-even and differs on exact .5 cents.
+            v = (pdf["value"] * 100).to_numpy()
+            cents += int(
+                np.copysign(np.floor(np.abs(v) + 0.5), v).astype("int64").sum()
+            )
         state.update((n, cents))
         yield pd.DataFrame(
             {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}

@@ -112,6 +112,11 @@ class VersionedTable:
                 "committed_at": time.time(),
                 "dirs": [*dirs_from_prev, f"v={version}"],
                 "operation": operation,
+                # Physical layout is part of the version: OPTIMIZE (and
+                # any future layout-preserving rewrite) reads it back so
+                # a maintenance op can never silently de-partition the
+                # table (Delta's OPTIMIZE preserves partitioning).
+                **({"partition_by": partition_by} if partition_by else {}),
                 **({"params": params} if params else {}),
             }
         )
@@ -226,11 +231,24 @@ class VersionedTable:
             for d in self._dirs_of(cur[0])
         )
         target_files = max(1, math.ceil(total / target_file_bytes))
-        df = self.read(spark).repartition(target_files)
+        # Preserve the table's partitioning (Delta OPTIMIZE compacts
+        # WITHIN partitions, never flattens them): take the most recent
+        # version that recorded a layout — metadata-only commits
+        # (RESTORE) carry none and inherit.
+        part_by: list[str] | None = None
+        for v in manifest["versions"]:
+            if v["version"] <= manifest["current"] and "partition_by" in v:
+                part_by = v["partition_by"]
+        df = self.read(spark)
+        df = (
+            df.repartition(target_files, *part_by)
+            if part_by
+            else df.repartition(target_files)
+        )
         return self._commit(
             df,
             [],
-            None,
+            part_by,
             operation="OPTIMIZE",
             params={"target_files": target_files},
         )

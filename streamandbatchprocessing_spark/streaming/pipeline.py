@@ -220,6 +220,7 @@ def stateful_totals_with_eviction_plan(
     event-type set as a sorted comma-joined string (state schemas are
     flat structs; the type universe is 5 values so the string is
     bounded)."""
+    import numpy as np
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -248,7 +249,12 @@ def stateful_totals_with_eviction_plan(
         tset = {t for t in types.split(",") if t}
         for pdf in pdfs:
             n += len(pdf)
-            cents += int((pdf["value"] * 100).round().astype("int64").sum())
+            # Half-AWAY-from-zero like the oracle's round(); pandas
+            # .round() is half-to-even and differs on exact .5 cents.
+            v = (pdf["value"] * 100).to_numpy()
+            cents += int(
+                np.copysign(np.floor(np.abs(v) + 0.5), v).astype("int64").sum()
+            )
             tset |= set(pdf["event_type"].unique())
         state.update((n, cents, ",".join(sorted(tset))))
         state.setTimeoutDuration(timeout_ms)

@@ -289,3 +289,30 @@ def test_optimize_preserves_time_travel(spark, nation, tmp_path):
     # vacuum reclaims the superseded append dirs, current survives
     t.vacuum(keep=1)
     assert t.read(spark).count() == rows
+
+
+def test_optimize_preserves_partitioning(spark, nation, tmp_path):
+    """OPTIMIZE on a partitioned table must keep the partition layout
+    (Delta compacts WITHIN partitions, never flattens them) — the new
+    version's data dir still has partition subdirectories and reads
+    back identically."""
+    import os
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(nation, partition_by=["n_regionkey"])
+    before = {
+        (r["n_nationkey"], r["n_regionkey"])
+        for r in t.read(spark).collect()
+    }
+    v = t.optimize(spark)
+    cur = [e for e in t.manifest()["versions"] if e["version"] == v][0]
+    assert cur.get("partition_by") == ["n_regionkey"]
+    vdir = os.path.join(str(tmp_path / "tbl"), cur["dirs"][0])
+    assert any(
+        d.startswith("n_regionkey=") for d in os.listdir(vdir)
+    ), os.listdir(vdir)
+    after = {
+        (r["n_nationkey"], r["n_regionkey"])
+        for r in t.read(spark).collect()
+    }
+    assert after == before
