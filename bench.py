@@ -66,6 +66,8 @@ EXTRA = [
     "e07_repetition_metrics",
     "c09_semantic_dedup",
     "p03_sequence_packing",
+    "d06_pq_adc_topk",
+    "p06_contamination_check",
 ]
 
 
