@@ -48,20 +48,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which
-    Spark's vectorized reader rejects outright (PARQUET_TYPE_ILLEGAL).
-    Read it as raw nanos via the legacy conf, then truncate to micros —
-    integer ``div 1000`` matches DuckDB's TIMESTAMP_NS→TIMESTAMP cast
-    bit-for-bit (verified) — and present it as TIMESTAMP_NTZ so the
-    column is timezone-independent like every other fixture timestamp.
+    """The driver has shipped events.parquet with two different ``ts``
+    physical types across rounds: parquet TIMESTAMP(NANOS) (which
+    Spark's vectorized reader rejects — PARQUET_TYPE_ILLEGAL — unless
+    read as raw longs via the legacy conf) and plain TIMESTAMP(MICROS).
+    Detect which one this fixture uses and normalize both to
+    TIMESTAMP_NTZ so every downstream query sees one timezone-free
+    type. The nanos path truncates with integer ``div 1000``, matching
+    DuckDB's TIMESTAMP_NS→TIMESTAMP cast bit-for-bit (verified).
     """
     from pyspark.sql import functions as F
+    from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-    return df.withColumn(
-        "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
-    )
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, LongType):
+        return df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:

@@ -31,12 +31,15 @@ from pyspark.sql.types import (
     StringType,
     StructField,
     StructType,
+    TimestampNTZType,
 )
 
 _MEM_COUNTER = itertools.count()
 
-#: Physical schema of events.parquet (ts stored as raw nanos INT64 —
-#: see sources/batch._load_events for why).
+#: Physical schema of events.parquet when ``ts`` is stored as
+#: TIMESTAMP(NANOS) read via nanosAsLong (see sources/batch._load_events)
+#: — also the schema several tests use to write their own int64-ts
+#: fixture files.
 EVENTS_FILE_SCHEMA = StructType(
     [
         StructField("event_id", LongType()),
@@ -49,19 +52,46 @@ EVENTS_FILE_SCHEMA = StructType(
 )
 
 
+def _events_ts_unit(sf_dir: str) -> str | None:
+    """Parquet physical unit of events.ts: 'ns', 'us', or None for a
+    plain INT64 column. The driver has shipped both nanos and micros
+    fixtures across rounds, so every reader detects instead of assuming."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    return getattr(t, "unit", None)
+
+
+def _events_schema_for(unit: str | None) -> StructType:
+    if unit in (None, "ns"):
+        return EVENTS_FILE_SCHEMA
+    fields = [
+        StructField(f.name, TimestampNTZType() if f.name == "ts" else f.dataType)
+        for f in EVENTS_FILE_SCHEMA.fields
+    ]
+    return StructType(fields)
+
+
+def _normalize_event_ts(raw: DataFrame, unit: str | None) -> DataFrame:
+    # Target TimestampType (not NTZ): watermarks/event-time require it.
+    # Session timezone is pinned to UTC by ensure_query_conf, so wall
+    # clocks match the NTZ batch path and the timezone-naive oracle.
+    if unit in (None, "ns"):
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
+
+
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events fixture via the file source —
     deterministic replay of the same rows the batch path reads."""
+    unit = _events_ts_unit(sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(_events_schema_for(unit))
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    # Keep TimestampType (not NTZ): watermarks/event-time require it.
-    # Session timezone is pinned to UTC by ensure_query_conf, so wall
-    # clocks match the NTZ batch path and the timezone-naive oracle.
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_event_ts(raw, unit)
 
 
 def events_stream_staged(
@@ -94,17 +124,20 @@ def events_stream_staged(
     src = os.path.join(sf_dir, "events.parquet")
     dst = os.path.join(stage, "00-events.parquet")
     shutil.copyfile(src, dst)
-    mx = pc.max(pq.read_table(src, columns=["ts"])["ts"]).as_py()
-    mx_ns = int(mx.value if hasattr(mx, "value") else mx)
+    unit = _events_ts_unit(sf_dir) or "ns"
+    # Max ts as a raw integer in the fixture's own unit; sentinels are
+    # written in that same unit so the staged dir stays schema-uniform.
+    raw_ts = pq.read_table(src, columns=["ts"])["ts"].cast(pa.int64())
+    mx_raw = int(pc.max(raw_ts).as_py())
     base = _time.time()
     os.utime(dst, (base - 30, base - 30))
-    day_ns = 86_400 * 1_000_000_000
+    day = 86_400 * (1_000_000_000 if unit == "ns" else 1_000_000)
     for i in range(n_sentinels):
-        ts_val = mx_ns + (i + 1) * day_ns
+        ts_val = mx_raw + (i + 1) * day
         tbl = pa.table(
             {
                 "event_id": pa.array([-2 * i - 1, -2 * i - 2], pa.int64()),
-                "ts": pa.array([ts_val, ts_val], pa.timestamp("ns")),
+                "ts": pa.array([ts_val, ts_val], pa.timestamp(unit)),
                 "user_id": pa.array([-1, -1], pa.int64()),
                 "event_type": pa.array(["purchase", "click"]),
                 "value": pa.array([0.0, 0.0], pa.float64()),
@@ -116,11 +149,11 @@ def events_stream_staged(
         os.utime(path, (base - 20 + 10 * i, base - 20 + 10 * i))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
-        spark.readStream.schema(EVENTS_FILE_SCHEMA)
+        spark.readStream.schema(_events_schema_for(unit))
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return _normalize_event_ts(raw, unit)
 
 
 def run_to_memory(

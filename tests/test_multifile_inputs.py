@@ -57,10 +57,35 @@ def test_query_identical_on_multifile_layout(spark, sf_dir, multifile_sf, name):
     assert sorted(map(repr, single)) == sorted(map(repr, multi))
 
 
-def test_events_nanos_schema_survives_split(multifile_sf):
-    # Guard the fixture itself: the split files must still carry NANOS
-    # (if pyarrow ever downcast, the test above would silently stop
-    # covering the legacy-read path).
+def test_events_ts_schema_survives_split(sf_dir, multifile_sf):
+    # Guard the fixture split: the chunk files must carry the SAME
+    # physical ts unit as the source (the driver has shipped both
+    # nanos and micros fixtures across rounds; if pyarrow ever
+    # re-cast on rewrite, the layout test above would silently stop
+    # covering the detected path).
+    src_type = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
     f = os.path.join(multifile_sf, "events.parquet", "part-00.parquet")
     ts_type = pq.read_schema(f).field("ts").type
-    assert str(ts_type) == "timestamp[ns]"
+    assert str(ts_type) == str(src_type)
+
+
+def test_events_loader_handles_legacy_nanos(spark, sf_dir, tmp_path):
+    # The nanos fixture shape from earlier rounds must keep working:
+    # rewrite events.parquet with a TIMESTAMP(NANOS) ts and check the
+    # loader yields the identical normalized rows.
+    import pyarrow as pa
+
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    table = pq.read_table(os.path.join(sf_dir, "events.parquet"))
+    ts_ns = table["ts"].cast(pa.timestamp("ns"))
+    legacy = table.set_column(table.schema.get_field_index("ts"), "ts", ts_ns)
+    legacy_dir = tmp_path / "legacy"
+    legacy_dir.mkdir()
+    pq.write_table(legacy, legacy_dir / "events.parquet", version="2.6")
+    assert str(pq.read_schema(legacy_dir / "events.parquet").field("ts").type) == (
+        "timestamp[ns]"
+    )
+    expect = load_table(spark, sf_dir, "events").orderBy("event_id").collect()
+    got = load_table(spark, str(legacy_dir), "events").orderBy("event_id").collect()
+    assert got == expect
