@@ -25,41 +25,47 @@ from . import layout  # noqa: F401
 from .registry import ORACLES, QUERIES
 
 #: Explicit scoring order. The external driver scores the FIRST 50
-#: entries of ``queries()`` in insertion order, so the window must hold
-#: every query family: the §2.10 parity analyses (a01–a09), the full
-#: LLM-data-pipeline surface (c/d/e/f/m/p), and 13 b/g representatives
-#: that keep each remaining §2 operator class in-window (scan-agg, star
-#: join, as-of, salting, cube, semi/anti, pagination, percentiles,
-#: lag/lead, grouping sets, JSON, SQL interface). The rotated-out b/g
-#: queries stay registered after slot 50 — they were driver-verified
-#: green in rounds 1–2 and keep their local oracle tests.
+#: entries of ``queries()`` in insertion order. Rounds 1–2 scored (and
+#: greened) a01–a09 + all b01–b29 + g01–g12; round 3's run aborted on a
+#: fixture schema change, so as of round 4 every c/d/e/f/m/p query and
+#: b30 — 45 queries — still has NO driver verdict. This window therefore
+#: holds ALL 45 never-scored queries plus 5 already-green
+#: representatives (a01/a09/b01/b11/g10 — three of them events-based,
+#: re-confirming the fixture's new TIMESTAMP(MICROS) shape under the
+#: driver). The rotated-out a/b/g queries stay registered after slot 50:
+#: each carries a green CORRECTNESS_r01/r02 row and keeps its local
+#: strict-oracle test, which is bit-exact with the driver's compare.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # §2.10 parity analyses
-    "a01_revenue_by_category", "a02_type_category_grid", "a03_type_share",
-    "a04_user_segmentation", "a05_anomaly_hotspots", "a06_hourly_trends",
-    "a07_type_performance", "a08_user_velocity", "a09_dashboard_windows",
+    # §2.10 parity flagship + events-window representative
+    "a01_revenue_by_category", "a09_dashboard_windows",
     # dedup family
     "c01_exact_dedup", "c02_minhash_lsh_pairs", "c03_simhash_neighbors",
     "c04_ngram_jaccard_pairs", "c05_embedding_neardup", "c06_hll_user_sketch",
-    "c07_dup_clusters", "c08_candidate_verify",
+    "c07_dup_clusters", "c08_candidate_verify", "c09_semantic_dedup",
     # similarity search
     "d01_topk_bruteforce", "d02_ivf_bucket_ann",
     "d03_topk_pandas_vectorized", "d04_ivf_kmeans_ann",
+    "d05_sq8_topk", "d06_pq_adc_topk",
     # text analysis
     "e01_token_stats", "e02_quality_score", "e03_corpus_stats",
     "e04_fingerprints", "e05_bpe_token_counts", "e06_language_id",
+    "e07_repetition_metrics", "e08_tfidf_terms", "e09_chunk_plan",
     # streaming extensions
     "f01_streaming_dashboard", "f02_streaming_dedup", "f03_session_windows",
     "f04_stateful_user_totals", "f05_stream_stream_join",
-    # multimodal + composed pipeline
+    "f06_idle_key_eviction", "f07_stream_static_enrichment",
+    "f08_stream_left_outer_join",
+    # multimodal
     "m01_binary_payload_stats", "m02_payload_features_pandas",
-    "m03_frame_sample_plan", "m04_resize_plan", "p01_training_mix",
-    # b/g operator representatives (13 → window totals exactly 50)
-    "b01_pricing_summary", "b03_regional_supplier_volume",
-    "b09_order_page", "b11_asof_last_click", "b12_salted_segment_stats",
-    "b16_returnflag_cube", "b21_large_volume_orders",
-    "b22_idle_rich_customers", "g02_price_percentiles", "g04_order_gaps",
-    "g09_multigrain_time_rollup", "g10_json_extraction", "g12_sql_interface",
+    "m03_frame_sample_plan", "m04_resize_plan", "m05_crossmodal_join",
+    # composed pipelines
+    "p01_training_mix", "p02_streaming_ingest_funnel",
+    "p03_sequence_packing", "p04_stratified_sample", "p05_mix_budget",
+    "p06_contamination_check", "p07_temperature_mix",
+    # relational representatives (b11/g10 are events-based; b30 is the
+    # never-scored bucketed-join rep)
+    "b01_pricing_summary", "b11_asof_last_click", "g10_json_extraction",
+    "b30_bucketed_colocated_join",
 )
 
 

@@ -1,7 +1,17 @@
 """The external driver scores only the FIRST 50 insertion-order entries
-of ``queries()`` (observed in CORRECTNESS_r01/r02: both scored exactly
-slots 1–50). These tests pin the scoring window so a refactor can't
-silently push a query family out of driver verification again."""
+of ``queries()`` (observed in CORRECTNESS_r01/r02/r03: each scored
+exactly slots 1–50). These tests pin the scoring window so a refactor
+can't silently push a query family out of driver verification again.
+
+Round-4 window policy: rounds 1–2 greened a01–a09 + b01–b29 + g01–g12;
+round 3's run aborted before scoring anything (fixture schema change),
+so every c/d/e/f/m/p query and b30 — 45 in all — entered round 4 with no
+driver verdict. The window therefore holds all 45 never-scored queries
+plus 5 already-green representatives (a01/a09/b01/b11/g10, three of them
+events-based to re-confirm the new TIMESTAMP(MICROS) fixture under the
+driver). Every rotated-out query keeps a green CORRECTNESS_r01/r02 row
+and its local strict-oracle test.
+"""
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES
 
@@ -13,73 +23,35 @@ def test_priority_order_is_window_prefix():
     assert len(set(PRIORITY_ORDER)) == 50
 
 
-#: Extension queries deliberately registered BEYOND the 50-slot window:
-#: their operator class is already represented in-window, and displacing
-#: a b/g representative would drop a §2 operator class from driver
-#: verification instead. Additions here must say what covers them.
-_BEYOND_WINDOW_OK = {
-    # T8 timeout-eviction variant; f04 covers arbitrary state in-window
-    # and f06's eviction path is proven by the two-batch timeout test.
-    "f06_idle_key_eviction",
-    # Composed streaming funnel; its stages are individually in-window
-    # (f01 windowed agg, f02 dedup, p01 composed-batch funnel).
-    "p02_streaming_ingest_funnel",
-    # Round-3 additions: each family already holds an in-window seat
-    # (text via e01–e06, pipeline via p01) and displacing a b/g
-    # representative would cost a §2 operator class its round-3 row.
-    # Rotation candidates for round 4 once the first extension verdicts
-    # land.
-    "e07_repetition_metrics",
-    "p03_sequence_packing",
-    "p04_stratified_sample",
-    # dedup via c01–c08, similarity via d01–d04 in-window; c09 reuses
-    # d04's k-means and d05 is d01's quantized twin.
-    "c09_semantic_dedup",
-    "d05_sq8_topk",
-    # streaming via f01–f05 in-window; f07's join is stateless (batch
-    # broadcast per micro-batch) and its aggregation shape is f01's.
-    "f07_stream_static_enrichment",
-    # pipeline via p01 in-window; p05 is metadata-sized arithmetic over
-    # the W1 broadcast-scalar pattern (both in-window: a03, b13).
-    "p05_mix_budget",
-    # multimodal via m01–m04 in-window; m05's join/agg shapes are b03's
-    # and the norm fold is d01's (both in-window).
-    "m05_crossmodal_join",
-    # pipeline via p01 in-window; p06 is c04's shingle machinery (in-
-    # window) over a broadcast panel join (d01's shape, in-window).
-    "p06_contamination_check",
-    # text via e01–e06 in-window; e08 composes in-window shapes only
-    # (explode-agg = e01, broadcast scalar = a03, top-k window = b08).
-    "e08_tfidf_terms",
-    # streaming via f01–f05 in-window; f08 is f05's interval join with
-    # outer emission — the state machinery is identical.
-    "f08_stream_left_outer_join",
-    # similarity via d01–d04 in-window; d06's encode pass is d03's
-    # mapInPandas shape and its LUT scan is d04's literal-probe shape.
-    "d06_pq_adc_topk",
-    # pipeline via p01 in-window; p07 is the a03/W1 broadcast-scalar
-    # pattern applied twice (total, partition function).
-    "p07_temperature_mix",
-    # text via e01–e06 in-window; e09 is a single-scan sequence+explode
-    # projection (e07's explode shape, integer arithmetic only).
-    "e09_chunk_plan",
-}
-
-
-def test_every_extension_family_inside_scoring_window():
+def test_every_never_scored_query_inside_scoring_window():
+    # Queries greened by the driver in rounds 1-2; everything else must
+    # sit inside the 50-slot window until it has a verdict of its own.
+    previously_green = (
+        {f"a0{i}" for i in range(1, 10)}
+        | {f"b{i:02d}" for i in range(1, 30)}
+        | {f"g{i:02d}" for i in range(1, 13)}
+    )
     window = set(list(QUERIES)[:50])
-    extensions = [
-        n for n in QUERIES if n[0] in "cdefmp" and n not in _BEYOND_WINDOW_OK
+    never_scored = [
+        n for n in QUERIES if n.split("_")[0] not in previously_green
     ]
-    out = [n for n in extensions if n not in window]
-    assert not out, f"extension queries outside driver scoring window: {out}"
-    # the §2.10 parity analyses must stay in-window too
-    assert all(f"a0{i}" in n for i, n in zip(range(1, 10), sorted(window)[:9]))
+    out = [n for n in never_scored if n not in window]
+    assert not out, f"never-scored queries outside driver scoring window: {out}"
+
+
+def test_window_retains_events_representatives():
+    # The events fixture's physical ts type changed between rounds; keep
+    # driver re-confirmation coverage for the events read path.
+    window = set(list(QUERIES)[:50])
+    for n in ("a01_revenue_by_category", "a09_dashboard_windows",
+              "b11_asof_last_click", "g10_json_extraction"):
+        assert n in window
 
 
 def test_rotated_out_queries_remain_registered():
     names = set(QUERIES)
     for n in (
+        "a02_type_category_grid", "a08_user_velocity",
         "b02_top_unshipped_orders", "b05_customers_with_open_orders",
         "g01_customer_order_coverage", "g11_user_funnel",
         "b29_priority_order_check",
