@@ -29,10 +29,10 @@ from .registry import ORACLES, QUERIES
 #: greened) a01–a09 + all b01–b29 + g01–g12; round 3's run aborted on a
 #: fixture schema change, so as of round 4 every c/d/e/f/m/p query and
 #: b30 — 45 queries — still has NO driver verdict. This window therefore
-#: holds ALL 45 never-scored queries plus 5 already-green
-#: representatives (a01/a09/b01/b11/g10 — three of them events-based,
+#: holds ALL never-scored queries (the 45 plus round 4's e10/p08) and 3
+#: already-green events-based representatives (a01/a09/b11),
 #: re-confirming the fixture's new TIMESTAMP(MICROS) shape under the
-#: driver). The rotated-out a/b/g queries stay registered after slot 50:
+#: driver. The rotated-out a/b/g queries stay registered after slot 50:
 #: each carries a green CORRECTNESS_r01/r02 row and keeps its local
 #: strict-oracle test, which is bit-exact with the driver's compare.
 PRIORITY_ORDER: tuple[str, ...] = (
@@ -50,6 +50,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "e01_token_stats", "e02_quality_score", "e03_corpus_stats",
     "e04_fingerprints", "e05_bpe_token_counts", "e06_language_id",
     "e07_repetition_metrics", "e08_tfidf_terms", "e09_chunk_plan",
+    "e10_pii_scrub",
     # streaming extensions
     "f01_streaming_dashboard", "f02_streaming_dedup", "f03_session_windows",
     "f04_stateful_user_totals", "f05_stream_stream_join",
@@ -62,10 +63,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "p01_training_mix", "p02_streaming_ingest_funnel",
     "p03_sequence_packing", "p04_stratified_sample", "p05_mix_budget",
     "p06_contamination_check", "p07_temperature_mix",
-    # relational representatives (b11/g10 are events-based; b30 is the
+    "p08_train_val_split",
+    # relational representatives (b11 is events-based; b30 is the
     # never-scored bucketed-join rep)
-    "b01_pricing_summary", "b11_asof_last_click", "g10_json_extraction",
-    "b30_bucketed_colocated_join",
+    "b11_asof_last_click", "b30_bucketed_colocated_join",
 )
 
 

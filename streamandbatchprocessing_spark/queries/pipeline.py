@@ -586,3 +586,80 @@ def p07_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# p08 — deterministic train/validation split + per-split shuffle order
+# ---------------------------------------------------------------------------
+#: Percent of documents routed to the validation split. The assignment
+#: hashes the doc id (not its position or content), so it is stable
+#: under corpus growth, re-partitioning, and re-runs — the property a
+#: training pipeline needs so eval docs never leak into train between
+#: dataset versions.
+_VAL_PCT = 10
+
+
+@query(
+    "p08_train_val_split",
+    oracle=f"""
+    WITH h AS (SELECT doc_id, source,
+                      CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) AS hs,
+                      CAST('0x' || substr(md5('order:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                           AS BIGINT) AS ho
+               FROM documents),
+    s AS (SELECT doc_id, source,
+                 CASE WHEN hs % 100 < {_VAL_PCT} THEN 'val' ELSE 'train' END
+                     AS split,
+                 ho
+          FROM h)
+    SELECT doc_id, source, split,
+           CAST(ROW_NUMBER() OVER (PARTITION BY split ORDER BY ho, doc_id)
+                AS BIGINT) AS shuffle_rank
+    FROM s
+    ORDER BY doc_id
+    """,
+)
+def p08_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash-based train/validation split with a per-split
+    global shuffle order — the last batch step before examples are
+    packed and written for training.
+
+    Split assignment is ``hash(doc_id) mod 100 < {_VAL_PCT}`` on a
+    60-bit md5-derived hash (``functions/hashing.hash60`` — portable:
+    the DuckDB oracle computes the identical value), so membership is a
+    pure function of the id: stable across corpus versions, engines and
+    partitionings. ``shuffle_rank`` orders each split by an INDEPENDENT
+    hash of the same id (different seed prefix), giving a reproducible
+    pseudo-random training order without ever materializing a random
+    column — rerunning the pipeline yields byte-identical epochs.
+
+    Scale: one scan + one shuffle (the rank's per-split sort). At 100 TB
+    the global row_number would bottleneck on a single-reducer tail, so
+    a production writer would range-partition on ``(split, ho)`` and
+    write file-local ranks with a partition-offset manifest — same
+    order, no global window; the fixture-size query keeps the window so
+    the oracle can pin the exact ranks."""
+    from ..functions.hashing import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    sid = F.col("doc_id").cast("string")
+    h = docs.select(
+        "doc_id",
+        "source",
+        hash60(F.concat(F.lit("split:"), sid)).alias("hs"),
+        hash60(F.concat(F.lit("order:"), sid)).alias("ho"),
+    ).select(
+        "doc_id",
+        "source",
+        F.when(F.col("hs") % 100 < _VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("train"))
+        .alias("split"),
+        "ho",
+    )
+    w = Window.partitionBy("split").orderBy("ho", "doc_id")
+    return (
+        h.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
+        .select("doc_id", "source", "split", "shuffle_rank")
+        .orderBy("doc_id")
+    )

@@ -610,3 +610,53 @@ def e09_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "chunk_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# e10 — PII detection + redaction scrub
+# ---------------------------------------------------------------------------
+def _e10_oracle() -> str:
+    from ..functions.pii import oracle_pii_count, oracle_scrub
+
+    return f"""
+    SELECT event_id, event_type,
+           {oracle_pii_count('props', 'email')} AS n_email,
+           {oracle_pii_count('props', 'phone')} AS n_phone,
+           {oracle_pii_count('props', 'ipv4')} AS n_ipv4,
+           {oracle_pii_count('props', 'number')} AS n_number,
+           {oracle_scrub('props')} AS props_redacted
+    FROM events
+    ORDER BY event_id
+    """
+
+
+@query("e10_pii_scrub", oracle=_e10_oracle())
+def e10_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub pass: per-class match counts (emails, phones, IPv4,
+    bare numeric ids) plus the redacted text, over the events ``props``
+    payloads — the standard pre-tokenization corpus scrub.
+
+    The fixture payloads only exercise the numeric-id class; the
+    email/phone/IPv4 patterns are pinned by synthetic-row unit tests
+    (tests/test_pii.py), same policy as the multimodal codec stub.
+
+    Scale: a pure regexp projection — one scan, zero shuffles (the
+    ORDER BY is presentation only; a production scrub writes back
+    partition-preserving). Patterns are boundary-anchored with bounded
+    quantifiers so both Java regex and RE2 run them in linear time —
+    no catastrophic backtracking at 100 TB. Counts are taken after
+    masking earlier classes, so each span is attributed to exactly one
+    class and the redacted text is reproducible from the counts."""
+    from ..functions.pii import pii_count, scrub
+
+    ev = load_table(spark, sf_dir, "events")
+    p = F.col("props")
+    return ev.select(
+        "event_id",
+        "event_type",
+        pii_count(p, "email").alias("n_email"),
+        pii_count(p, "phone").alias("n_phone"),
+        pii_count(p, "ipv4").alias("n_ipv4"),
+        pii_count(p, "number").alias("n_number"),
+        scrub(p).alias("props_redacted"),
+    ).orderBy("event_id")

@@ -1,0 +1,100 @@
+"""PII scrub: the email/phone/IPv4 classes the fixtures can't exercise
+are pinned here on synthetic rows, cross-checked against the DuckDB
+form of the same patterns (the oracle builders), and the class-masking
+order is proven non-double-counting."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from streamandbatchprocessing_spark.functions.pii import (
+    PII_PATTERNS,
+    oracle_pii_count,
+    oracle_scrub,
+    pii_count,
+    scrub,
+)
+
+ROWS = [
+    ("reach me at jo.ann+spam@example.co.uk or +1 (303) 555-0142", 1, 1, 0, 0),
+    ("server 10.0.255.3 answered; backup at 192.168.1.1", 0, 0, 2, 0),
+    ("order 12345 shipped 2024 units to dock 7", 0, 0, 0, 2),
+    ("a@b.io mailed 10.1.2.3 about +44 20 7946 0958 and invoice 99", 1, 1, 1, 1),
+    ("no identifiers here at all", 0, 0, 0, 0),
+    # the email's digits/dots must NOT leak into ipv4/number counts
+    ("contact 123.456@corp.example.com today", 1, 0, 0, 0),
+]
+
+
+@pytest.fixture(scope="module")
+def pii_df(spark):
+    return spark.createDataFrame(
+        [(i, t) for i, (t, *_) in enumerate(ROWS)], "id long, txt string"
+    )
+
+
+def test_counts_per_class(spark, pii_df):
+    got = (
+        pii_df.select(
+            "id",
+            pii_count(F.col("txt"), "email").alias("e"),
+            pii_count(F.col("txt"), "phone").alias("p"),
+            pii_count(F.col("txt"), "ipv4").alias("i"),
+            pii_count(F.col("txt"), "number").alias("n"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    for row, (_, e, p, i, n) in zip(got, ROWS):
+        assert (row["e"], row["p"], row["i"], row["n"]) == (e, p, i, n), row
+
+
+def test_scrub_redacts_every_class(spark, pii_df):
+    got = pii_df.select("id", scrub(F.col("txt")).alias("s")).orderBy("id").collect()
+    s = {r["id"]: r["s"] for r in got}
+    assert s[0] == "reach me at <EMAIL> or <PHONE>"
+    assert s[1] == "server <IP> answered; backup at <IP>"
+    assert s[2] == "order <NUM> shipped <NUM> units to dock 7"
+    assert s[3] == "<EMAIL> mailed <IP> about <PHONE> and invoice <NUM>"
+    assert s[4] == "no identifiers here at all"
+    assert s[5] == "contact <EMAIL> today"
+
+
+def test_oracle_builders_match_spark(spark, pii_df):
+    """The DuckDB expressions the e10 oracle is built from must compute
+    the same counts and redactions as the Spark expressions — on text
+    richer than the fixture's."""
+    con = duckdb.connect()
+    sel = ", ".join(
+        [oracle_pii_count("txt", n) + f" AS {n}" for n, _, _ in PII_PATTERNS]
+        + [oracle_scrub("txt") + " AS s"]
+    )
+    duck = [
+        con.execute(f"SELECT {sel} FROM (SELECT ? AS txt)", [t]).fetchone()
+        for t, *_ in ROWS
+    ]
+    spark_rows = (
+        pii_df.select(
+            "id",
+            *[pii_count(F.col("txt"), n).alias(n) for n, _, _ in PII_PATTERNS],
+            scrub(F.col("txt")).alias("s"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    for srow, drow in zip(spark_rows, duck):
+        assert tuple(srow)[1:] == drow
+
+
+def test_masking_order_prevents_double_count(spark):
+    # A phone number contains digit runs; the number class must see the
+    # placeholder, not the digits.
+    df = spark.createDataFrame([("call +1 (303) 555-0142 now",)], "txt string")
+    row = df.select(
+        pii_count(F.col("txt"), "phone").alias("p"),
+        pii_count(F.col("txt"), "number").alias("n"),
+    ).first()
+    assert row["p"] == 1
+    assert row["n"] == 0

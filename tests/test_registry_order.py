@@ -44,7 +44,7 @@ def test_window_retains_events_representatives():
     # driver re-confirmation coverage for the events read path.
     window = set(list(QUERIES)[:50])
     for n in ("a01_revenue_by_category", "a09_dashboard_windows",
-              "b11_asof_last_click", "g10_json_extraction"):
+              "b11_asof_last_click"):
         assert n in window
 
 
