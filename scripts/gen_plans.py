@@ -128,6 +128,16 @@ ANNOTATED = {
         "stratum, no global window), then a plain two-phase hash "
         "aggregate on (source, seq_id)."
     ),
+    "e10_pii_scrub": (
+        "PII scrub: ordered regexp mask/redact entirely inside the scan "
+        "projection (3-column ReadSchema, zero shuffles before the "
+        "presentation sort) — a pure map stage at 100 TB."
+    ),
+    "p08_train_val_split": (
+        "Train/val split: portable id-hash projection in the scan stage, "
+        "ONE hash exchange for the per-split shuffle-rank window "
+        "(production writes file-local ranks instead), presentation sort."
+    ),
 }
 
 

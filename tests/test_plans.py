@@ -272,3 +272,25 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     assert "Exchange" not in plan, plan[:2000]
     assert "Sort (" not in plan, plan[:2000]
     assert plan.count("Bucketed: true") == 2, plan[:2000]
+
+
+def test_pii_scrub_is_single_scan_projection(spark, sf_dir):
+    # e10 is a pure regexp projection: pruned scan (3 of 6 columns), no
+    # shuffle other than the presentation sort — the 100-TB scrub pass
+    # must never widen beyond a map stage.
+    df = QUERIES["e10_pii_scrub"](spark, sf_dir)
+    schemas = read_schema(df)
+    assert schemas and "props" in schemas[0] and "user_id" not in schemas[0]
+    plan = executed_plan(df)
+    assert plan.count("Exchange") <= 1, plan[:2000]  # rangepartitioning sort only
+
+
+def test_train_val_split_single_window_shuffle(spark, sf_dir):
+    # p08: one hash exchange for the per-split window + the presentation
+    # range sort — nothing else. The split/hash projection must stay in
+    # the scan stage (no shuffle before the window's own).
+    df = QUERIES["p08_train_val_split"](spark, sf_dir)
+    schemas = read_schema(df)
+    assert schemas and "text" not in schemas[0]  # only doc_id/source read
+    plan = executed_plan(df)
+    assert plan.count("Exchange") == 2, plan[:2000]
