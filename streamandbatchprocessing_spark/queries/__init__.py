@@ -29,19 +29,20 @@ from .registry import ORACLES, QUERIES
 #: greened) a01–a09 + all b01–b29 + g01–g12; round 3's run aborted on a
 #: fixture schema change, so as of round 4 every c/d/e/f/m/p query and
 #: b30 — 45 queries — still has NO driver verdict. This window therefore
-#: holds ALL never-scored queries (the 45 plus round 4's e10/p08) and 3
-#: already-green events-based representatives (a01/a09/b11),
+#: holds ALL never-scored queries (the 45 plus round 4's c10/e10/p08)
+#: and 2 already-green events-based representatives (a01/b11),
 #: re-confirming the fixture's new TIMESTAMP(MICROS) shape under the
 #: driver. The rotated-out a/b/g queries stay registered after slot 50:
 #: each carries a green CORRECTNESS_r01/r02 row and keeps its local
 #: strict-oracle test, which is bit-exact with the driver's compare.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # §2.10 parity flagship + events-window representative
-    "a01_revenue_by_category", "a09_dashboard_windows",
+    # §2.10 parity flagship (events-based)
+    "a01_revenue_by_category",
     # dedup family
     "c01_exact_dedup", "c02_minhash_lsh_pairs", "c03_simhash_neighbors",
     "c04_ngram_jaccard_pairs", "c05_embedding_neardup", "c06_hll_user_sketch",
     "c07_dup_clusters", "c08_candidate_verify", "c09_semantic_dedup",
+    "c10_incremental_neardup",
     # similarity search
     "d01_topk_bruteforce", "d02_ivf_bucket_ann",
     "d03_topk_pandas_vectorized", "d04_ivf_kmeans_ann",

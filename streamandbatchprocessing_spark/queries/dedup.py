@@ -755,3 +755,103 @@ def c08_candidate_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("est_error"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# c10 — incremental near-dedup: new batch vs. existing corpus
+# ---------------------------------------------------------------------------
+#: Every 5th doc plays the "newly arrived batch"; the rest are the
+#: standing corpus. A modulo split keeps the partition deterministic
+#: and scale-factor-invariant on both engines.
+_INC_BATCH_MOD = 5
+
+
+def _incremental_oracle() -> str:
+    return f"""
+    {_sig_cte()},
+    {_cand_cte()},
+    edges AS (SELECT c.da, c.db FROM cand c
+              JOIN sig sa ON sa.doc_id = c.da
+              JOIN sig sb ON sb.doc_id = c.db
+              WHERE ({_AGREE}) >= {_CC_MIN_AGREE}),
+    nbr AS (
+        SELECT db AS doc_id, da AS nbr FROM edges
+        WHERE db % {_INC_BATCH_MOD} = 0
+        UNION ALL
+        SELECT da AS doc_id, db AS nbr FROM edges
+        WHERE da % {_INC_BATCH_MOD} = 0 AND db % {_INC_BATCH_MOD} <> 0
+    ),
+    agg AS (SELECT doc_id,
+                   MIN(CASE WHEN nbr % {_INC_BATCH_MOD} <> 0 THEN nbr END)
+                       AS corpus_min,
+                   MIN(CASE WHEN nbr % {_INC_BATCH_MOD} = 0 THEN nbr END)
+                       AS batch_min
+            FROM nbr GROUP BY doc_id)
+    SELECT b.doc_id,
+           CASE WHEN a.corpus_min IS NOT NULL THEN 'dup_of_corpus'
+                WHEN a.batch_min IS NOT NULL THEN 'dup_in_batch'
+                ELSE 'new' END AS status,
+           a.corpus_min IS NOT NULL OR a.batch_min IS NOT NULL AS is_dup,
+           COALESCE(a.corpus_min, a.batch_min) AS dup_of
+    FROM (SELECT doc_id FROM documents WHERE doc_id % {_INC_BATCH_MOD} = 0) b
+    LEFT JOIN agg a USING (doc_id)
+    ORDER BY b.doc_id
+    """
+
+
+@query("c10_incremental_neardup", oracle=_incremental_oracle())
+def c10_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dedup: route each NEWLY ARRIVED document (the
+    ``doc_id % 5 == 0`` batch) against the standing corpus via the
+    MinHash/LSH band index, then against earlier docs of its own batch —
+    the production shape for daily ingest, where the corpus was deduped
+    yesterday and only the delta needs work.
+
+    Statuses: ``dup_of_corpus`` (near-dup of a corpus doc — drop, keep
+    corpus canonical), ``dup_in_batch`` (first seen in this batch but an
+    earlier batch doc is the keeper), ``new``. Corpus hits take
+    precedence; ``dup_of`` is the min-id keeper in that order.
+
+    Scale design: the signature table is computed once here, but in
+    production the corpus half IS the persisted LSH index c02 already
+    materializes (signatures survive as parquet keyed by band hash) —
+    the daily job computes signatures only for the delta and probes with
+    band equi-joins, so incremental cost is O(delta + collisions), never
+    a corpus rescan. The decision edge reuses c07's near-dup threshold
+    (agree ≥ 14/16), so incremental and batch dedup agree on what a
+    duplicate IS. Neighbor normalization + min-aggregation shuffle only
+    the edge stream (output-bound, like every LSH stage)."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = persist_tracked(_sig_df(docs))
+    bmod = F.lit(_INC_BATCH_MOD)
+    edges = _band_pairs(
+        sig, lambda pa, pb, band: [_agree_col(pa, pb, band).alias("agree")]
+    ).filter(F.col("agree") >= _CC_MIN_AGREE)
+    nbr = (
+        edges.filter(F.col("db") % bmod == 0)
+        .select(F.col("db").alias("doc_id"), F.col("da").alias("nbr"))
+        .unionAll(
+            edges.filter((F.col("da") % bmod == 0) & (F.col("db") % bmod != 0))
+            .select(F.col("da").alias("doc_id"), F.col("db").alias("nbr"))
+        )
+    )
+    agg = nbr.groupBy("doc_id").agg(
+        F.min(F.when(F.col("nbr") % bmod != 0, F.col("nbr"))).alias("corpus_min"),
+        F.min(F.when(F.col("nbr") % bmod == 0, F.col("nbr"))).alias("batch_min"),
+    )
+    batch = docs.filter(F.col("doc_id") % bmod == 0).select("doc_id")
+    return (
+        batch.join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("corpus_min").isNotNull(), F.lit("dup_of_corpus"))
+            .when(F.col("batch_min").isNotNull(), F.lit("dup_in_batch"))
+            .otherwise(F.lit("new"))
+            .alias("status"),
+            (
+                F.col("corpus_min").isNotNull() | F.col("batch_min").isNotNull()
+            ).alias("is_dup"),
+            F.coalesce("corpus_min", "batch_min").alias("dup_of"),
+        )
+        .orderBy("doc_id")
+    )

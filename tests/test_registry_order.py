@@ -43,8 +43,7 @@ def test_window_retains_events_representatives():
     # The events fixture's physical ts type changed between rounds; keep
     # driver re-confirmation coverage for the events read path.
     window = set(list(QUERIES)[:50])
-    for n in ("a01_revenue_by_category", "a09_dashboard_windows",
-              "b11_asof_last_click"):
+    for n in ("a01_revenue_by_category", "b11_asof_last_click"):
         assert n in window
 
 
