@@ -29,10 +29,10 @@ from .registry import ORACLES, QUERIES
 #: greened) a01–a09 + all b01–b29 + g01–g12; round 3's run aborted on a
 #: fixture schema change, so as of round 4 every c/d/e/f/m/p query and
 #: b30 — 45 queries — still has NO driver verdict. This window therefore
-#: holds ALL never-scored queries (the 45 plus round 4's c10/e10/p08)
-#: and 2 already-green events-based representatives (a01/b11),
+#: holds ALL never-scored queries (the 45 plus round 4's c10/e10/f09/
+#: p08) and one already-green representative (a01 — events-based,
 #: re-confirming the fixture's new TIMESTAMP(MICROS) shape under the
-#: driver. The rotated-out a/b/g queries stay registered after slot 50:
+#: driver; e10/f09 and the f-family exercise the same loader). The rotated-out a/b/g queries stay registered after slot 50:
 #: each carries a green CORRECTNESS_r01/r02 row and keeps its local
 #: strict-oracle test, which is bit-exact with the driver's compare.
 PRIORITY_ORDER: tuple[str, ...] = (
@@ -56,7 +56,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "f01_streaming_dashboard", "f02_streaming_dedup", "f03_session_windows",
     "f04_stateful_user_totals", "f05_stream_stream_join",
     "f06_idle_key_eviction", "f07_stream_static_enrichment",
-    "f08_stream_left_outer_join",
+    "f08_stream_left_outer_join", "f09_streaming_pii_scrub",
     # multimodal
     "m01_binary_payload_stats", "m02_payload_features_pandas",
     "m03_frame_sample_plan", "m04_resize_plan", "m05_crossmodal_join",
@@ -65,9 +65,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "p03_sequence_packing", "p04_stratified_sample", "p05_mix_budget",
     "p06_contamination_check", "p07_temperature_mix",
     "p08_train_val_split",
-    # relational representatives (b11 is events-based; b30 is the
-    # never-scored bucketed-join rep)
-    "b11_asof_last_click", "b30_bucketed_colocated_join",
+    # never-scored bucketed-join representative
+    "b30_bucketed_colocated_join",
 )
 
 

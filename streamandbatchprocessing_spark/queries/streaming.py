@@ -486,3 +486,55 @@ def f08_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("purchase_id", "click_id", "user_id")
         .orderBy("purchase_id", "click_id")
     )
+
+
+def _f09_count(expr: str) -> str:
+    from ..functions.pii import oracle_pii_count
+
+    return oracle_pii_count(expr, "number")
+
+
+def _f09_scrub(expr: str) -> str:
+    from ..functions.pii import oracle_scrub
+
+    return oracle_scrub(expr)
+
+
+@query(
+    "f09_streaming_pii_scrub",
+    oracle=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM({_f09_count('props')}) AS BIGINT) AS n_number,
+           CAST(SUM(length({_f09_scrub('props')})) AS BIGINT) AS redacted_chars
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def f09_streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e10's PII scrub applied INSIDE a streaming pipeline: the regexp
+    mask/count projection runs per micro-batch (stateless map — scrub
+    adds zero state), feeding a per-event-type running aggregate in
+    complete mode. Demonstrates the batch/streaming contract the scrub
+    was designed for: the same codegen'd expressions run verbatim in
+    both engines' plans, and the drained streaming result equals the
+    batch oracle.
+
+    Scale: scrub cost is per-row map work distributed across stream
+    partitions; the aggregate state is |event_type| rows — bounded."""
+    from ..functions.pii import pii_count, scrub
+    from ..streaming.pipeline import events_stream, run_to_memory
+
+    stream = events_stream(spark, sf_dir).select(
+        "event_type",
+        pii_count(F.col("props"), "number").alias("n_num"),
+        F.length(scrub(F.col("props"))).alias("red_len"),
+    )
+    agg = stream.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("n_num").alias("n_number"),
+        F.sum("red_len").alias("redacted_chars"),
+    )
+    result = run_to_memory(agg, output_mode="complete", name_prefix="f09_pii")
+    return result.orderBy("event_type")

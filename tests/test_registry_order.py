@@ -43,7 +43,8 @@ def test_window_retains_events_representatives():
     # The events fixture's physical ts type changed between rounds; keep
     # driver re-confirmation coverage for the events read path.
     window = set(list(QUERIES)[:50])
-    for n in ("a01_revenue_by_category", "b11_asof_last_click"):
+    for n in ("a01_revenue_by_category", "e10_pii_scrub",
+              "f01_streaming_dashboard"):
         assert n in window
 
 
