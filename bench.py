@@ -68,6 +68,10 @@ EXTRA = [
     "p03_sequence_packing",
     "d06_pq_adc_topk",
     "p06_contamination_check",
+    # round 4 additions
+    "e10_pii_scrub",
+    "p08_train_val_split",
+    "c10_incremental_neardup",
 ]
 
 

@@ -138,6 +138,12 @@ ANNOTATED = {
         "ONE hash exchange for the per-split shuffle-rank window "
         "(production writes file-local ranks instead), presentation sort."
     ),
+    "c10_incremental_neardup": (
+        "Incremental near-dedup: band equi-joins on the shared signature "
+        "table (persisted once), edge stream filtered to delta×corpus / "
+        "delta×earlier-delta, min-keeper aggregation on the output-bound "
+        "edge relation only — the corpus is never rescanned per delta."
+    ),
 }
 
 
