@@ -72,6 +72,7 @@ EXTRA = [
     "e10_pii_scrub",
     "p08_train_val_split",
     "c10_incremental_neardup",
+    "f09_streaming_pii_scrub",
 ]
 
 

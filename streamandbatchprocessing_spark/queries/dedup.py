@@ -824,9 +824,14 @@ def c10_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     sig = persist_tracked(_sig_df(docs))
     bmod = F.lit(_INC_BATCH_MOD)
-    edges = _band_pairs(
-        sig, lambda pa, pb, band: [_agree_col(pa, pb, band).alias("agree")]
-    ).filter(F.col("agree") >= _CC_MIN_AGREE)
+    # persist: both unionAll branches below consume the edge stream —
+    # uncached, the banded self-join (the dominant O(pairs) stage)
+    # would be planned and computed twice.
+    edges = persist_tracked(
+        _band_pairs(
+            sig, lambda pa, pb, band: [_agree_col(pa, pb, band).alias("agree")]
+        ).filter(F.col("agree") >= _CC_MIN_AGREE)
+    )
     nbr = (
         edges.filter(F.col("db") % bmod == 0)
         .select(F.col("db").alias("doc_id"), F.col("da").alias("nbr"))

@@ -55,10 +55,22 @@ EVENTS_FILE_SCHEMA = StructType(
 def _events_ts_unit(sf_dir: str) -> str | None:
     """Parquet physical unit of events.ts: 'ns', 'us', or None for a
     plain INT64 column. The driver has shipped both nanos and micros
-    fixtures across rounds, so every reader detects instead of assuming."""
+    fixtures across rounds, so every reader detects instead of assuming.
+
+    ``events.parquet`` may be a single file (the fixtures) or a
+    DIRECTORY of part files (the production layout) — probe the first
+    part file in the latter case; a table's parts share one schema."""
+    import glob
+
     import pyarrow.parquet as pq
 
-    t = pq.read_schema(os.path.join(sf_dir, "events.parquet")).field("ts").type
+    path = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet part files under {path}")
+        path = parts[0]
+    t = pq.read_schema(path).field("ts").type
     return getattr(t, "unit", None)
 
 
@@ -83,14 +95,21 @@ def _normalize_event_ts(raw: DataFrame, unit: str | None) -> DataFrame:
 
 def events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming read of the events fixture via the file source —
-    deterministic replay of the same rows the batch path reads."""
+    deterministic replay of the same rows the batch path reads.
+
+    Handles both table layouts: a single ``events.parquet`` file (the
+    fixtures — streamed from the parent dir with a name filter, since
+    the file source wants a directory) and an ``events.parquet/``
+    DIRECTORY of part files (the production layout — streamed
+    directly)."""
     unit = _events_ts_unit(sf_dir)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = (
-        spark.readStream.schema(_events_schema_for(unit))
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    path = os.path.join(sf_dir, "events.parquet")
+    reader = spark.readStream.schema(_events_schema_for(unit))
+    if os.path.isdir(path):
+        raw = reader.parquet(path)
+    else:
+        raw = reader.option("pathGlobFilter", "events.parquet").parquet(sf_dir)
     return _normalize_event_ts(raw, unit)
 
 

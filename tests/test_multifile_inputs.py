@@ -89,3 +89,20 @@ def test_events_loader_handles_legacy_nanos(spark, sf_dir, tmp_path):
     expect = load_table(spark, sf_dir, "events").orderBy("event_id").collect()
     got = load_table(spark, str(legacy_dir), "events").orderBy("event_id").collect()
     assert got == expect
+
+
+def test_streaming_reader_on_multifile_layout(spark, sf_dir, multifile_sf):
+    # The streaming file source must read a directory-shaped events
+    # table (production layout) and produce the same rows as the
+    # single-file fixture stream.
+    from streamandbatchprocessing_spark.streaming.pipeline import (
+        events_stream,
+        run_to_memory,
+    )
+
+    def drain(src_dir):
+        plan = events_stream(spark, src_dir).select("event_id", "ts", "user_id")
+        return sorted(map(repr, run_to_memory(plan, output_mode="append",
+                                              name_prefix="mf_ev").collect()))
+
+    assert drain(multifile_sf) == drain(sf_dir)

@@ -5,12 +5,13 @@ can't silently push a query family out of driver verification again.
 
 Round-4 window policy: rounds 1–2 greened a01–a09 + b01–b29 + g01–g12;
 round 3's run aborted before scoring anything (fixture schema change),
-so every c/d/e/f/m/p query and b30 — 45 in all — entered round 4 with no
-driver verdict. The window therefore holds all 45 never-scored queries
-plus 5 already-green representatives (a01/a09/b01/b11/g10, three of them
-events-based to re-confirm the new TIMESTAMP(MICROS) fixture under the
-driver). Every rotated-out query keeps a green CORRECTNESS_r01/r02 row
-and its local strict-oracle test.
+so every c/d/e/f/m/p query and b30 entered round 4 with no driver
+verdict. The window therefore holds ALL never-scored queries — the 45
+carried over plus round 4's own c10/e10/f09/p08 (49 total) — and one
+already-green representative (a01: events-based, re-confirming the new
+TIMESTAMP(MICROS) fixture under the driver; e10/f09 and the f-family
+exercise the same loader). Every rotated-out query keeps a green
+CORRECTNESS_r01/r02 row and its local strict-oracle test.
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES
