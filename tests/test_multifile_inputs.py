@@ -47,8 +47,9 @@ def multifile_sf(tmp_path_factory, sf_dir):
     [
         "b01_pricing_summary",    # lineitem (split)
         "b02_top_unshipped_orders",  # lineitem + orders (split) + customer
-        "a01_revenue_by_category",   # events (split, nanos ts path)
+        "a01_revenue_by_category",   # events (split, detected ts path)
         "a09_dashboard_windows",     # events windows
+        "e10_pii_scrub",             # events regexp scrub (round 4)
     ],
 )
 def test_query_identical_on_multifile_layout(spark, sf_dir, multifile_sf, name):
