@@ -98,3 +98,80 @@ def test_masking_order_prevents_double_count(spark):
     ).first()
     assert row["p"] == 1
     assert row["n"] == 0
+
+
+def _adversarial_corpus(n=200, seed=7):
+    """Deterministic mixed corpus: words, emails, phones, IPs, numbers,
+    and near-miss shapes (trailing dots, short digit runs, bare @)."""
+    import random
+
+    rng = random.Random(seed)
+    words = ["alpha", "beta", "data", "x", "spark.", "a@b", "v2", "10.", "+",
+             "end"]
+    pieces = [
+        lambda: rng.choice(words),
+        lambda: f"{rng.choice(['jo', 'a.b', 'x_9'])}@{rng.choice(['ex.com', 'a.co.uk', 'm.io'])}",
+        lambda: "+%d %d%d%d-%d" % (rng.randint(1, 99), rng.randint(10, 99),
+                                   rng.randint(10, 99), rng.randint(10, 99),
+                                   rng.randint(1000, 9999)),
+        lambda: ".".join(str(rng.randint(0, 255)) for _ in range(4)),
+        lambda: str(rng.randint(0, 10**rng.randint(1, 9))),
+    ]
+    out = []
+    for _ in range(n):
+        k = rng.randint(0, 8)
+        out.append(" ".join(rng.choice(pieces)() for _ in range(k)))
+    return out
+
+
+def test_scrub_is_idempotent_and_complete(spark):
+    """One scrub pass must leave NOTHING for a second pass: every class
+    count on scrubbed text is zero (the placeholders contain no digits,
+    dots-between-digits, or '@'), and scrub(scrub(x)) == scrub(x).
+    This is the guarantee that lets a 100-TB pipeline run the scrub
+    exactly once."""
+    corpus = _adversarial_corpus()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "id long, txt string"
+    )
+    once = df.select("id", scrub(F.col("txt")).alias("s1"))
+    twice = once.select(
+        "id",
+        "s1",
+        scrub(F.col("s1")).alias("s2"),
+        *[pii_count(F.col("s1"), n).alias(n) for n, _, _ in PII_PATTERNS],
+    )
+    bad = twice.filter(
+        (F.col("s1") != F.col("s2"))
+        | sum((F.col(n) != 0).cast("int") for n, _, _ in PII_PATTERNS).cast(
+            "boolean"
+        )
+    ).collect()
+    assert not bad, bad[:5]
+
+
+def test_oracle_equivalence_on_adversarial_corpus(spark):
+    """Spark and DuckDB must agree on counts AND redacted text across
+    the generated corpus — the engine-parity pin for text the fixture
+    never produces."""
+    corpus = _adversarial_corpus()
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "id long, txt string"
+    )
+    spark_rows = (
+        df.select(
+            "id",
+            *[pii_count(F.col("txt"), n).alias(n) for n, _, _ in PII_PATTERNS],
+            scrub(F.col("txt")).alias("s"),
+        )
+        .orderBy("id")
+        .collect()
+    )
+    con = duckdb.connect()
+    sel = ", ".join(
+        [oracle_pii_count("txt", n) + f" AS {n}" for n, _, _ in PII_PATTERNS]
+        + [oracle_scrub("txt") + " AS s"]
+    )
+    for srow, txt in zip(spark_rows, corpus):
+        drow = con.execute(f"SELECT {sel} FROM (SELECT ? AS txt)", [txt]).fetchone()
+        assert tuple(srow)[1:] == drow, (txt, tuple(srow)[1:], drow)
