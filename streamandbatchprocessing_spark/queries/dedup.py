@@ -589,6 +589,38 @@ def c06_hll_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query("c11_quantile_sketch")  # no oracle: GK-sketch estimates are engine-specific
+def c11_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approximate quantiles (p50/p95/p99 of ``value``)
+    via Spark's Greenwald-Khanna ``percentile_approx`` sketch, alongside
+    the exact percentiles for error inspection.
+
+    Why a sketch when exact percentile exists: the exact form needs the
+    full sorted value set per group (memory ∝ group size — a 100 TB
+    group cannot do this), while the GK sketch is bounded at
+    O(accuracy) per group and its partials merge associatively across
+    partitions — the same mergeability argument as c06's HLL. With
+    accuracy=10000 the rank error is ≤ n/10000 per group. Estimates are
+    engine-specific (DuckDB uses t-digest), so this registers rows-only;
+    the rank-error bound is asserted in tests/test_sketches.py."""
+    ev = load_table(spark, sf_dir, "events")
+    pa = F.expr("percentile_approx(value, array(0.5D, 0.95D, 0.99D), 10000)")
+    px = F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            pa[0].alias("approx_p50"),
+            pa[1].alias("approx_p95"),
+            pa[2].alias("approx_p99"),
+            px[0].alias("exact_p50"),
+            px[1].alias("exact_p95"),
+            px[2].alias("exact_p99"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # c07 — duplicate clustering: connected components over the LSH graph
 # ---------------------------------------------------------------------------

