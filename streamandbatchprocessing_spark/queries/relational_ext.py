@@ -527,3 +527,107 @@ def g12_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     return spark.sql(_G12_SQL)
+
+
+# ---------------------------------------------------------------------------
+# g13 — cross-series correlation (deterministic moment accumulation)
+# ---------------------------------------------------------------------------
+@query(
+    "g13_value_correlation",
+    oracle="""
+    WITH s AS (SELECT event_type,
+                      date_trunc('minute', CAST(ts AS TIMESTAMP)) AS mb,
+                      CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                                      AS DOUBLE) / COUNT(value), 6)
+                           AS DECIMAL(18,6)) AS m
+               FROM events GROUP BY event_type, mb),
+    p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 a.m AS x, b.m AS y
+          FROM s a JOIN s b ON a.mb = b.mb AND a.event_type < b.event_type),
+    agg AS (SELECT type_a, type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_buckets,
+                   SUM(x) AS sx, SUM(y) AS sy,
+                   SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+            FROM p GROUP BY type_a, type_b),
+    v AS (SELECT type_a, type_b, n_buckets,
+                 n_buckets * CAST(sxy AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+                 n_buckets * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS vx,
+                 n_buckets * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vy
+          FROM agg)
+    SELECT type_a, type_b, n_buckets,
+           CASE WHEN vx <= 0 OR vy <= 0 THEN NULL
+                ELSE ROUND(cov_n / (sqrt(vx) * sqrt(vy)), 6)
+           END AS corr
+    FROM v
+    ORDER BY type_a, type_b
+    """,
+)
+def g13_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise Pearson correlation between the per-minute mean-value
+    series of every event-type pair — the cross-series analytics shape
+    (do purchases move with clicks?).
+
+    Determinism design: built-in ``corr()`` accumulates float moments in
+    partition order, so its low bits are partition-dependent and
+    engine-specific — unusable under a bit-exact gate. Instead the
+    series values are quantized to DECIMAL(18,6) and every moment
+    (Σx, Σy, Σxy, Σx², Σy²) is accumulated in EXACT decimal arithmetic
+    (associative — any partitioning, any engine, same digits); only the
+    final closed-form combination runs in double, as the identical
+    expression on both engines. Same discipline as dsum, extended to
+    second moments.
+
+    Scale: two shuffles total — the (type, minute) pre-aggregation
+    (map-side combinable) and the |types|²-sized pair aggregation over
+    the bucket-joined series; the events table is scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.groupBy(
+            "event_type",
+            F.date_trunc("minute", F.col("ts")).alias("mb"),
+        )
+        .agg(davg("value", "m_raw"))
+        .select(
+            "event_type", "mb",
+            F.round(F.col("m_raw"), 6).cast("decimal(18,6)").alias("m"),
+        )
+    )
+    a, b = s.alias("a"), s.alias("b")
+    p = a.join(
+        b,
+        (F.col("a.mb") == F.col("b.mb"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.m").alias("x"),
+        F.col("b.m").alias("y"),
+    )
+    agg = p.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_buckets"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n_buckets")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy
+    vx = n * sxx - sx * sx
+    vy = n * syy - sy * sy
+    # NULL for degenerate pairs: a constant series has zero variance,
+    # which double rounding of the exact sums can surface as a tiny
+    # NEGATIVE — guard on the variance terms (identical expression on
+    # both engines, so the sign agrees) before any sqrt/divide.
+    corr = F.when(
+        (vx <= 0) | (vy <= 0), F.lit(None).cast("double")
+    ).otherwise(F.round(cov_n / (F.sqrt(vx) * F.sqrt(vy)), 6))
+    return agg.select(
+        "type_a", "type_b", "n_buckets", corr.alias("corr")
+    ).orderBy("type_a", "type_b")

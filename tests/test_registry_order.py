@@ -32,6 +32,11 @@ _BEYOND_WINDOW_OK = {
     # bound and partition-invariance are pinned in tests/test_sketches.py,
     # and c06 holds the in-window seat for the mergeable-sketch class.
     "c11_quantile_sketch",
+    # late round-4 addition; full oracle, green at sf0.001/0.01/0.1
+    # locally. The window is packed with the 49 queries that have
+    # waited since round 2 — g13 is the first rotation candidate once
+    # those verdicts land (round 5).
+    "g13_value_correlation",
 }
 
 
