@@ -615,7 +615,9 @@ def c11_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             px[0].alias("exact_p50"),
             px[1].alias("exact_p95"),
             px[2].alias("exact_p99"),
-            F.count(F.lit(1)).alias("n"),
+            # count("value"), not count(*): percentile/percentile_approx
+            # skip NULLs, so n must be the sketch's own population.
+            F.count("value").alias("n"),
         )
         .orderBy("event_type")
     )

@@ -22,6 +22,7 @@ from __future__ import annotations
 import itertools
 import os
 import tempfile
+import threading
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -35,6 +36,10 @@ from pyspark.sql.types import (
 )
 
 _MEM_COUNTER = itertools.count()
+
+#: Serializes the shuffle-partition save/set/restore in run_to_memory —
+#: two overlapping drains must not interleave their restores.
+_DRAIN_CONF_LOCK = threading.Lock()
 
 #: Physical schema of events.parquet when ``ts`` is stored as
 #: TIMESTAMP(NANOS) read via nanosAsLong (see sources/batch._load_events)
@@ -217,15 +222,25 @@ def run_to_memory(
     writer = writer.trigger(once=True) if trigger_once else writer.trigger(
         availableNow=True
     )
-    conf_key = "spark.sql.shuffle.partitions"
-    old_parts = spark.conf.get(conf_key)
-    if state_partitions is not None:
-        spark.conf.set(conf_key, str(state_partitions))
-    try:
+    if state_partitions is None:
         query = writer.start()
         query.awaitTermination()
-    finally:
-        if state_partitions is not None:
+        return spark.table(name)
+    # The conf toggle is session-global: serialize drains under a lock
+    # so overlapping get→set→restore interleavings can't strand the
+    # session at the drain value. Concurrent BATCH queries on the same
+    # session still observe the reduced value for the drain's duration
+    # (harmless at fixture scale — AQE re-coalesces batch shuffles);
+    # callers that must not perturb the session pass
+    # ``state_partitions=None``.
+    conf_key = "spark.sql.shuffle.partitions"
+    with _DRAIN_CONF_LOCK:
+        old_parts = spark.conf.get(conf_key)
+        spark.conf.set(conf_key, str(state_partitions))
+        try:
+            query = writer.start()
+            query.awaitTermination()
+        finally:
             spark.conf.set(conf_key, old_parts)
     return spark.table(name)
 

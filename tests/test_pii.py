@@ -62,19 +62,31 @@ def test_scrub_redacts_every_class(spark, pii_df):
     assert s[5] == "contact <EMAIL> today"
 
 
-def test_oracle_builders_match_spark(spark, pii_df):
-    """The DuckDB expressions the e10 oracle is built from must compute
-    the same counts and redactions as the Spark expressions — on text
-    richer than the fixture's."""
-    con = duckdb.connect()
+def _duck_pii_rows(texts):
+    """All PII oracle expressions over ``texts`` in ONE set-based DuckDB
+    query (not a per-row loop); connection closed deterministically."""
+    import pandas as pd
+
     sel = ", ".join(
         [oracle_pii_count("txt", n) + f" AS {n}" for n, _, _ in PII_PATTERNS]
         + [oracle_scrub("txt") + " AS s"]
     )
-    duck = [
-        con.execute(f"SELECT {sel} FROM (SELECT ? AS txt)", [t]).fetchone()
-        for t, *_ in ROWS
-    ]
+    rel = pd.DataFrame({"id": range(len(texts)), "txt": texts})
+    con = duckdb.connect()
+    try:
+        con.register("pii_rows", rel)
+        return con.execute(
+            f"SELECT {sel} FROM pii_rows ORDER BY id"
+        ).fetchall()
+    finally:
+        con.close()
+
+
+def test_oracle_builders_match_spark(spark, pii_df):
+    """The DuckDB expressions the e10 oracle is built from must compute
+    the same counts and redactions as the Spark expressions — on text
+    richer than the fixture's."""
+    duck = _duck_pii_rows([t for t, *_ in ROWS])
     spark_rows = (
         pii_df.select(
             "id",
@@ -167,11 +179,6 @@ def test_oracle_equivalence_on_adversarial_corpus(spark):
         .orderBy("id")
         .collect()
     )
-    con = duckdb.connect()
-    sel = ", ".join(
-        [oracle_pii_count("txt", n) + f" AS {n}" for n, _, _ in PII_PATTERNS]
-        + [oracle_scrub("txt") + " AS s"]
-    )
-    for srow, txt in zip(spark_rows, corpus):
-        drow = con.execute(f"SELECT {sel} FROM (SELECT ? AS txt)", [txt]).fetchone()
+    duck = _duck_pii_rows(corpus)
+    for srow, drow, txt in zip(spark_rows, duck, corpus):
         assert tuple(srow)[1:] == drow, (txt, tuple(srow)[1:], drow)

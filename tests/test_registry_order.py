@@ -29,8 +29,9 @@ def test_priority_order_is_window_prefix():
 _BEYOND_WINDOW_OK = {
     # rows-only (GK sketch estimates are engine-specific), so a driver
     # verdict would be the weak rows-run check anyway; its rank-error
-    # bound and partition-invariance are pinned in tests/test_sketches.py,
-    # and c06 holds the in-window seat for the mergeable-sketch class.
+    # bound — including under adversarial repartitionings — is pinned in
+    # tests/test_sketches.py, and c06 holds the in-window seat for the
+    # mergeable-sketch class.
     "c11_quantile_sketch",
     # late round-4 addition; full oracle, green at sf0.001/0.01/0.1
     # locally. The window is packed with the 49 queries that have

@@ -54,6 +54,7 @@ def test_quantile_sketch_rank_error_bound(spark, sf_dir):
             for x in ev.filter(F.col("event_type") == r["event_type"])
             .select("value")
             .collect()
+            if x["value"] is not None  # sketch population excludes nulls
         ]
         vals.sort()
         n = len(vals)
@@ -66,28 +67,25 @@ def test_quantile_sketch_rank_error_bound(spark, sf_dir):
                 r["event_type"], col, rank, q)
 
 
-def test_quantile_sketch_partials_merge_to_global(spark, sf_dir):
-    """The sketch's defining 100-TB property: per-partition partial
-    sketches merged together give the same estimate as one global
-    sketch (associative merge — what exact percentile cannot do)."""
+def test_quantile_sketch_bound_holds_under_any_partitioning(spark, sf_dir):
+    """The sketch's 100-TB property: partial summaries built per
+    partition merge into a global estimate whose RANK-ERROR BOUND still
+    holds. The merged estimate is NOT bit-identical to a single-scan
+    sketch (GK compression depends on merge order — at sf0.1 the two
+    differ in the decimals), so the contract to pin is the bound, under
+    adversarial partitionings."""
     ev = load_table(spark, sf_dir, "events")
-    merged = (
-        ev.repartition(8, "user_id")
-        .groupBy(F.spark_partition_id().alias("p"))
-        .agg(F.expr("percentile_approx(value, 0.95D, 10000)").alias("sk"))
+    vals = sorted(
+        r["value"] for r in ev.select("value").collect()
+        if r["value"] is not None
     )
-    # Spark exposes merge via re-aggregation of the underlying sketch
-    # only inside one agg tree; emulate the two-level rollup the way a
-    # production pipeline does: union the partition slices and
-    # re-aggregate from raw — identical input must give an identical
-    # estimate regardless of partitioning.
-    direct = ev.agg(
-        F.expr("percentile_approx(value, 0.95D, 10000)").alias("g")
-    ).first()["g"]
-    repart = (
-        ev.repartition(8, "user_id")
-        .agg(F.expr("percentile_approx(value, 0.95D, 10000)").alias("g"))
-        .first()["g"]
-    )
-    assert direct == repart
-    assert merged.count() >= 1
+    n = len(vals)
+    slack = 1.0 / 10000 + 1.0 / n
+    for parts, key in ((8, "user_id"), (32, "event_id"), (2, "event_type")):
+        est = (
+            ev.repartition(parts, key)
+            .agg(F.expr("percentile_approx(value, 0.95D, 10000)").alias("g"))
+            .first()["g"]
+        )
+        rank = sum(1 for v in vals if v <= est) / n
+        assert 0.95 - slack <= rank <= 0.95 + slack, (parts, key, rank)
