@@ -1,0 +1,61 @@
+"""Physical-plan independence: the SAME rows must come back when the
+optimizer is forced onto different physical strategies.
+
+This is the repo's determinism discipline put under load: with
+broadcasts disabled (every join becomes SMJ/shuffle) and the shuffle
+partition count dropped to a prime 3 (different partition boundaries,
+different merge orders), every query must reproduce its default-plan
+result BIT-FOR-BIT. Decimal-accumulated aggregates, integer k-means,
+md5-derived hashing and explicit tie-breaks are what make this pass —
+float sums or rank ties would fail here first. This is the property
+that lets a 1000-executor run reproduce a laptop run.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from streamandbatchprocessing_spark.queries import QUERIES
+
+#: Representative slice: every family whose internals could plausibly
+#: depend on partitioning — joins (broadcast→SMJ), salted aggs, shares,
+#: LSH bands, embedding buckets, integer k-means (mapInPandas partial
+#: sums), TF-IDF, exact percentiles, correlation moments, windowed
+#: packing, iterative label propagation.
+PERTURBED = [
+    "b02_top_unshipped_orders",
+    "b03_regional_supplier_volume",
+    "b08_top_orders_per_customer",
+    "b12_salted_segment_stats",
+    "a03_type_share",
+    "g02_price_percentiles",
+    "g13_value_correlation",
+    "c02_minhash_lsh_pairs",
+    "c05_embedding_neardup",
+    "c07_dup_clusters",
+    "d01_topk_bruteforce",
+    "d04_ivf_kmeans_ann",
+    "e08_tfidf_terms",
+    "p01_training_mix",
+    "p03_sequence_packing",
+    "p08_train_val_split",
+]
+
+_PERTURB = {
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.shuffle.partitions": "3",
+}
+
+
+@pytest.mark.parametrize("name", PERTURBED)
+def test_result_stable_under_plan_perturbation(spark, sf_dir, name):
+    baseline = sorted(map(repr, QUERIES[name](spark, sf_dir).collect()))
+    saved = {k: spark.conf.get(k) for k in _PERTURB}
+    try:
+        for k, v in _PERTURB.items():
+            spark.conf.set(k, v)
+        perturbed = sorted(map(repr, QUERIES[name](spark, sf_dir).collect()))
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert baseline == perturbed, f"{name}: result depends on physical plan"
