@@ -143,10 +143,14 @@ def _sig_df(docs: DataFrame) -> DataFrame:
     )
 
 
-def _band_pairs(sig: DataFrame, extra_cols) -> DataFrame:
+def _band_pairs(sig: DataFrame, extra_cols, right: DataFrame | None = None) -> DataFrame:
     """Banded LSH candidate pairs: per band, a self-equi-join of the
     signature table on that band's raw hash columns (Spark hashes the
     composite key inside the exchange — no band-digest column needed).
+    ``right`` restricts the join's b-side to a signature SUBSET (same
+    schema) — the incremental path (c10) probes with the delta on one
+    side so the standing corpus is never self-joined; pairs still come
+    out canonically oriented (``da < db``).
 
     ``extra_cols(a_prefixed, b_prefixed) -> list[Column]`` computes any
     pair-level columns INLINE from the two signature rows the join
@@ -178,7 +182,7 @@ def _band_pairs(sig: DataFrame, extra_cols) -> DataFrame:
         )
         parts.append(
             sig.alias("a")
-            .join(sig.alias("b"), F.expr(expr))
+            .join((sig if right is None else right).alias("b"), F.expr(expr))
             .select(
                 F.col("a.doc_id").alias("da"),
                 F.col("b.doc_id").alias("db"),
@@ -846,33 +850,35 @@ def c10_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     earlier batch doc is the keeper), ``new``. Corpus hits take
     precedence; ``dup_of`` is the min-id keeper in that order.
 
-    Scale design: the signature table is computed once here, but in
-    production the corpus half IS the persisted LSH index c02 already
-    materializes (signatures survive as parquet keyed by band hash) —
-    the daily job computes signatures only for the delta and probes with
-    band equi-joins, so incremental cost is O(delta + collisions), never
-    a corpus rescan. The decision edge reuses c07's near-dup threshold
-    (agree ≥ 14/16), so incremental and batch dedup agree on what a
-    duplicate IS. Neighbor normalization + min-aggregation shuffle only
-    the edge stream (output-bound, like every LSH stage)."""
+    Scale design: the DELTA side feeds every band join — the standing
+    corpus is never self-joined (its pairs produce no output here, and
+    at 100 TB corpus×corpus candidates would dominate the work).
+    Join 1 probes the full signature table against the batch side
+    (yields corpus-smaller-id and earlier-batch neighbors); join 2
+    probes batch against the larger-id corpus half. Both have the
+    bounded delta on one side, so at scale they broadcast the delta and
+    stream the corpus index — in production that index IS the persisted
+    signature table c02 materializes, so incremental cost is
+    O(delta + collisions), never a corpus rescan. The decision edge
+    reuses c07's near-dup threshold (agree ≥ 14/16), so incremental and
+    batch dedup agree on what a duplicate IS."""
     docs = load_table(spark, sf_dir, "documents")
     sig = persist_tracked(_sig_df(docs))
     bmod = F.lit(_INC_BATCH_MOD)
-    # persist: both unionAll branches below consume the edge stream —
-    # uncached, the banded self-join (the dominant O(pairs) stage)
-    # would be planned and computed twice.
-    edges = persist_tracked(
-        _band_pairs(
-            sig, lambda pa, pb, band: [_agree_col(pa, pb, band).alias("agree")]
-        ).filter(F.col("agree") >= _CC_MIN_AGREE)
+    agree = lambda pa, pb, band: [_agree_col(pa, pb, band).alias("agree")]  # noqa: E731
+    sig_batch = sig.filter(F.col("doc_id") % bmod == 0)
+    sig_corpus = sig.filter(F.col("doc_id") % bmod != 0)
+    # (any, batch) pairs, da < db: corpus-smaller + earlier-batch nbrs
+    e1 = _band_pairs(sig, agree, right=sig_batch).filter(
+        F.col("agree") >= _CC_MIN_AGREE
+    )
+    # (batch, corpus) pairs, da < db: corpus-larger nbrs
+    e2 = _band_pairs(sig_batch, agree, right=sig_corpus).filter(
+        F.col("agree") >= _CC_MIN_AGREE
     )
     nbr = (
-        edges.filter(F.col("db") % bmod == 0)
-        .select(F.col("db").alias("doc_id"), F.col("da").alias("nbr"))
-        .unionAll(
-            edges.filter((F.col("da") % bmod == 0) & (F.col("db") % bmod != 0))
-            .select(F.col("da").alias("doc_id"), F.col("db").alias("nbr"))
-        )
+        e1.select(F.col("db").alias("doc_id"), F.col("da").alias("nbr"))
+        .unionAll(e2.select(F.col("da").alias("doc_id"), F.col("db").alias("nbr")))
     )
     agg = nbr.groupBy("doc_id").agg(
         F.min(F.when(F.col("nbr") % bmod != 0, F.col("nbr"))).alias("corpus_min"),
