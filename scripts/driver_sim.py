@@ -54,8 +54,13 @@ def main() -> int:
                 status = "ok"
             else:
                 df = queries[name](spark, sf_dir)
-                assert df.count() >= 0 and df.columns
-                status = "rows-only ok"
+                # Falsifiable smoke: fixtures are non-empty, so a
+                # correct rows-only query must produce rows and at
+                # least one named output column.
+                n = df.count()
+                assert n > 0, f"{name}: rows-only query returned 0 rows"
+                assert df.columns, f"{name}: empty schema"
+                status = f"rows-only ok ({n} rows)"
         except Exception:
             status = "FAIL"
             failures.append(name)

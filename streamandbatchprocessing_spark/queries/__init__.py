@@ -25,16 +25,16 @@ from . import layout  # noqa: F401
 from .registry import ORACLES, QUERIES
 
 #: Explicit scoring order. The external driver scores the FIRST 50
-#: entries of ``queries()`` in insertion order. Rounds 1–2 scored (and
-#: greened) a01–a09 + all b01–b29 + g01–g12; round 3's run aborted on a
-#: fixture schema change, so as of round 4 every c/d/e/f/m/p query and
-#: b30 — 45 queries — still has NO driver verdict. This window therefore
-#: holds ALL never-scored queries (the 45 plus round 4's c10/e10/f09/
-#: p08) and one already-green representative (a01 — events-based,
-#: re-confirming the fixture's new TIMESTAMP(MICROS) shape under the
-#: driver; e10/f09 and the f-family exercise the same loader). The rotated-out a/b/g queries stay registered after slot 50:
-#: each carries a green CORRECTNESS_r01/r02 row and keeps its local
-#: strict-oracle test, which is bit-exact with the driver's compare.
+#: entries of ``queries()`` in insertion order. Rounds 1–2 greened
+#: a01–a09 + b01–b29 + g01–g12; round 4 greened the full c/d/e/f/m/p
+#: families + b30 (48 hash + c06/m02 rows-only). Round 5 swaps the
+#: last two never-scored queries — c11_quantile_sketch (now with a
+#: quantile_disc/cont oracle, see dedup.py) and g13_value_correlation —
+#: into the window in place of p07/p08, which hold green r04 rows.
+#: After this round every registered query has a driver verdict. The
+#: rotated-out queries stay registered after slot 50: each carries a
+#: green CORRECTNESS row and keeps its local strict-oracle test, which
+#: is bit-exact with the driver's compare.
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -42,7 +42,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "c01_exact_dedup", "c02_minhash_lsh_pairs", "c03_simhash_neighbors",
     "c04_ngram_jaccard_pairs", "c05_embedding_neardup", "c06_hll_user_sketch",
     "c07_dup_clusters", "c08_candidate_verify", "c09_semantic_dedup",
-    "c10_incremental_neardup",
+    "c10_incremental_neardup", "c11_quantile_sketch",
     # similarity search
     "d01_topk_bruteforce", "d02_ivf_bucket_ann",
     "d03_topk_pandas_vectorized", "d04_ivf_kmeans_ann",
@@ -60,13 +60,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # multimodal
     "m01_binary_payload_stats", "m02_payload_features_pandas",
     "m03_frame_sample_plan", "m04_resize_plan", "m05_crossmodal_join",
-    # composed pipelines
+    # composed pipelines (p07/p08 rotated out with green r04 rows)
     "p01_training_mix", "p02_streaming_ingest_funnel",
     "p03_sequence_packing", "p04_stratified_sample", "p05_mix_budget",
-    "p06_contamination_check", "p07_temperature_mix",
-    "p08_train_val_split",
-    # never-scored bucketed-join representative
+    "p06_contamination_check",
+    # bucketed-join representative (green r04)
     "b30_bucketed_colocated_join",
+    # cross-series correlation — last never-scored query
+    "g13_value_correlation",
 )
 
 

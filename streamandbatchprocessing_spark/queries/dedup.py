@@ -593,7 +593,22 @@ def c06_hll_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("c11_quantile_sketch")  # no oracle: GK-sketch estimates are engine-specific
+@query(
+    "c11_quantile_sketch",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5)  AS approx_p50,
+           quantile_disc(value, 0.95) AS approx_p95,
+           quantile_disc(value, 0.99) AS approx_p99,
+           quantile_cont(value, 0.5)  AS exact_p50,
+           quantile_cont(value, 0.95) AS exact_p95,
+           quantile_cont(value, 0.99) AS exact_p99,
+           COUNT(value) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def c11_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-event-type approximate quantiles (p50/p95/p99 of ``value``)
     via Spark's Greenwald-Khanna ``percentile_approx`` sketch, alongside
@@ -604,9 +619,17 @@ def c11_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     group cannot do this), while the GK sketch is bounded at
     O(accuracy) per group and its partials merge associatively across
     partitions — the same mergeability argument as c06's HLL. With
-    accuracy=10000 the rank error is ≤ n/10000 per group. Estimates are
-    engine-specific (DuckDB uses t-digest), so this registers rows-only;
-    the rank-error bound is asserted in tests/test_sketches.py."""
+    accuracy=10000 the rank error is ≤ n/10000 per group.
+
+    Oracle validity: in the EXACT regime (per-group n < accuracy/2 —
+    true at the driver's sf0.01, n≈2000) the GK summary retains every
+    sample regardless of partition/merge order and returns the smallest
+    value whose rank covers p — exactly DuckDB ``quantile_disc``.
+    Spark's exact ``percentile`` uses R-7 linear interpolation, the same
+    definition as DuckDB ``quantile_cont``; bit-equality of both is
+    pinned at sf0.001/0.01 in tests/test_sketches.py. Beyond the exact
+    regime (sf≥0.1) the sketch estimates are legitimately approximate
+    and only the rank-error bound holds."""
     ev = load_table(spark, sf_dir, "events")
     pa = F.expr("percentile_approx(value, array(0.5D, 0.95D, 0.99D), 10000)")
     px = F.expr("percentile(value, array(0.5D, 0.95D, 0.99D))")

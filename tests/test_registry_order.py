@@ -3,15 +3,15 @@ of ``queries()`` (observed in CORRECTNESS_r01/r02/r03: each scored
 exactly slots 1–50). These tests pin the scoring window so a refactor
 can't silently push a query family out of driver verification again.
 
-Round-4 window policy: rounds 1–2 greened a01–a09 + b01–b29 + g01–g12;
-round 3's run aborted before scoring anything (fixture schema change),
-so every c/d/e/f/m/p query and b30 entered round 4 with no driver
-verdict. The window therefore holds ALL never-scored queries — the 45
-carried over plus round 4's own c10/e10/f09/p08 (49 total) — and one
-already-green representative (a01: events-based, re-confirming the new
-TIMESTAMP(MICROS) fixture under the driver; e10/f09 and the f-family
-exercise the same loader). Every rotated-out query keeps a green
-CORRECTNESS_r01/r02 row and its local strict-oracle test.
+Round-5 window policy: rounds 1–2 greened a01–a09 + b01–b29 + g01–g12;
+round 4 greened c01–c10, d01–d06, e01–e10, f01–f09, m01–m05, p01–p08
+and b30 (48 hash-green + c06/m02 rows-only). The only queries with no
+driver verdict are the two added after round 4's window was fixed —
+c11_quantile_sketch (now upgraded from rows-only to a
+quantile_disc/cont oracle, exact at the driver's sf0.01) and
+g13_value_correlation — so round 5 swaps them in for p07/p08, which
+hold green r04 rows. Every rotated-out query keeps a green CORRECTNESS
+row and its local strict-oracle test.
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES
@@ -26,28 +26,24 @@ def test_priority_order_is_window_prefix():
 
 #: Never-scored queries deliberately registered BEYOND the 50-slot
 #: window. Additions here must say what covers them instead.
-_BEYOND_WINDOW_OK = {
-    # rows-only (GK sketch estimates are engine-specific), so a driver
-    # verdict would be the weak rows-run check anyway; its rank-error
-    # bound — including under adversarial repartitionings — is pinned in
-    # tests/test_sketches.py, and c06 holds the in-window seat for the
-    # mergeable-sketch class.
-    "c11_quantile_sketch",
-    # late round-4 addition; full oracle, green at sf0.001/0.01/0.1
-    # locally. The window is packed with the 49 queries that have
-    # waited since round 2 — g13 is the first rotation candidate once
-    # those verdicts land (round 5).
-    "g13_value_correlation",
-}
+_BEYOND_WINDOW_OK: set[str] = set()
 
 
 def test_every_never_scored_query_inside_scoring_window():
-    # Queries greened by the driver in rounds 1-2; everything else must
-    # sit inside the 50-slot window until it has a verdict of its own.
+    # Queries greened by the driver in rounds 1-2 (CORRECTNESS_r01/r02)
+    # and round 4 (CORRECTNESS_r04); everything else must sit inside
+    # the 50-slot window until it has a verdict of its own.
     previously_green = (
         {f"a0{i}" for i in range(1, 10)}
         | {f"b{i:02d}" for i in range(1, 30)}
         | {f"g{i:02d}" for i in range(1, 13)}
+        | {f"c{i:02d}" for i in range(1, 11)}
+        | {f"d{i:02d}" for i in range(1, 7)}
+        | {f"e{i:02d}" for i in range(1, 11)}
+        | {f"f{i:02d}" for i in range(1, 10)}
+        | {f"m{i:02d}" for i in range(1, 6)}
+        | {f"p{i:02d}" for i in range(1, 9)}
+        | {"b30"}
     )
     window = set(list(QUERIES)[:50])
     never_scored = [

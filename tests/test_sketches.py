@@ -89,3 +89,21 @@ def test_quantile_sketch_bound_holds_under_any_partitioning(spark, sf_dir):
         )
         rank = sum(1 for v in vals if v <= est) / n
         assert 0.95 - slack <= rank <= 0.95 + slack, (parts, key, rank)
+
+
+def test_quantile_oracle_bit_exact_in_exact_regime(spark):
+    """c11's driver oracle contract: in the GK exact regime (per-group
+    n < accuracy/2) ``percentile_approx`` retains every sample — any
+    partitioning — and equals DuckDB ``quantile_disc`` bit-for-bit,
+    while Spark's exact ``percentile`` (R-7 interpolation) equals
+    ``quantile_cont``. Pinned at both exact-regime SFs, including the
+    driver's sf0.01 gate."""
+    from streamandbatchprocessing_spark.queries import ORACLES
+
+    from .oracle_harness import compare
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        compare(
+            spark, sf, "c11_quantile_sketch",
+            QUERIES["c11_quantile_sketch"], ORACLES["c11_quantile_sketch"],
+        )
