@@ -18,6 +18,7 @@ from ..streaming.pipeline import (
     dashboard_plan,
     events_stream,
     run_to_memory,
+    session_windows_plan,
     streaming_dedup_plan,
 )
 from .registry import query
@@ -103,28 +104,23 @@ def f02_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def f03_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Session windows (30-minute gap) per user — `F.session_window`,
-    the operator the reference lacks (SURVEY.md T8). The oracle is the
+    """Session windows (30-minute gap) per user as a REAL streaming run
+    — `F.session_window` driven through the streaming engine
+    (checkpointed availableNow drain, like every other f-query), the
+    operator the reference lacks (SURVEY.md T8). The oracle is the
     classic gaps-and-islands formulation: a session ends 30 minutes
-    after its last event. Session assignment shuffles once on user_id;
-    state in the streaming variant is one open session per key."""
-    ev = load_table(spark, sf_dir, "events")
-    return (
-        ev.groupBy(F.session_window("ts", "30 minutes"), F.col("user_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
-            .alias("total_value"),
-        )
-        .select(
-            "user_id",
-            F.col("session_window.start").alias("session_start"),
-            F.col("session_window.end").alias("session_end"),
-            "n_events",
-            "total_value",
-        )
-        .orderBy("user_id", "session_start")
+    after its last event.
+
+    Streaming state is the set of open sessions per user (merged as
+    events arrive); the watermark lets the engine finalize a session
+    once no event inside its gap can still arrive. Complete output mode
+    re-emits the merged result so the finite replay converges to the
+    batch answer even for sessions still open at end-of-input."""
+    plan = session_windows_plan(events_stream(spark, sf_dir))
+    result = run_to_memory(
+        plan, output_mode="complete", name_prefix="f03_sessions"
     )
+    return result.orderBy("user_id", "session_start")
 
 
 @query(

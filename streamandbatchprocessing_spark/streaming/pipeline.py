@@ -38,8 +38,11 @@ from pyspark.sql.types import (
 _MEM_COUNTER = itertools.count()
 
 #: Serializes the shuffle-partition save/set/restore in run_to_memory —
-#: two overlapping drains must not interleave their restores.
-_DRAIN_CONF_LOCK = threading.Lock()
+#: two overlapping drains must not interleave their restores. RLock so
+#: a nested drain on the same thread (e.g. a foreachBatch body that
+#: itself drains) degrades to re-entry instead of deadlock; the nested
+#: save/restore pair is then correctly LIFO within the one thread.
+_DRAIN_CONF_LOCK = threading.RLock()
 
 #: Physical schema of events.parquet when ``ts`` is stored as
 #: TIMESTAMP(NANOS) read via nanosAsLong (see sources/batch._load_events)
@@ -268,6 +271,34 @@ def dashboard_plan(stream: DataFrame) -> DataFrame:
             F.col("window.start").alias("window_start"),
             F.col("window.end").alias("window_end"),
             "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def session_windows_plan(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Per-user session windows (``F.session_window``, SURVEY.md T8) as
+    a streaming aggregation: sessions merge in state as events arrive;
+    the watermark finalizes a session once no event within its gap can
+    still arrive, so state is O(open sessions), not O(events).
+
+    Run in complete mode on finite replay (run_to_memory) the merged
+    result converges to the batch gaps-and-islands answer, including
+    sessions still open at end-of-input — which append mode would hold
+    back until the watermark passes their close."""
+    return (
+        stream.withWatermark("ts", gap)
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
             "n_events",
             "total_value",
         )

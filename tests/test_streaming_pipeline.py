@@ -239,3 +239,21 @@ def test_processing_time_timeout_evicts_idle_keys(spark, tmp_path):
         assert restarted and all(r["n_events"] == 1 for r in restarted)
     finally:
         query.stop()
+
+
+def test_f_family_queries_run_on_streaming_plans(spark, sf_dir):
+    """The f-family's claim is that each registered query drives the
+    STREAMING engine (run_to_memory drain), not a batch re-expression.
+    Pin the plan kind at the source: every f-plan builder must produce
+    a streaming DataFrame from events_stream."""
+    from streamandbatchprocessing_spark.streaming.pipeline import (
+        dashboard_plan,
+        events_stream,
+        session_windows_plan,
+        streaming_dedup_plan,
+    )
+
+    stream = events_stream(spark, sf_dir)
+    assert stream.isStreaming
+    for plan in (dashboard_plan, session_windows_plan, streaming_dedup_plan):
+        assert plan(stream).isStreaming, plan.__name__
