@@ -415,6 +415,30 @@ def p05_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
 _EVAL_N = 25
 _CONTAM_N = 5
 
+#: Hard ceiling on the eval-panel rows we will force-broadcast. At
+#: ~60 B per exploded (eval_doc, gram) row this is ≲300 MB — far under
+#: the 8 GB broadcast limit with headroom for row overhead. Above it we
+#: do NOT fail: the join stays an un-hinted equi-join and AQE picks the
+#: build side from runtime stats (mirrors d03's _MAX_QUERY_VECTORS hard
+#: guard, similarity.py — the other bounded-panel collect).
+_MAX_PANEL_BROADCAST_ROWS = 5_000_000
+
+
+def _guarded_panel_broadcast(
+    panel: DataFrame, cap: int = _MAX_PANEL_BROADCAST_ROWS
+) -> DataFrame:
+    """Broadcast-hint ``panel`` only if its row count is under ``cap``.
+
+    The "panel is bounded by construction" argument (a benchmark suite
+    is thousands of docs) justifies the broadcast PLAN, but nothing in
+    the dataflow enforces it — a 100k-doc eval panel exploded to grams
+    would silently blow past the executor broadcast ceiling. The count
+    here is one cheap action on the (pushdown-pruned) panel side; the
+    100-TB train side is never touched by it."""
+    if panel.count() <= cap:
+        return F.broadcast(panel)
+    return panel
+
 
 @query(
     "p06_contamination_check",
@@ -486,7 +510,7 @@ def p06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("train_doc"), F.explode("gs").alias("g")
     )
     hits = (
-        tr_g.join(F.broadcast(ev_g), "g")
+        tr_g.join(_guarded_panel_broadcast(ev_g), "g")
         .groupBy("eval_doc")
         .agg(
             F.countDistinct("g").alias("n_hit_grams"),

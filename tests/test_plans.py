@@ -294,3 +294,29 @@ def test_train_val_split_single_window_shuffle(spark, sf_dir):
     assert schemas and "text" not in schemas[0]  # only doc_id/source read
     plan = executed_plan(df)
     assert plan.count("Exchange") == 2, plan[:2000]
+
+
+def test_p06_panel_broadcast_guard(spark, sf_dir):
+    """p06's broadcast of the exploded eval-gram panel is guarded: under
+    the cap the hint is applied (map-side hash join, train side never
+    shuffled); above it the hint is WITHHELD so AQE sizes the join from
+    runtime stats instead of forcing an oversized broadcast build."""
+    from streamandbatchprocessing_spark.queries.pipeline import (
+        _guarded_panel_broadcast,
+    )
+
+    panel = spark.range(100).selectExpr(
+        "id AS eval_doc", "concat('g', id) AS g"
+    )
+    hinted = _guarded_panel_broadcast(panel, cap=1_000)
+    assert "strategy=broadcast" in (
+        hinted._jdf.queryExecution().analyzed().toString()
+    )
+    unhinted = _guarded_panel_broadcast(panel, cap=99)  # panel has 100 rows
+    assert "strategy=broadcast" not in (
+        unhinted._jdf.queryExecution().analyzed().toString()
+    )
+    # And the in-query default cap keeps the fixture panel on the
+    # broadcast path: the executed p06 join must be broadcast-built.
+    plan = executed_plan(QUERIES["p06_contamination_check"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
