@@ -532,15 +532,32 @@ def g12_sql_interface(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # g13 — cross-series correlation (deterministic moment accumulation)
 # ---------------------------------------------------------------------------
+#: Exact 6-dp half-away-from-zero quantization of the mean s6/n_vals
+#: (s6 = decimal sum in integer micro-units) in pure integer arithmetic
+#: — engine-portable where round(double, 6) is not. Shared with the
+#: boundary test in tests/test_analytics.py.
+_MICRO_MEAN_SQL = (
+    "CAST((CASE WHEN s6 < 0"
+    "           THEN -((2 * (-s6) + n_vals) DIV (2 * n_vals))"
+    "           ELSE (2 * s6 + n_vals) DIV (2 * n_vals) END)"
+    "     * CAST(0.000001 AS DECIMAL(7,6)) AS DECIMAL(18,6))"
+)
 @query(
     "g13_value_correlation",
     oracle="""
-    WITH s AS (SELECT event_type,
-                      date_trunc('minute', CAST(ts AS TIMESTAMP)) AS mb,
-                      CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6)))
-                                      AS DOUBLE) / COUNT(value), 6)
-                           AS DECIMAL(18,6)) AS m
-               FROM events GROUP BY event_type, mb),
+    WITH s0 AS (SELECT event_type,
+                       date_trunc('minute', CAST(ts AS TIMESTAMP)) AS mb,
+                       CAST(SUM(CAST(value AS DECIMAL(25,6))) * 1000000
+                            AS BIGINT) AS s6,
+                       COUNT(value) AS n
+                FROM events GROUP BY event_type, mb),
+    s AS (SELECT event_type, mb,
+                 CAST((CASE WHEN s6 < 0
+                            THEN -((2 * (-s6) + n) // (2 * n))
+                            ELSE (2 * s6 + n) // (2 * n) END)
+                      * CAST(0.000001 AS DECIMAL(7,6))
+                      AS DECIMAL(18,6)) AS m
+          FROM s0),
     p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
                  a.m AS x, b.m AS y
           FROM s a JOIN s b ON a.mb = b.mb AND a.event_type < b.event_type),
@@ -580,6 +597,16 @@ def g13_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     expression on both engines. Same discipline as dsum, extended to
     second moments.
 
+    The quantization itself is also exact: the per-minute mean is
+    rounded half-away-from-zero to 6 dp entirely in INTEGER micro-unit
+    arithmetic — m6 = (2·|S6| + n) div (2·n) on the micro-scaled
+    decimal sum — never through a double. ``round(double, 6)`` was the
+    one residual engine-divergence risk here: Spark rounds the exact
+    binary expansion via BigDecimal HALF_UP while DuckDB rounds the
+    scaled double, which can disagree on an exact .5 boundary. Integer
+    div/add are bit-identical on both engines by construction
+    (truncating division, non-negative operands after the sign split).
+
     Scale: two shuffles total — the (type, minute) pre-aggregation
     (map-side combinable) and the |types|²-sized pair aggregation over
     the bucket-joined series; the events table is scanned once."""
@@ -589,10 +616,14 @@ def g13_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_type",
             F.date_trunc("minute", F.col("ts")).alias("mb"),
         )
-        .agg(davg("value", "m_raw"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("dsum_raw"),
+            F.count("value").alias("n_vals"),
+        )
+        .withColumn("s6", F.expr("CAST(dsum_raw * 1000000 AS BIGINT)"))
         .select(
             "event_type", "mb",
-            F.round(F.col("m_raw"), 6).cast("decimal(18,6)").alias("m"),
+            F.expr(_MICRO_MEAN_SQL).alias("m"),
         )
     )
     a, b = s.alias("a"), s.alias("b")

@@ -252,3 +252,43 @@ def test_kafka_parse_malformed_nulls_never_fails(spark):
     assert by_id["t1"].quantity == 3 and by_id["t1"].total_amount == 9.5
     assert by_id["t2"].quantity is None  # type mismatch → null field
     assert None in by_id  # garbage/null → fully-null row
+
+
+def test_g13_micro_mean_quantizes_exact_half_boundaries(spark):
+    """g13's per-minute mean is quantized in integer micro-unit
+    arithmetic, not round(double, 6): an EXACT .5 boundary mean must
+    round half-away-from-zero on both engines by construction. A double
+    round can quantize such a boundary differently between Spark
+    (BigDecimal HALF_UP on the exact binary expansion) and DuckDB
+    (scaled-double rounding) — this pins the portable behavior."""
+    from decimal import Decimal
+
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from streamandbatchprocessing_spark.queries.relational_ext import (
+        _MICRO_MEAN_SQL,
+    )
+
+    # (s6 micro-units, n) -> expected 6-dp mean, including exact .5
+    # boundaries in both signs and a truncation case.
+    cases = [
+        (2000003, 2, Decimal("1.000002")),   # 1.0000015 -> half up
+        (-2000003, 2, Decimal("-1.000002")),  # away from zero
+        (2000001, 2, Decimal("1.000001")),   # 1.0000005 -> half up
+        (7, 3, Decimal("0.000002")),         # 2.33 micro -> nearest
+        (0, 5, Decimal("0.000000")),
+    ]
+    sdf = spark.createDataFrame(
+        [(s6, n) for s6, n, _ in cases], "s6 long, n_vals long"
+    ).select(F.expr(_MICRO_MEAN_SQL).alias("m"))
+    got = [r["m"] for r in sdf.collect()]
+    assert got == [exp for _, _, exp in cases], got
+
+    duck_sql = _MICRO_MEAN_SQL.replace(" DIV ", " // ")
+    con = duckdb.connect()
+    con.sql("CREATE TABLE t (s6 BIGINT, n_vals BIGINT)")
+    for s6, n, _ in cases:
+        con.sql(f"INSERT INTO t VALUES ({s6}, {n})")
+    duck = [r[0] for r in con.sql(f"SELECT {duck_sql} FROM t").fetchall()]
+    assert duck == [exp for _, _, exp in cases], duck
