@@ -42,9 +42,9 @@ def pii_count(col: Column, name: str) -> Column:
     """Match count for one pattern class (bigint).
 
     DuckDB equivalent: ``len(regexp_extract_all(x, '<pattern>'))``.
-    Counts are taken on the ORIGINAL text but after masking every
-    earlier pattern class, mirroring ``scrub``'s order so a span is
-    attributed to exactly one class.
+    Counts are taken on the text with every EARLIER pattern class
+    already masked, mirroring ``scrub``'s order so a span is attributed
+    to exactly one class.
     """
     masked = col
     for pname, pattern, placeholder in PII_PATTERNS:

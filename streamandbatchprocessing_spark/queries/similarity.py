@@ -604,8 +604,13 @@ def c09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # idle while each cluster's quadratic runs single-threaded. Salting
     # the b side by vec_id and replicating the a side across the salt
     # domain (the b12 replicated-salt pattern) raises parallelism to
-    # k·_SEM_SALT with identical pair coverage.
-    _SEM_SALT = 8
+    # k·salt with identical pair coverage. The salt ADAPTS to the
+    # runtime: k·salt should cover the available cores (×2 headroom for
+    # stragglers), floored at 8 so the fixture plan stays put and capped
+    # at 64 because the a-side replication cost is ×salt — on a big
+    # cluster you raise k (which shrinks the quadratic) before salt.
+    cores = spark.sparkContext.defaultParallelism
+    _SEM_SALT = min(64, max(8, -(-2 * cores // _IVF_K)))
     a = (
         w.withColumn(
             "salt", F.explode(F.sequence(F.lit(0), F.lit(_SEM_SALT - 1)))
