@@ -81,6 +81,11 @@ EXTRA = [
     "p08_train_val_split",
     "c10_incremental_neardup",
     "f09_streaming_pii_scrub",
+    # round 5 additions
+    "e11_dsir_importance",
+    "p09_quality_percentile_gate",
+    "g14_conversion_funnel",
+    "f10_streaming_quantiles",
 ]
 
 

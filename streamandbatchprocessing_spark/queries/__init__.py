@@ -27,14 +27,18 @@ from .registry import ORACLES, QUERIES
 #: Explicit scoring order. The external driver scores the FIRST 50
 #: entries of ``queries()`` in insertion order. Rounds 1–2 greened
 #: a01–a09 + b01–b29 + g01–g12; round 4 greened the full c/d/e/f/m/p
-#: families + b30 (48 hash + c06/m02 rows-only). Round 5 swaps the
-#: last two never-scored queries — c11_quantile_sketch (now with a
-#: quantile_disc/cont oracle, see dedup.py) and g13_value_correlation —
-#: into the window in place of p07/p08, which hold green r04 rows.
-#: After this round every registered query has a driver verdict. The
-#: rotated-out queries stay registered after slot 50: each carries a
-#: green CORRECTNESS row and keeps its local strict-oracle test, which
-#: is bit-exact with the driver's compare.
+#: families + b30 (48 hash + c06/m02 rows-only). Round 5's window
+#: swaps in every query without a driver verdict: c11_quantile_sketch
+#: (upgraded from rows-only to a quantile_disc/cont oracle, dedup.py)
+#: and g13_value_correlation (added post-rotation in round 4), plus
+#: this round's new operators — e11_dsir_importance,
+#: f10_streaming_quantiles, g14_conversion_funnel,
+#: p09_quality_percentile_gate. Six already-green r04 entries rotate
+#: out to make room (p07, p08, p04, p05, e04, m04). After this round
+#: every registered query has a driver verdict. Rotated-out queries
+#: stay registered after slot 50: each carries a green CORRECTNESS row
+#: and keeps its local strict-oracle test, which is bit-exact with the
+#: driver's compare.
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -47,27 +51,28 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "d01_topk_bruteforce", "d02_ivf_bucket_ann",
     "d03_topk_pandas_vectorized", "d04_ivf_kmeans_ann",
     "d05_sq8_topk", "d06_pq_adc_topk",
-    # text analysis
+    # text analysis (e04 rotated out green; e11 is new this round)
     "e01_token_stats", "e02_quality_score", "e03_corpus_stats",
-    "e04_fingerprints", "e05_bpe_token_counts", "e06_language_id",
+    "e05_bpe_token_counts", "e06_language_id",
     "e07_repetition_metrics", "e08_tfidf_terms", "e09_chunk_plan",
-    "e10_pii_scrub",
-    # streaming extensions
+    "e10_pii_scrub", "e11_dsir_importance",
+    # streaming extensions (f10 is new this round)
     "f01_streaming_dashboard", "f02_streaming_dedup", "f03_session_windows",
     "f04_stateful_user_totals", "f05_stream_stream_join",
     "f06_idle_key_eviction", "f07_stream_static_enrichment",
     "f08_stream_left_outer_join", "f09_streaming_pii_scrub",
-    # multimodal
+    "f10_streaming_quantiles",
+    # multimodal (m04 rotated out green)
     "m01_binary_payload_stats", "m02_payload_features_pandas",
-    "m03_frame_sample_plan", "m04_resize_plan", "m05_crossmodal_join",
-    # composed pipelines (p07/p08 rotated out with green r04 rows)
+    "m03_frame_sample_plan", "m05_crossmodal_join",
+    # composed pipelines (p04/p05/p07/p08 rotated out green; p09 new)
     "p01_training_mix", "p02_streaming_ingest_funnel",
-    "p03_sequence_packing", "p04_stratified_sample", "p05_mix_budget",
-    "p06_contamination_check",
+    "p03_sequence_packing", "p06_contamination_check",
+    "p09_quality_percentile_gate",
     # bucketed-join representative (green r04)
     "b30_bucketed_colocated_join",
-    # cross-series correlation — last never-scored query
-    "g13_value_correlation",
+    # cross-series analytics — never-scored + new this round
+    "g13_value_correlation", "g14_conversion_funnel",
 )
 
 

@@ -26,6 +26,7 @@ from ..functions.text import LANG_STOPWORDS
 from ..sources.batch import load_table
 from .dedup import _agree_col, _band_pairs, _CC_MIN_AGREE, _sig_df
 from .registry import persist_tracked, query
+from .textops import QUALITY_SCORE_CTE
 
 _EN_WORDS = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
 
@@ -686,4 +687,76 @@ def p08_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.withColumn("shuffle_rank", F.row_number().over(w).cast("long"))
         .select("doc_id", "source", "split", "shuffle_rank")
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p09 — per-source quality-percentile gate (distribution-aware filtering)
+# ---------------------------------------------------------------------------
+@query(
+    "p09_quality_percentile_gate",
+    oracle=f"""
+    WITH {QUALITY_SCORE_CTE.strip()},
+    thr AS (SELECT source,
+                   quantile_disc(quality_score, 0.25) AS threshold
+            FROM scored GROUP BY source)
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           thr.threshold,
+           CAST(SUM(CASE WHEN s.quality_score >= thr.threshold
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           ROUND(SUM(CASE WHEN s.quality_score >= thr.threshold
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+               AS kept_frac
+    FROM scored s JOIN thr ON thr.source = s.source
+    GROUP BY s.source, thr.threshold
+    ORDER BY s.source
+    """,
+)
+def p09_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-aware quality filtering: drop each source's bottom
+    quartile by quality score, with the cut line computed FROM that
+    source's own score distribution — the per-source adaptive gate a
+    real data mix uses instead of one global threshold (a threshold
+    that keeps 90% of Wikipedia removes most of CommonCrawl).
+
+    Scale design: scores are a codegen'd projection (e02's rational
+    arithmetic, shared builder); the per-source threshold is a GK
+    quantile sketch aggregate — mergeable, O(accuracy) memory per
+    source, the c11 argument — over |sources| groups, so the threshold
+    table is dimension-sized and BROADCAST back onto the corpus for
+    the gate: the 100-TB side is scanned twice (once for thresholds,
+    once for gating) but never shuffled by more than the two map-side
+    combinable aggregations. In the sketch's exact regime (per-source
+    n < accuracy/2 — true at every fixture SF) the threshold is the
+    exact discrete quartile, so the gate is oracle-checkable
+    bit-for-bit; beyond it the cut line is approximate-by-design with
+    bounded rank error.
+    """
+    from .textops import quality_score_col, quality_scored_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_scored_docs(docs, "source").select(
+        "doc_id", "source", quality_score_col().alias("quality_score")
+    )
+    thr = scored.groupBy("source").agg(
+        F.expr("percentile_approx(quality_score, 0.25D, 10000)")
+        .alias("threshold")
+    )
+    return (
+        scored.join(F.broadcast(thr), "source")
+        .groupBy("source", "threshold")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("quality_score") >= F.col("threshold"), 1)
+                .otherwise(0)
+            ).cast("long").alias("n_kept"),
+        )
+        .select(
+            "source", "n_docs", "threshold", "n_kept",
+            F.round(F.col("n_kept") * 1.0 / F.col("n_docs"), 6)
+            .alias("kept_frac"),
+        )
+        .orderBy("source")
     )

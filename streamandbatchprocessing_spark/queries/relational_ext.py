@@ -662,3 +662,83 @@ def g13_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "type_a", "type_b", "n_buckets", corr.alias("corr")
     ).orderBy("type_a", "type_b")
+
+
+# ---------------------------------------------------------------------------
+# g14 — staged conversion funnel (ordered event-sequence analytics)
+# ---------------------------------------------------------------------------
+@query(
+    "g14_conversion_funnel",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+                FROM events),
+    s1 AS (SELECT user_id, MIN(ts) AS t_signup
+           FROM ev WHERE event_type = 'signup' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, s1.t_signup, MIN(e.ts) AS t_click
+           FROM ev e JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND e.ts > s1.t_signup
+           GROUP BY e.user_id, s1.t_signup),
+    s3 AS (SELECT e.user_id, s2.t_signup, s2.t_click, MIN(e.ts) AS t_purchase
+           FROM ev e JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+           GROUP BY e.user_id, s2.t_signup, s2.t_click)
+    SELECT s1.user_id, s1.t_signup, s2.t_click, s3.t_purchase,
+           CASE WHEN s3.t_purchase IS NULL THEN NULL
+                ELSE epoch_us(s3.t_purchase) - epoch_us(s1.t_signup)
+           END AS funnel_us
+    FROM s1
+    LEFT JOIN s2 ON s2.user_id = s1.user_id
+    LEFT JOIN s3 ON s3.user_id = s1.user_id
+    ORDER BY s1.user_id
+    """,
+)
+def g14_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-sequence conversion funnel: for every user who signed
+    up, the first click strictly AFTER the signup, then the first
+    purchase strictly after that click — the staged min-ts chaining
+    that sessionized product analytics is built on (each stage's
+    predicate depends on the previous stage's aggregate, so it is NOT a
+    single grouped aggregation).
+
+    Scale design: three scans of events, each pushed down to one
+    event_type (on a production table partitioned/clustered by type,
+    each scan touches only its slice — the filters reach the parquet
+    scan, plan-asserted for the analytics family), then per-stage
+    linear shuffles on user_id. The stage joins stay on the same
+    user_id key, so a co-partitioned layout reuses one exchange; no
+    stage is ever quadratic. Funnel latency is reported in exact
+    integer microseconds (epoch_us difference — no float time math)."""
+    ev = load_table(spark, sf_dir, "events")
+    s1 = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_signup"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") > F.col("t_signup"))
+        .groupBy("user_id", "t_signup")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2.select("user_id", "t_click"), "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        s1.join(s2.select("user_id", "t_click"), "user_id", "left")
+        .join(s3.select("user_id", "t_purchase"), "user_id", "left")
+        .select(
+            "user_id", "t_signup", "t_click", "t_purchase",
+            F.when(
+                F.col("t_purchase").isNull(), F.lit(None).cast("long")
+            ).otherwise(
+                F.unix_micros(F.col("t_purchase").cast("timestamp"))
+                - F.unix_micros(F.col("t_signup").cast("timestamp"))
+            ).alias("funnel_us"),
+        )
+        .orderBy("user_id")
+    )

@@ -534,3 +534,49 @@ def f09_streaming_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = run_to_memory(agg, output_mode="complete", name_prefix="f09_pii")
     return result.orderBy("event_type")
+
+
+@query(
+    "f10_streaming_quantiles",
+    oracle="""
+    SELECT event_type,
+           quantile_disc(value, 0.5)  AS approx_p50,
+           quantile_disc(value, 0.95) AS approx_p95,
+           quantile_disc(value, 0.99) AS approx_p99,
+           CAST(COUNT(value) AS BIGINT) AS n
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def f10_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming quantile monitoring: per-event-type p50/p95/p99 of
+    ``value`` maintained by the GK ``percentile_approx`` sketch INSIDE
+    streaming state (complete mode, real checkpointed availableNow
+    drain) — the latency/value-distribution dashboard every ingest
+    pipeline runs. This is the streaming face of c11: the sketch is
+    legal in streaming aggregation precisely because its partials merge
+    associatively across micro-batches, where an exact percentile
+    (full sorted set per group) is not.
+
+    State is O(accuracy) per event type, micro-batch merges are the
+    same GK compress as partition merges, and in the exact regime
+    (per-group n < accuracy/2, true at the sf0.01 gate) the drained
+    result equals DuckDB ``quantile_disc`` bit-for-bit regardless of
+    how the replay was micro-batched — the c11 oracle argument carried
+    over to the streaming engine."""
+    stream = events_stream(spark, sf_dir)
+    pa = F.expr("percentile_approx(value, array(0.5D, 0.95D, 0.99D), 10000)")
+    plan = (
+        stream.groupBy("event_type")
+        .agg(
+            pa[0].alias("approx_p50"),
+            pa[1].alias("approx_p95"),
+            pa[2].alias("approx_p99"),
+            F.count("value").alias("n"),
+        )
+    )
+    result = run_to_memory(
+        plan, output_mode="complete", name_prefix="f10_quantiles"
+    )
+    return result.orderBy("event_type")

@@ -58,6 +58,65 @@ def e01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def quality_scored_docs(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """Shared per-doc quality scoring base (e02's formula): rational
+    arithmetic only — no exp/log transcendentals — so the score is
+    bit-identical across engines and safe for hash-gated reuse (e02's
+    report, p09's percentile gate). Returns doc_id [+ ``extra_cols``
+    passed through], n_chars, n_tokens, stop_hits, avg_token_len."""
+    toks = F.split(F.col("text"), " ")
+    in_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    return docs.select(
+        "doc_id",
+        *extra_cols,
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.expr(f"CAST(size(filter(split(text, ' '), t -> t IN ({in_list}))) AS LONG)")
+        .alias("stop_hits"),
+    ).withColumn(
+        "avg_token_len",
+        F.round((F.col("n_chars") - F.col("n_tokens") + 1) * 1.0 / F.col("n_tokens"), 6),
+    )
+
+
+def quality_score_col() -> F.Column:
+    """The weighted quality score over quality_scored_docs columns,
+    rounded to 6 dp (identical expression in every oracle using it)."""
+    stop_ratio = F.col("stop_hits") * 1.0 / F.col("n_tokens")
+    return F.round(
+        0.5 * stop_ratio
+        + 0.3 * (F.least(F.col("n_tokens"), F.lit(60)) / 60.0)
+        + 0.2 * (F.least(F.col("avg_token_len"), F.lit(8.0)) / 8.0),
+        6,
+    )
+
+
+#: DuckDB CTE computing (doc_id, source, quality_score) — the oracle
+#: twin of quality_scored_docs + quality_score_col, shared by e02/p09.
+QUALITY_SCORE_CTE = """
+    qt AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
+                  CAST(length(text) AS BIGINT) AS n_chars
+           FROM documents),
+    qm AS (SELECT doc_id, source, n_chars,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(toks, t -> t IN ('the', 'a')))
+                       AS BIGINT) AS stop_hits,
+                  ROUND((n_chars - len(toks) + 1) * 1.0 / len(toks), 6)
+                      AS avg_token_len
+           FROM qt),
+    scored AS (
+        SELECT doc_id, source,
+               ROUND(0.5 * (stop_hits * 1.0 / n_tokens)
+                     + 0.3 * (CASE WHEN n_tokens > 60 THEN 60
+                                   ELSE n_tokens END / 60.0)
+                     + 0.2 * (CASE WHEN avg_token_len > 8 THEN 8
+                                   ELSE avg_token_len END / 8.0),
+                     6) AS quality_score
+        FROM qm)
+"""
+
+
+
 # ---------------------------------------------------------------------------
 # e02 — quality scoring
 # ---------------------------------------------------------------------------
@@ -93,18 +152,7 @@ def e02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     length → weighted score + class bucket (rational arithmetic only, so
     cross-engine deterministic; no exp/log transcendentals)."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    in_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
-    base = docs.select(
-        "doc_id",
-        F.length("text").cast("long").alias("n_chars"),
-        F.size(toks).cast("long").alias("n_tokens"),
-        F.expr(f"CAST(size(filter(split(text, ' '), t -> t IN ({in_list}))) AS LONG)")
-        .alias("stop_hits"),
-    ).withColumn(
-        "avg_token_len",
-        F.round((F.col("n_chars") - F.col("n_tokens") + 1) * 1.0 / F.col("n_tokens"), 6),
-    )
+    base = quality_scored_docs(docs)
     stop_ratio = F.col("stop_hits") * 1.0 / F.col("n_tokens")
     return (
         base.select(
@@ -660,3 +708,119 @@ def e10_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         pii_count(p, "number").alias("n_number"),
         scrub(p).alias("props_redacted"),
     ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# e11 — DSIR hashed-n-gram importance weights (data selection)
+# ---------------------------------------------------------------------------
+#: Hashed-feature bucket count. DSIR (Xie et al. 2023, arXiv:2302.03169)
+#: hashes n-grams into a fixed bucket space so the target/raw language
+#: models are two B-sized count vectors — mergeable, broadcastable, and
+#: independent of vocabulary size. 128 keeps the bucket table literal-
+#: small here; production uses 10k+ and nothing else changes.
+_DSIR_B = 128
+
+
+@query(
+    "e11_dsir_importance",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, lang,
+                         unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+    tb AS (SELECT doc_id, lang,
+                  CAST('0x' || substr(md5('dsir:' || tok), 1, 15) AS BIGINT)
+                      % {_DSIR_B} AS b
+           FROM toks),
+    cnt AS (SELECT b,
+                   CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS ct,
+                   CAST(SUM(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS cr
+            FROM tb GROUP BY b),
+    tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+                   CAST(SUM(cr) AS BIGINT) AS nr FROM cnt),
+    grid AS (SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS b),
+    lr AS (SELECT grid.b,
+                  CAST(ROUND(ln(((COALESCE(cnt.ct, 0) + 1.0)
+                                 * (tot.nr + {_DSIR_B}.0))
+                                / ((COALESCE(cnt.cr, 0) + 1.0)
+                                   * (tot.nt + {_DSIR_B}.0))), 6)
+                       AS DECIMAL(18,6)) AS lr6
+           FROM grid LEFT JOIN cnt ON cnt.b = grid.b CROSS JOIN tot)
+    SELECT tb.doc_id,
+           ANY_VALUE(tb.lang) AS lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(lr.lr6) AS DOUBLE) AS dsir_logw
+    FROM tb JOIN lr ON lr.b = tb.b
+    GROUP BY tb.doc_id
+    ORDER BY tb.doc_id
+    """,
+)
+def e11_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score every document by how much more likely its hashed-unigram
+    stream is under the TARGET distribution (here: the ``lang='en'``
+    slice) than under the raw distribution — the standard
+    data-selection signal for matching a pretraining mix to a target
+    domain. Weight = Σ_tokens ln(p_target(bucket)/p_raw(bucket)) with
+    add-one smoothing over ``_DSIR_B`` hashed buckets.
+
+    Scale design: one exploded-token pass builds BOTH B-sized count
+    vectors (conditional aggregation, map-side combinable to ≤B rows);
+    the per-bucket log ratios are computed once on the B-row table,
+    QUANTIZED to DECIMAL(18,6) (ln is the engine-portable e08 pattern;
+    quantization makes the per-doc Σ order-independent, the dsum
+    discipline), and BROADCAST back onto the token stream — the corpus
+    is never shuffled except the map-side-combinable per-doc sum. The
+    md5-derived bucket hash is the portable hash60 (production swaps
+    xxhash64 1:1)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tb = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "doc_id", "lang",
+        F.pmod(
+            hash60(F.concat(F.lit("dsir:"), F.col("tok"))), F.lit(_DSIR_B)
+        ).alias("b"),
+    )
+    cnt = tb.groupBy("b").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+        .cast("long").alias("ct"),
+        F.sum(F.when(F.col("lang") != "en", 1).otherwise(0))
+        .cast("long").alias("cr"),
+    )
+    tot = cnt.agg(
+        F.sum("ct").cast("long").alias("nt"),
+        F.sum("cr").cast("long").alias("nr"),
+    )
+    grid = spark.range(_DSIR_B).select(F.col("id").alias("b"))
+    lr = (
+        grid.join(cnt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log(
+                    (
+                        (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
+                        * (F.col("nr") + F.lit(float(_DSIR_B)))
+                    )
+                    / (
+                        (F.coalesce(F.col("cr"), F.lit(0)) + F.lit(1.0))
+                        * (F.col("nt") + F.lit(float(_DSIR_B)))
+                    )
+                ),
+                6,
+            ).cast("decimal(18,6)").alias("lr6"),
+        )
+    )
+    return (
+        tb.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value(F.col("lang")).alias("lang"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr6").cast("double").alias("dsir_logw"),
+        )
+        .orderBy("doc_id")
+    )

@@ -22,13 +22,15 @@ def test_query_matches_oracle(spark, sf_dir, name):
         # corpus forms near-cliques of thousands. The driver's gate runs
         # at sf0.01, where the fixpoint completes in seconds.
         pytest.skip("c07 oracle CTE is quadratic in cluster size at sf0.1")
-    if name == "c11_quantile_sketch" and sf_dir.rstrip("/").endswith("sf0.1"):
-        # The quantile_disc oracle is valid only in the GK sketch's
+    if name in (
+        "c11_quantile_sketch", "f10_streaming_quantiles"
+    ) and sf_dir.rstrip("/").endswith("sf0.1"):
+        # The quantile_disc oracles are valid only in the GK sketch's
         # exact regime (per-group n < accuracy/2 = 5000). sf0.001/0.01
         # — including the driver's sf0.01 gate — are exact (n≈200/2000);
         # at sf0.1 (n≈20000) the estimate is legitimately approximate
         # and only the rank-error bound (tests/test_sketches.py) holds.
-        pytest.skip("c11 oracle valid only in the GK exact regime (n<5000)")
+        pytest.skip("quantile oracle valid only in the GK exact regime")
     if name in ORACLES:
         compare(spark, sf_dir, name, fn, ORACLES[name])
     else:

@@ -5,13 +5,12 @@ can't silently push a query family out of driver verification again.
 
 Round-5 window policy: rounds 1–2 greened a01–a09 + b01–b29 + g01–g12;
 round 4 greened c01–c10, d01–d06, e01–e10, f01–f09, m01–m05, p01–p08
-and b30 (48 hash-green + c06/m02 rows-only). The only queries with no
-driver verdict are the two added after round 4's window was fixed —
-c11_quantile_sketch (now upgraded from rows-only to a
-quantile_disc/cont oracle, exact at the driver's sf0.01) and
-g13_value_correlation — so round 5 swaps them in for p07/p08, which
-hold green r04 rows. Every rotated-out query keeps a green CORRECTNESS
-row and its local strict-oracle test.
+and b30 (48 hash-green + c06/m02 rows-only). The window now holds every
+query without a driver verdict: c11 (upgraded to a quantile_disc/cont
+oracle, exact at the driver's sf0.01), g13 (added post-rotation in
+round 4), and round 5's new operators e11/f10/g14/p09. Six green r04
+entries rotated out (p04, p05, p07, p08, e04, m04); each keeps its
+green CORRECTNESS row and local strict-oracle test.
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES
