@@ -144,6 +144,23 @@ ANNOTATED = {
         "delta×earlier-delta, min-keeper aggregation on the output-bound "
         "edge relation only — the corpus is never rescanned per delta."
     ),
+    "e11_dsir_importance": (
+        "DSIR weights: one exploded-token pass feeds a conditional "
+        "aggregation down to ≤128 bucket rows (map-side combinable); "
+        "the decimal-quantized log-ratio table is BroadcastHashJoined "
+        "back onto the token stream — the corpus side only ever "
+        "shuffles into the per-doc sum."
+    ),
+    "p09_quality_percentile_gate": (
+        "Percentile gate: codegen'd rational score projection, GK-sketch "
+        "threshold aggregate to |sources| rows, thresholds broadcast "
+        "back for the gate — two linear passes, no corpus-wide sort."
+    ),
+    "g14_conversion_funnel": (
+        "Staged funnel: each stage's scan pushes its event_type filter "
+        "to the parquet scan; all stage joins and aggregations stay on "
+        "user_id, so a co-partitioned layout reuses one exchange."
+    ),
 }
 
 

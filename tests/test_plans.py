@@ -320,3 +320,30 @@ def test_p06_panel_broadcast_guard(spark, sf_dir):
     # broadcast path: the executed p06 join must be broadcast-built.
     plan = executed_plan(QUERIES["p06_contamination_check"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_e11_dsir_broadcasts_ratio_table(spark, sf_dir):
+    # e11: the 128-row log-ratio table joins the exploded token stream
+    # via BroadcastHashJoin — the corpus side must never sort-merge.
+    plan = executed_plan(QUERIES["e11_dsir_importance"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_g14_funnel_stage_filters_push_to_scan(spark, sf_dir):
+    # g14: each stage's event_type filter must reach the parquet scan,
+    # so a type-partitioned production table reads only its slice.
+    df = QUERIES["g14_conversion_funnel"](spark, sf_dir)
+    # pushed_filters splits on commas, so rejoin before matching the
+    # two-argument EqualTo form.
+    joined = ",".join(pushed_filters(df))
+    for stage in ("signup", "click", "purchase"):
+        assert f"EqualTo(event_type,{stage})" in joined, (stage, joined)
+
+
+def test_p09_gate_broadcasts_thresholds(spark, sf_dir):
+    # p09: the |sources|-row threshold table is broadcast back onto the
+    # scored corpus; the corpus side joins map-side only.
+    plan = executed_plan(QUERIES["p09_quality_percentile_gate"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]
