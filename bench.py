@@ -86,6 +86,9 @@ EXTRA = [
     "p09_quality_percentile_gate",
     "g14_conversion_funnel",
     "f10_streaming_quantiles",
+    "g15_cohort_retention",
+    "f11_lambda_unified_totals",
+    "b31_zorder_box_scan",
 ]
 
 

@@ -32,13 +32,15 @@ from .registry import ORACLES, QUERIES
 #: (upgraded from rows-only to a quantile_disc/cont oracle, dedup.py)
 #: and g13_value_correlation (added post-rotation in round 4), plus
 #: this round's new operators — e11_dsir_importance,
-#: f10_streaming_quantiles, g14_conversion_funnel,
-#: p09_quality_percentile_gate. Six already-green r04 entries rotate
-#: out to make room (p07, p08, p04, p05, e04, m04). After this round
-#: every registered query has a driver verdict. Rotated-out queries
-#: stay registered after slot 50: each carries a green CORRECTNESS row
-#: and keeps its local strict-oracle test, which is bit-exact with the
-#: driver's compare.
+#: f10_streaming_quantiles, f11_lambda_unified_totals,
+#: g14_conversion_funnel, g15_cohort_retention,
+#: p09_quality_percentile_gate, b31_zorder_box_scan. Nine already-green
+#: r04 entries rotate out to make room (p04, p05, p07, p08, e04, e05,
+#: m03, m04, d02 — every family keeps stronger in-window siblings).
+#: After this round every registered query has a driver verdict.
+#: Rotated-out queries stay registered after slot 50: each carries a
+#: green CORRECTNESS row and keeps its local strict-oracle test, which
+#: is bit-exact with the driver's compare.
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -47,32 +49,33 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "c04_ngram_jaccard_pairs", "c05_embedding_neardup", "c06_hll_user_sketch",
     "c07_dup_clusters", "c08_candidate_verify", "c09_semantic_dedup",
     "c10_incremental_neardup", "c11_quantile_sketch",
-    # similarity search
-    "d01_topk_bruteforce", "d02_ivf_bucket_ann",
+    # similarity search (d02 rotated out green; d04 covers IVF)
+    "d01_topk_bruteforce",
     "d03_topk_pandas_vectorized", "d04_ivf_kmeans_ann",
     "d05_sq8_topk", "d06_pq_adc_topk",
-    # text analysis (e04 rotated out green; e11 is new this round)
+    # text analysis (e04/e05 rotated out green; e11 is new this round)
     "e01_token_stats", "e02_quality_score", "e03_corpus_stats",
-    "e05_bpe_token_counts", "e06_language_id",
+    "e06_language_id",
     "e07_repetition_metrics", "e08_tfidf_terms", "e09_chunk_plan",
     "e10_pii_scrub", "e11_dsir_importance",
-    # streaming extensions (f10 is new this round)
+    # streaming extensions (f10/f11 are new this round)
     "f01_streaming_dashboard", "f02_streaming_dedup", "f03_session_windows",
     "f04_stateful_user_totals", "f05_stream_stream_join",
     "f06_idle_key_eviction", "f07_stream_static_enrichment",
     "f08_stream_left_outer_join", "f09_streaming_pii_scrub",
-    "f10_streaming_quantiles",
-    # multimodal (m04 rotated out green)
+    "f10_streaming_quantiles", "f11_lambda_unified_totals",
+    # multimodal (m03/m04 rotated out green)
     "m01_binary_payload_stats", "m02_payload_features_pandas",
-    "m03_frame_sample_plan", "m05_crossmodal_join",
+    "m05_crossmodal_join",
     # composed pipelines (p04/p05/p07/p08 rotated out green; p09 new)
     "p01_training_mix", "p02_streaming_ingest_funnel",
     "p03_sequence_packing", "p06_contamination_check",
     "p09_quality_percentile_gate",
-    # bucketed-join representative (green r04)
-    "b30_bucketed_colocated_join",
+    # physical layout (b30 green r04; b31 z-order new this round)
+    "b30_bucketed_colocated_join", "b31_zorder_box_scan",
     # cross-series analytics — never-scored + new this round
     "g13_value_correlation", "g14_conversion_funnel",
+    "g15_cohort_retention",
 )
 
 

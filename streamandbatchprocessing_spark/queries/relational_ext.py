@@ -742,3 +742,71 @@ def g14_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# g15 — cohort retention grid (first-touch cohorts × day offset)
+# ---------------------------------------------------------------------------
+@query(
+    "g15_cohort_retention",
+    oracle="""
+    WITH ev AS (SELECT user_id,
+                       CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d
+                FROM events),
+    first AS (SELECT user_id, MIN(d) AS cohort_date
+              FROM ev GROUP BY user_id),
+    sizes AS (SELECT cohort_date,
+                     CAST(COUNT(*) AS BIGINT) AS cohort_size
+              FROM first GROUP BY cohort_date),
+    act AS (SELECT DISTINCT user_id, d FROM ev),
+    grid AS (SELECT f.cohort_date,
+                    CAST(date_diff('day', f.cohort_date, a.d) AS BIGINT)
+                        AS day_offset,
+                    CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active
+             FROM act a JOIN first f ON f.user_id = a.user_id
+             GROUP BY f.cohort_date, day_offset)
+    SELECT g.cohort_date, g.day_offset, s.cohort_size, g.n_active,
+           ROUND(g.n_active * 1.0 / s.cohort_size, 6) AS retention
+    FROM grid g JOIN sizes s ON s.cohort_date = g.cohort_date
+    ORDER BY g.cohort_date, g.day_offset
+    """,
+)
+def g15_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort retention: users cohorted by their FIRST active
+    day; each (cohort, day-offset) cell counts the cohort members still
+    active that day, as a fraction of cohort size — the
+    activation/retention grid every growth dashboard draws.
+
+    Scale design: first-touch and per-day activity are two
+    user_id-keyed aggregations (map-side combinable; the distinct
+    collapses each user's day to one row BEFORE the join, so the join
+    input is O(users × active-days), not O(events)); the grid
+    aggregation shuffles on (cohort, offset) — bounded by days², not by
+    data volume — and cohort sizes join back via broadcast (a
+    dimension-sized table)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    sizes = first.groupBy("cohort_date").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    act = ev.distinct()
+    grid = (
+        act.join(first, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+    return (
+        grid.join(F.broadcast(sizes), "cohort_date")
+        .select(
+            "cohort_date", "day_offset", "cohort_size", "n_active",
+            F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 6)
+            .alias("retention"),
+        )
+        .orderBy("cohort_date", "day_offset")
+    )

@@ -580,3 +580,69 @@ def f10_streaming_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         plan, output_mode="complete", name_prefix="f10_quantiles"
     )
     return result.orderBy("event_type")
+
+
+#: f11's backfill/live boundary. Historical rows (< cutoff) are served
+#: by the batch engine; rows at/after it replay through the streaming
+#: engine — the Kappa/Lambda handoff point a production migration picks
+#: (fixtures span 2024-01-01..-30 at every SF, so the cutoff bisects).
+_F11_CUTOFF = "2024-01-16 00:00:00"
+
+
+@query(
+    "f11_lambda_unified_totals",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def f11_lambda_unified_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-backfill + streaming-increment unification (the
+    Lambda→Kappa migration shape): per-type totals where history
+    (ts < cutoff) is aggregated by the BATCH engine and everything at
+    or after the cutoff replays through the real STREAMING engine
+    (checkpointed availableNow drain), then the two partial aggregates
+    reconcile by one final re-aggregation. The oracle is the
+    whole-table batch aggregate — the unified view must be
+    indistinguishable from having batch-processed everything.
+
+    Why this works at 100 TB: both sides produce |event_type|-sized
+    partials, and the reconciliation is the same associative merge the
+    engine already does between partitions — counts add, exact-decimal
+    sums add (the dsum discipline; a double sum would make the merged
+    total depend on the batch/stream split point). A production
+    deployment runs the streaming side continuously from the handoff
+    offset and serves the union view; the batch side never reruns."""
+    cutoff = F.lit(_F11_CUTOFF).cast("timestamp")
+    agg = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(25,6)")).alias("dec_total"),
+    ]
+    hist = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts") < cutoff)
+        .groupBy("event_type")
+        .agg(*agg)
+    )
+    live_plan = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("ts") >= cutoff)
+        .groupBy("event_type")
+        .agg(*agg)
+    )
+    live = run_to_memory(
+        live_plan, output_mode="complete", name_prefix="f11_live"
+    )
+    return (
+        hist.unionByName(live)
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_events").cast("long").alias("n_events"),
+            F.sum("dec_total").cast("double").alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
