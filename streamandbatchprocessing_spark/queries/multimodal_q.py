@@ -52,13 +52,37 @@ def m01_binary_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("m02_payload_features_pandas", oracle=None)
+@query(
+    "m02_payload_features_pandas",
+    oracle="""
+    WITH h AS (SELECT doc_id, text,
+                      hex(encode(text)) AS hx,
+                      octet_length(encode(text)) AS n
+               FROM documents),
+    x AS (SELECT doc_id, text, n,
+                 list_transform(
+                     generate_series(1, n),
+                     i -> CAST(('0x' || substr(hx, 2 * i - 1, 2))
+                               AS INTEGER)) AS bl
+          FROM h)
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_bytes,
+           substr(sha256(text), 1, 16) AS sha256_head,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE list_sum(bl) * 1.0 / n END AS byte_mean,
+           CAST(len(list_distinct(bl)) AS INTEGER) AS distinct_bytes
+    FROM x
+    ORDER BY doc_id
+    """,
+)
 def m02_payload_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched (mapInPandas) byte-level feature extraction over
     binary payloads built from document text — the vectorized-Python
-    decode path of the multimodal pipeline. No SQL oracle (pandas UDF
-    internals aren't SQL-expressible); values are deterministic and the
-    same pipeline is value-checked in tests/test_multimodal.py."""
+    decode path of the multimodal pipeline, and proof that even the
+    pandas path is hash-gated: the DuckDB oracle reproduces every
+    feature byte-for-byte (sha256 over the same UTF-8 bytes; byte mean
+    and distinct count via hex-expansion of the encoded blob — exact
+    integer sums, one identical double division)."""
     import hashlib
     from collections.abc import Iterator
 
