@@ -89,6 +89,7 @@ EXTRA = [
     "g15_cohort_retention",
     "f11_lambda_unified_totals",
     "b31_zorder_box_scan",
+    "e12_passage_dedup",
 ]
 
 

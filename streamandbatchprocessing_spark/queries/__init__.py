@@ -34,9 +34,10 @@ from .registry import ORACLES, QUERIES
 #: this round's new operators — e11_dsir_importance,
 #: f10_streaming_quantiles, f11_lambda_unified_totals,
 #: g14_conversion_funnel, g15_cohort_retention,
-#: p09_quality_percentile_gate, b31_zorder_box_scan. Nine already-green
-#: r04 entries rotate out to make room (p04, p05, p07, p08, e04, e05,
-#: m03, m04, d02 — every family keeps stronger in-window siblings).
+#: p09_quality_percentile_gate, b31_zorder_box_scan, e12_passage_dedup.
+#: Ten already-green r04 entries rotate out to make room (p04, p05,
+#: p07, p08, e04, e05, m03, m04, d02, c08 — every family keeps
+#: stronger in-window siblings).
 #: After this round every registered query has a driver verdict.
 #: Rotated-out queries stay registered after slot 50: each carries a
 #: green CORRECTNESS row and keeps its local strict-oracle test, which
@@ -47,7 +48,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # dedup family
     "c01_exact_dedup", "c02_minhash_lsh_pairs", "c03_simhash_neighbors",
     "c04_ngram_jaccard_pairs", "c05_embedding_neardup", "c06_hll_user_sketch",
-    "c07_dup_clusters", "c08_candidate_verify", "c09_semantic_dedup",
+    "c07_dup_clusters", "c09_semantic_dedup",
     "c10_incremental_neardup", "c11_quantile_sketch",
     # similarity search (d02 rotated out green; d04 covers IVF)
     "d01_topk_bruteforce",
@@ -57,7 +58,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "e01_token_stats", "e02_quality_score", "e03_corpus_stats",
     "e06_language_id",
     "e07_repetition_metrics", "e08_tfidf_terms", "e09_chunk_plan",
-    "e10_pii_scrub", "e11_dsir_importance",
+    "e10_pii_scrub", "e11_dsir_importance", "e12_passage_dedup",
     # streaming extensions (f10/f11 are new this round)
     "f01_streaming_dashboard", "f02_streaming_dedup", "f03_session_windows",
     "f04_stateful_user_totals", "f05_stream_stream_join",

@@ -824,3 +824,98 @@ def e11_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# e12 — cross-document passage dedup (exact, passage granularity)
+# ---------------------------------------------------------------------------
+#: Non-overlapping passage width. Document-level dedup (c01/c02) misses
+#: the common pathology of distinct pages sharing boilerplate passages
+#: (headers, license blocks, templated paragraphs); passage-granular
+#: hashing catches it exactly — the cheap first stage of the
+#: suffix-array substring dedup in Lee et al. 2021 (arXiv:2107.06499).
+_PSG_W = 32
+
+
+@query(
+    "e12_passage_dedup",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    n AS (SELECT doc_id, toks,
+                 CAST(len(toks) AS BIGINT) AS n_tokens,
+                 (len(toks) + {_PSG_W - 1}) // {_PSG_W} AS np
+          FROM t),
+    p AS (SELECT doc_id,
+                 substr(md5('psg:' || array_to_string(
+                     list_slice(toks, i * {_PSG_W} + 1,
+                                LEAST((i + 1) * {_PSG_W},
+                                      CAST(n_tokens AS INTEGER))), ' ')),
+                        1, 16) AS pkey
+          FROM n, UNNEST(range(np)) AS u(i)),
+    k AS (SELECT pkey, COUNT(DISTINCT doc_id) AS nd FROM p GROUP BY pkey)
+    SELECT p.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_passages,
+           CAST(SUM(CASE WHEN k.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_shared_passages,
+           ROUND(SUM(CASE WHEN k.nd >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS shared_frac
+    FROM p JOIN k ON k.pkey = p.pkey
+    GROUP BY p.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def e12_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document passage-level exact dedup: hash every
+    non-overlapping ``_PSG_W``-token passage (portable md5 prefix,
+    the c01-at-passage-granularity canonicalization) and report, per
+    document, how many of its passages also occur verbatim in at least
+    one OTHER document.
+
+    Scale design: passages are produced in the scan projection
+    (sequence+explode like e09 — no shuffle to build them); the key
+    census and the per-doc rollup are two map-side-combinable
+    aggregations plus one equi-join on the passage key. The join is
+    key-vs-key (both sides ≤ one row per passage) — never doc×doc.
+    Skew note: a pathological passage shared by millions of docs still
+    joins 1:1 per occurrence (the census is pre-aggregated), so no key
+    explodes the join output beyond its own occurrence count."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("toks"),
+    ).select(
+        "doc_id",
+        "toks",
+        F.expr(f"(size(toks) + {_PSG_W - 1}) div {_PSG_W}").alias("np"),
+    )
+    p = n.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.col("np") - 1)).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        md5_prefix(
+            F.concat_ws(
+                " ", F.slice(F.col("toks"), F.col("i") * _PSG_W + 1, _PSG_W)
+            ),
+            seed="psg:",
+            length=16,
+        ).alias("pkey"),
+    )
+    k = p.groupBy("pkey").agg(F.countDistinct("doc_id").alias("nd"))
+    return (
+        p.join(k, "pkey")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_passages"),
+            F.sum(F.when(F.col("nd") >= 2, 1).otherwise(0)).cast("long")
+            .alias("n_shared_passages"),
+        )
+        .select(
+            "doc_id", "n_passages", "n_shared_passages",
+            F.round(
+                F.col("n_shared_passages") * 1.0 / F.col("n_passages"), 6
+            ).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -347,3 +347,39 @@ def test_p09_gate_broadcasts_thresholds(spark, sf_dir):
     plan = executed_plan(QUERIES["p09_quality_percentile_gate"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter join pruning (InjectRuntimeFilter): with a
+    selective filter on the creation side, Catalyst plants a
+    bloom_filter_might_contain predicate on the fact side's scan, so
+    rows that cannot join are dropped BEFORE the shuffle. At 100 TB the
+    default thresholds (creation side ≤ 10 MB, application scan
+    ≥ 10 GB) enable this automatically; the fixture is far below both,
+    so the test pins the plumbing by lowering them for one plan."""
+    from pyspark.sql import functions as F
+
+    keys = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold":
+            "100MB",
+        # broadcast would bypass the shuffle the bloom filter protects
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in keys}
+    try:
+        for k, v in keys.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity"
+        )
+        plan = executed_plan(li.join(o, li.l_orderkey == o.o_orderkey))
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
