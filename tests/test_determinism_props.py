@@ -1,0 +1,112 @@
+"""Property-based checks of the engine's portable-determinism
+primitives: the integer micro-mean quantizer (g13) and the Morton code
+(b31). Each has a pure-Python model; hypothesis drives the model over
+the full input space, and one Spark batch pins the column expressions
+to the model on a sampled grid (the oracle suite separately pins
+Spark == DuckDB on fixture data)."""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# g13 micro-mean quantizer: m6 = half-away-from-zero round of s6/n
+# ---------------------------------------------------------------------------
+def _micro_mean_model(s6: int, n: int) -> int:
+    """The SQL formula, verbatim: truncating integer div on the
+    sign-split magnitude."""
+    if s6 < 0:
+        return -((2 * (-s6) + n) // (2 * n))
+    return (2 * s6 + n) // (2 * n)
+
+
+def _round_half_away(x: Fraction) -> int:
+    """Reference semantics: nearest integer, ties away from zero."""
+    sign = -1 if x < 0 else 1
+    ax = abs(x)
+    floor = ax.numerator // ax.denominator
+    rem = ax - floor
+    if rem > Fraction(1, 2) or rem == Fraction(1, 2):
+        floor += 1
+    return sign * floor
+
+
+@settings(max_examples=500)
+@given(
+    st.integers(min_value=-(10**15), max_value=10**15),
+    st.integers(min_value=1, max_value=10**9),
+)
+def test_micro_mean_formula_is_half_away_rounding(s6, n):
+    assert _micro_mean_model(s6, n) == _round_half_away(Fraction(s6, n))
+
+
+def test_micro_mean_spark_expression_matches_model(spark):
+    from streamandbatchprocessing_spark.queries.relational_ext import (
+        _MICRO_MEAN_SQL,
+    )
+
+    cases = [
+        (s6, n)
+        for s6 in (-2000003, -1, 0, 1, 7, 2000001, 2000003, 10**14 + 1)
+        for n in (1, 2, 3, 7, 1000, 999983)
+    ]
+    df = spark.createDataFrame(cases, "s6 long, n_vals long")
+    got = [
+        r["m"]
+        for r in df.select(F.expr(_MICRO_MEAN_SQL).alias("m")).collect()
+    ]
+    # The SQL expression scales back to a 6-dp decimal; compare in
+    # micro-units to stay integer-exact.
+    assert [int(m.scaleb(6)) for m in got] == [
+        _micro_mean_model(s6, n) for s6, n in cases
+    ]
+
+
+# ---------------------------------------------------------------------------
+# b31 Morton code: bijective and hierarchical (the locality property)
+# ---------------------------------------------------------------------------
+def _morton_model(x: int, y: int, bits: int = 12) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+@settings(max_examples=500)
+@given(st.integers(0, 4095), st.integers(0, 4095),
+       st.integers(0, 4095), st.integers(0, 4095))
+def test_morton_model_is_injective(x1, y1, x2, y2):
+    if (x1, y1) != (x2, y2):
+        assert _morton_model(x1, y1) != _morton_model(x2, y2)
+
+
+@settings(max_examples=500)
+@given(st.integers(0, 4095), st.integers(0, 4095))
+def test_morton_model_is_hierarchical(x, y):
+    # Dropping the low bit of each dimension == dropping the low two
+    # z-bits: z-order ranges therefore nest by quadtree cell, which is
+    # why contiguous z-runs (files) cover compact rectangles.
+    assert _morton_model(x, y) >> 2 == _morton_model(x >> 1, y >> 1)
+
+
+def test_morton_spark_expression_matches_model(spark):
+    from streamandbatchprocessing_spark.sources.zorder import morton2
+
+    import random
+
+    rng = random.Random(7)
+    cases = [(rng.randrange(4096), rng.randrange(4096)) for _ in range(256)]
+    df = spark.createDataFrame(cases, "x long, y long")
+    got = [
+        r["z"]
+        for r in df.select(
+            morton2(F.col("x"), F.col("y")).alias("z")
+        ).collect()
+    ]
+    assert got == [_morton_model(x, y) for x, y in cases]
