@@ -257,3 +257,112 @@ def test_f_family_queries_run_on_streaming_plans(spark, sf_dir):
     assert stream.isStreaming
     for plan in (dashboard_plan, session_windows_plan, streaming_dedup_plan):
         assert plan(stream).isStreaming, plan.__name__
+
+
+def test_streaming_state_merges_across_micro_batches(spark, sf_dir, tmp_path):
+    """The claim behind f03/f10 being 'real streaming': session-window
+    state and GK quantile partials must MERGE correctly across
+    micro-batches, not just within one. Split the fixture into 4 files,
+    replay with maxFilesPerTrigger=1 (4 separate micro-batches), and
+    the drained complete-mode results must equal the batch answers."""
+    from pyspark.sql import functions as F
+
+    from streamandbatchprocessing_spark.sources.batch import load_table
+    from streamandbatchprocessing_spark.streaming.pipeline import (
+        run_to_memory,
+        session_windows_plan,
+    )
+
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    ev = load_table(spark, sf_dir, "events")
+    # Split by TIME QUARTILE and replay oldest-first (mtime order =
+    # FileStreamSource order): within a batch rows are unordered, but
+    # across batches time advances, so the watermark never drops a
+    # later batch's rows — the realistic replay of an ordered log.
+    # (A hash split would interleave times and the watermark would
+    # correctly discard 'late' rows — that semantics is not under test.)
+    bounds = ev.selectExpr(
+        "percentile(unix_micros(CAST(ts AS TIMESTAMP)), array(0.25D, 0.5D, 0.75D)) AS q"
+    ).first()["q"]
+    src = str(tmp_path / "split")
+    _os.makedirs(src)
+    lo = None
+    base = _time.time() - 100
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    for i, hi in enumerate([*bounds, None]):
+        part = ev
+        if lo is not None:
+            part = part.filter(micros >= lo)
+        if hi is not None:
+            part = part.filter(micros < hi)
+        pdir = str(tmp_path / f"p{i}")
+        part.coalesce(1).write.parquet(pdir)
+        pfile = _glob.glob(f"{pdir}/part-*.parquet")[0]
+        dst = f"{src}/{i:02d}-events.parquet"
+        _os.rename(pfile, dst)
+        _os.utime(dst, (base + 10 * i, base + 10 * i))
+        lo = hi
+    schema = spark.read.parquet(src).schema
+    # Watermarks require TIMESTAMP (session-UTC), not TIMESTAMP_NTZ.
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+
+    # Session windows: open sessions must merge when later batches add
+    # events inside an existing session's gap.
+    got = run_to_memory(
+        session_windows_plan(stream),
+        output_mode="complete",
+        name_prefix="mb_sessions",
+    ).orderBy("user_id", "session_start")
+    want = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+    assert [tuple(r) for r in got.collect()] == [
+        tuple(r) for r in want.collect()
+    ]
+
+    # GK quantiles: partials built per micro-batch must merge to the
+    # same result as one batch pass (exact regime at test SF).
+    pa_expr = F.expr("percentile_approx(value, array(0.5D, 0.95D), 10000)")
+    stream2 = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    got_q = run_to_memory(
+        stream2.groupBy("event_type").agg(
+            pa_expr[0].alias("p50"), pa_expr[1].alias("p95")
+        ),
+        output_mode="complete",
+        name_prefix="mb_quant",
+    ).orderBy("event_type")
+    want_q = (
+        ev.groupBy("event_type")
+        .agg(pa_expr[0].alias("p50"), pa_expr[1].alias("p95"))
+        .orderBy("event_type")
+    )
+    assert [tuple(r) for r in got_q.collect()] == [
+        tuple(r) for r in want_q.collect()
+    ]
