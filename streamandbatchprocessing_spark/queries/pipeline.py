@@ -506,7 +506,11 @@ def p06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_sz = ev.select(
         F.col("doc_id").alias("eval_doc"), F.size("gs").cast("long").alias("n_grams")
     )
-    ev_g = ev.select(F.col("doc_id").alias("eval_doc"), F.explode("gs").alias("g"))
+    # persist: the guard's count() and the broadcast build both read
+    # the panel subtree; uncached it would run the gram transform twice.
+    ev_g = persist_tracked(
+        ev.select(F.col("doc_id").alias("eval_doc"), F.explode("gs").alias("g"))
+    )
     tr_g = g.filter(F.col("doc_id") >= _EVAL_N).select(
         F.col("doc_id").alias("train_doc"), F.explode("gs").alias("g")
     )

@@ -39,6 +39,14 @@ PERTURBED = [
     "p01_training_mix",
     "p03_sequence_packing",
     "p08_train_val_split",
+    # round 5 additions: DSIR's decimal log-ratio sums, the percentile
+    # gate's sketch threshold, funnel/cohort min-ts chains and distinct
+    # counts, passage-key census, cross-series quantized means.
+    "e11_dsir_importance",
+    "e12_passage_dedup",
+    "p09_quality_percentile_gate",
+    "g14_conversion_funnel",
+    "g15_cohort_retention",
 ]
 
 _PERTURB = {
