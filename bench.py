@@ -90,6 +90,7 @@ EXTRA = [
     "f11_lambda_unified_totals",
     "b31_zorder_box_scan",
     "e12_passage_dedup",
+    "d08_label_centroids",
 ]
 
 

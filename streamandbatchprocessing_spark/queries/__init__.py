@@ -34,10 +34,10 @@ from .registry import ORACLES, QUERIES
 #: this round's new operators — e11_dsir_importance,
 #: f10_streaming_quantiles, f11_lambda_unified_totals,
 #: g14_conversion_funnel, g15_cohort_retention,
-#: p09_quality_percentile_gate, b31_zorder_box_scan, e12_passage_dedup.
-#: Ten already-green r04 entries rotate out to make room (p04, p05,
-#: p07, p08, e04, e05, m03, m04, d02, c08 — every family keeps
-#: stronger in-window siblings).
+#: p09_quality_percentile_gate, b31_zorder_box_scan, e12_passage_dedup,
+#: d08_label_centroids. Eleven already-green r04 entries rotate out to
+#: make room (p04, p05, p07, p08, e04, e05, m03, m04, d02, d03, c08 —
+#: every family keeps stronger in-window siblings).
 #: After this round every registered query has a driver verdict.
 #: Rotated-out queries stay registered after slot 50: each carries a
 #: green CORRECTNESS row and keeps its local strict-oracle test, which
@@ -50,10 +50,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "c04_ngram_jaccard_pairs", "c05_embedding_neardup", "c06_hll_user_sketch",
     "c07_dup_clusters", "c09_semantic_dedup",
     "c10_incremental_neardup", "c11_quantile_sketch",
-    # similarity search (d02 rotated out green; d04 covers IVF)
-    "d01_topk_bruteforce",
-    "d03_topk_pandas_vectorized", "d04_ivf_kmeans_ann",
-    "d05_sq8_topk", "d06_pq_adc_topk",
+    # similarity search (d02/d03 rotated out green; d04 covers IVF,
+    # m02 keeps the Arrow path driver-covered; d08 is new this round)
+    "d01_topk_bruteforce", "d04_ivf_kmeans_ann",
+    "d05_sq8_topk", "d06_pq_adc_topk", "d08_label_centroids",
     # text analysis (e04/e05 rotated out green; e11 is new this round)
     "e01_token_stats", "e02_quality_score", "e03_corpus_stats",
     "e06_language_id",

@@ -926,3 +926,62 @@ def d06_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# d08 — per-label embedding centroids (dimension-parallel aggregation)
+# ---------------------------------------------------------------------------
+@query(
+    "d08_label_centroids",
+    oracle="""
+    WITH x AS (SELECT label, i - 1 AS pos,
+                      CAST(embedding AS DOUBLE[])[i] AS v
+               FROM embeddings,
+                    UNNEST(generate_series(1, len(embedding))) AS u(i))
+    SELECT label,
+           CAST(pos AS INTEGER) AS pos,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(v),
+                 6) AS centroid_val
+    FROM x
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def d08_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids, computed DIMENSION-PARALLEL:
+    posexplode the vectors and aggregate each (label, dimension) cell
+    independently — the dataset-cartography / class-prototype statistic
+    every embedding-quality audit computes (and the building block d04's
+    k-means update step uses).
+
+    Scale design: the explode is a scan-stage projection; the aggregate
+    shuffles on (label, pos) — |labels|·dim cells, each a
+    map-side-combinable decimal sum, so parallelism scales with
+    labels×dimensions rather than being bottlenecked per label. The
+    centroid values quantize via the davg discipline (exact decimal sum,
+    one double division, round 6) so the cell values are
+    partition-order-independent and engine-exact."""
+    from ..functions.vectors import as_double
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "v"),
+    )
+    return (
+        x.groupBy("label", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(
+                F.sum(F.col("v").cast("decimal(25,6)")).cast("double")
+                / F.count("v"),
+                6,
+            ).alias("centroid_val"),
+        )
+        .select(
+            "label", F.col("pos").cast("int").alias("pos"), "n_vecs",
+            "centroid_val",
+        )
+        .orderBy("label", "pos")
+    )
