@@ -91,6 +91,9 @@ EXTRA = [
     "b31_zorder_box_scan",
     "e12_passage_dedup",
     "d08_label_centroids",
+    "g16_range_click_attribution",
+    "g17_time_weighted_value",
+    "p10_weighted_sample",
 ]
 
 

@@ -161,6 +161,41 @@ ANNOTATED = {
         "to the parquet scan; all stage joins and aggregations stay on "
         "user_id, so a co-partitioned layout reuses one exchange."
     ),
+    "b31_zorder_box_scan": (
+        "Z-ordered layout: the 2-D box predicate prunes files by "
+        "min/max on BOTH keys (each file holds a compact rectangle); "
+        "the aggregate itself is the standard pushed-down scan→"
+        "partial/final hash-agg spine."
+    ),
+    "e12_passage_dedup": (
+        "Passage dedup: passages built in the scan projection "
+        "(sequence+explode, no shuffle); census and per-doc rollup are "
+        "two map-side-combinable aggs plus ONE key-vs-key equi-join — "
+        "never doc×doc, and pre-aggregation caps any hot passage key "
+        "at its occurrence count."
+    ),
+    "d08_label_centroids": (
+        "Dimension-parallel centroids: posexplode in the scan stage, "
+        "one shuffle on (label, pos) — parallelism scales with "
+        "labels×dimensions; decimal cell sums keep values "
+        "partition-order-independent."
+    ),
+    "g16_range_click_attribution": (
+        "Bucketed range join: the 24 h interval predicate is rewritten "
+        "to a hash EQUI-join on (user_id, day-bucket) with a 2× "
+        "candidate fan-out on the click side, then the true range "
+        "filter — O(events + matches), no BNLJ, key well-distributed."
+    ),
+    "g17_time_weighted_value": (
+        "TWAP: one window shuffle on user_id feeding a same-key "
+        "map-side-combinable groupBy; all arithmetic integer-exact "
+        "(milli-unit values × µs durations), events scanned once."
+    ),
+    "p10_weighted_sample": (
+        "PPS Poisson sample: whole-table scalar agg broadcast back via "
+        "1-row cross join; the keep decision is a stateless per-row "
+        "filter — the corpus is scanned once and never shuffled."
+    ),
 }
 
 

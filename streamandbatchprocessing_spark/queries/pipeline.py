@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.hashing import hash60
 from ..functions.text import LANG_STOPWORDS
 from ..sources.batch import load_table
 from .dedup import _agree_col, _band_pairs, _CC_MIN_AGREE, _sig_df
@@ -763,4 +764,84 @@ def p09_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kept_frac"),
         )
         .orderBy("source")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p10 — weighted (probability-proportional-to-size) Poisson sample
+# ---------------------------------------------------------------------------
+#: 2^60 as a double: the hash60 domain size, for u = h / 2^60.
+_P10_HASH_SPAN = float(1 << 60)
+
+
+@query(
+    "p10_weighted_sample",
+    oracle="""
+    WITH tot AS (SELECT COUNT(*) // 5 AS target_n,
+                        SUM(n_chars) AS sum_w
+                 FROM documents),
+    scored AS (
+        SELECT d.doc_id, d.source, d.n_chars AS weight,
+               LEAST(1.0, (CAST(t.target_n AS DOUBLE)
+                           / CAST(t.sum_w AS DOUBLE)) * d.n_chars) AS pi,
+               CAST('0x' || substr(md5('p10:' || CAST(d.doc_id AS VARCHAR)),
+                                   1, 15) AS BIGINT) AS h
+        FROM documents d, tot t)
+    SELECT doc_id, source, weight, pi, 1.0 / pi AS ht_weight
+    FROM scored
+    WHERE CAST(h AS DOUBLE) < pi * 1152921504606846976.0
+    ORDER BY doc_id
+    """,
+)
+def p10_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted (PPS) Poisson sample of the corpus: each
+    document is kept with probability proportional to its size
+    (π_i = min(1, c·w_i), c calibrated so the expected sample is 1/5 of
+    the corpus), decided by a salted 60-bit hash of its id — the
+    training-mix sampling primitive that needs no shuffle, no state,
+    and is reproducible row-by-row on any engine. The emitted
+    Horvitz–Thompson weight 1/π_i makes any downstream aggregate over
+    the sample unbiased for the full corpus.
+
+    Determinism across engines: the only float ops are one division,
+    one multiply, and a min — all exactly specified by IEEE 754, so
+    Spark and the oracle compute bit-identical π from the same integer
+    inputs (Σw and the target are exact BIGINTs); the keep decision
+    compares the md5-derived hash against π·2^60 in double, identical
+    on both sides. No ln/exp/rand — those vary by libm and would break
+    the bit-exact gate.
+
+    Scale design: one map-side-combinable whole-table aggregate
+    produces the (target, Σw) scalar, broadcast back via cross join;
+    the keep decision is then a stateless per-row filter — the corpus
+    is scanned once and never shuffled (the final doc_id sort is
+    presentation-only; a production pipeline drops it). Calibration
+    drift (Σ changes as data arrives) re-runs only the cheap scalar
+    aggregate, not the sample pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    tot = docs.agg(
+        F.expr("COUNT(*) DIV 5").alias("target_n"),
+        F.sum("n_chars").alias("sum_w"),
+    )
+    scored = docs.crossJoin(F.broadcast(tot)).select(
+        "doc_id", "source",
+        F.col("n_chars").alias("weight"),
+        F.least(
+            F.lit(1.0),
+            (F.col("target_n").cast("double") / F.col("sum_w").cast("double"))
+            * F.col("n_chars"),
+        ).alias("pi"),
+        hash60(
+            F.concat(F.lit("p10:"), F.col("doc_id").cast("string"))
+        ).alias("h"),
+    )
+    return (
+        scored.filter(
+            F.col("h").cast("double") < F.col("pi") * F.lit(_P10_HASH_SPAN)
+        )
+        .select(
+            "doc_id", "source", "weight", "pi",
+            (F.lit(1.0) / F.col("pi")).alias("ht_weight"),
+        )
+        .orderBy("doc_id")
     )

@@ -810,3 +810,165 @@ def g15_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_date", "day_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# g16 — range (interval) join via time-bucketing
+# ---------------------------------------------------------------------------
+@query(
+    "g16_range_click_attribution",
+    oracle="""
+    WITH p AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS p_ts
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS c_ts
+          FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.p_ts,
+           CAST(COUNT(c.c_ts) AS BIGINT) AS n_clicks,
+           MAX(c.c_ts) AS last_click_ts
+    FROM p LEFT JOIN c
+      ON c.user_id = p.user_id
+     AND c.c_ts >= p.p_ts - INTERVAL 24 HOUR
+     AND c.c_ts <  p.p_ts
+    GROUP BY p.event_id, p.user_id, p.p_ts
+    ORDER BY p.event_id
+    """,
+)
+def g16_range_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: for every purchase, the clicks by the same
+    user in the preceding 24 hours — last-touch attribution, the classic
+    event-correlation shape that SQL writes as an inequality join.
+
+    Scale design: a naive inequality join degenerates to a per-user
+    cross product (Spark plans non-equi conditions as BNLJ or an
+    exploded SMJ). Instead the interval is EQUI-JOINED on
+    (user_id, 24h-bucket): each click emits exactly two candidate
+    bucket keys (its own day-bucket and the next — any window that
+    starts ≤24h after the click lands in one of the two), purchases
+    keep their single bucket, and the true range predicate filters the
+    candidate pairs AFTER the hash join. Work is O(events + matching
+    pairs), the join is a plain shuffled/broadcast-able hash equi-join
+    on a well-distributed composite key, and the 2× click fan-out is
+    the entire overhead — the standard bucketed-range-join rewrite that
+    range-join-capable engines apply automatically. The LEFT join +
+    count-if keeps zero-click purchases in the result without a second
+    pass."""
+    day_us = 86_400_000_000  # 24 h in microseconds
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id",
+        F.col("ts").alias("p_ts"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(day_us))
+        .cast("long").alias("bucket"),
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("c_ts"),
+            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(day_us))
+            .cast("long").alias("b0"),
+        )
+        .withColumn("bucket", F.explode(F.array(F.col("b0"), F.col("b0") + 1)))
+        .drop("b0")
+    )
+    in_range = (
+        F.unix_micros(F.col("c_ts").cast("timestamp"))
+        >= F.unix_micros(F.col("p_ts").cast("timestamp")) - F.lit(day_us)
+    ) & (
+        F.unix_micros(F.col("c_ts").cast("timestamp"))
+        < F.unix_micros(F.col("p_ts").cast("timestamp"))
+    )
+    return (
+        p.join(c, ["user_id", "bucket"], "left")
+        .groupBy("event_id", "user_id", "p_ts")
+        .agg(
+            F.count(F.when(in_range, F.lit(1))).alias("n_clicks"),
+            F.max(F.when(in_range, F.col("c_ts"))).alias("last_click_ts"),
+        )
+        .select("event_id", "user_id", "p_ts", "n_clicks", "last_click_ts")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g17 — time-weighted average (TWAP) in exact integer arithmetic
+# ---------------------------------------------------------------------------
+@query(
+    "g17_time_weighted_value",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id,
+               CAST(CAST(value AS DECIMAL(25,3)) * 1000 AS BIGINT) AS v3,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               LEAD(epoch_us(CAST(ts AS TIMESTAMP)))
+                   OVER (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id)
+                   AS next_us
+        FROM events),
+    iv AS (SELECT user_id, v3, next_us - us AS dur_us
+           FROM seq WHERE next_us IS NOT NULL),
+    agg AS (SELECT user_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_intervals,
+                   SUM(dur_us) AS span_us,
+                   SUM(v3 * dur_us) AS nsum
+            FROM iv GROUP BY user_id)
+    SELECT user_id, n_intervals, CAST(span_us AS BIGINT) AS span_us,
+           CAST((2 * CAST(nsum AS BIGINT) + CAST(span_us AS BIGINT))
+                // (2 * CAST(span_us AS BIGINT)) AS DOUBLE) / 1000.0 AS twap
+    FROM agg
+    ORDER BY user_id
+    """,
+)
+def g17_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average value (TWAP): each event's value
+    holds until the user's next event and is weighted by that exact
+    duration — the irregular-time-series mean that plain AVG gets wrong
+    whenever sampling is bursty.
+
+    Determinism design: float Σ(value·Δt) is partition-order-dependent,
+    so the whole pipeline runs in INTEGER arithmetic — values quantized
+    to milli-units (≤5.61e5 for this domain), durations kept in exact
+    microseconds (≤2.6e12 for the 30-day span), products ≤1.5e18 and
+    their sums bounded by max(v3)·Σdur ≤ 1.5e18: everything fits int64
+    with 6× headroom, asserted conservatively rather than hoped (a
+    wider domain would widen v3·dur to DECIMAL and re-derive the
+    bound). The final mean is rounded half-away-from-zero entirely in
+    integer division — (2N + D) div 2D on non-negative operands — the
+    same engine-portable discipline as g13's micro-unit means; the only
+    double in the whole path is the final presentation divide of a
+    small exact integer by 1000 (IEEE-exact, identical on both
+    engines), so any partitioning on any engine produces identical
+    digits.
+
+    Scale design: one window (single linear shuffle on user_id — the
+    partition key is the analysis key, so a table clustered by user
+    needs no shuffle at all) feeding one map-side-combinable groupBy on
+    the same key, which AQE/codegen fuse into the window's exchange;
+    the events table is scanned once."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = (
+        ev.select(
+            "user_id",
+            F.expr(
+                "CAST(CAST(value AS DECIMAL(25,3)) * 1000 AS BIGINT)"
+            ).alias("v3"),
+            F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+            F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+            .alias("next_us"),
+        )
+        .filter(F.col("next_us").isNotNull())
+        .select("user_id", "v3", (F.col("next_us") - F.col("us")).alias("dur_us"))
+    )
+    agg = iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dur_us").alias("span_us"),
+        F.sum(F.col("v3") * F.col("dur_us")).alias("nsum"),
+    )
+    return agg.select(
+        "user_id", "n_intervals", "span_us",
+        (
+            F.expr("CAST((2 * nsum + span_us) DIV (2 * span_us) AS DOUBLE)")
+            / F.lit(1000.0)
+        ).alias("twap"),
+    ).orderBy("user_id")

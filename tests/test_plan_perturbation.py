@@ -47,6 +47,11 @@ PERTURBED = [
     "p09_quality_percentile_gate",
     "g14_conversion_funnel",
     "g15_cohort_retention",
+    # bucketed range join (broadcast→SMJ on the composite key), TWAP's
+    # integer window+agg chain, PPS sampling's broadcast scalar.
+    "g16_range_click_attribution",
+    "g17_time_weighted_value",
+    "p10_weighted_sample",
 ]
 
 _PERTURB = {
