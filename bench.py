@@ -94,6 +94,9 @@ EXTRA = [
     "g16_range_click_attribution",
     "g17_time_weighted_value",
     "p10_weighted_sample",
+    "g18_session_stats",
+    "d07_mmr_diversified_topk",
+    "m06_payload_dedup",
 ]
 
 

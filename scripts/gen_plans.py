@@ -196,6 +196,17 @@ ANNOTATED = {
         "1-row cross join; the keep decision is a stateless per-row "
         "filter — the corpus is scanned once and never shuffled."
     ),
+    "g18_session_stats": (
+        "Gap sessionization: lag, the session-start flag, and the "
+        "running sum share ONE (user_id; ts) window frame — a single "
+        "Exchange feeds both window functions and the closing "
+        "per-session aggregate."
+    ),
+    "m06_payload_dedup": (
+        "Payload dedup: the scan projects digest+length so payload "
+        "bytes never shuffle; one map-side-combinable groupBy on the "
+        "digest, then the duplicate-set filter."
+    ),
 }
 
 

@@ -36,10 +36,11 @@ from .registry import ORACLES, QUERIES
 #: g14_conversion_funnel, g15_cohort_retention,
 #: p09_quality_percentile_gate, b31_zorder_box_scan, e12_passage_dedup,
 #: d08_label_centroids, g16_range_click_attribution,
-#: g17_time_weighted_value, p10_weighted_sample. Fourteen already-green
+#: g17_time_weighted_value, p10_weighted_sample, g18_session_stats,
+#: d07_mmr_diversified_topk, m06_payload_dedup. Seventeen already-green
 #: r04 entries rotate out to make room (p04, p05, p07, p08, e04, e05,
-#: m03, m04, d02, d03, c08, c01, e01, m01 — every family keeps
-#: stronger in-window siblings).
+#: m03, m04, d02, d03, c08, c01, e01, m01, d01, p03, e02 — every
+#: family keeps stronger in-window siblings).
 #: After this round every registered query has a driver verdict.
 #: Rotated-out queries stay registered after slot 50: each carries a
 #: green CORRECTNESS row and keeps its local strict-oracle test, which
@@ -53,12 +54,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "c04_ngram_jaccard_pairs", "c05_embedding_neardup", "c06_hll_user_sketch",
     "c07_dup_clusters", "c09_semantic_dedup",
     "c10_incremental_neardup", "c11_quantile_sketch",
-    # similarity search (d02/d03 rotated out green; d04 covers IVF,
-    # m02 keeps the Arrow path driver-covered; d08 is new this round)
-    "d01_topk_bruteforce", "d04_ivf_kmeans_ann",
-    "d05_sq8_topk", "d06_pq_adc_topk", "d08_label_centroids",
-    # text analysis (e01/e04/e05 rotated out green; e11/e12 new)
-    "e02_quality_score", "e03_corpus_stats",
+    # similarity search (d01/d02/d03 rotated out green; d04 covers IVF,
+    # m02 keeps the Arrow path driver-covered; d07/d08 new)
+    "d04_ivf_kmeans_ann",
+    "d05_sq8_topk", "d06_pq_adc_topk", "d07_mmr_diversified_topk",
+    "d08_label_centroids",
+    # text analysis (e01/e02/e04/e05 rotated out green; e11/e12 new)
+    "e03_corpus_stats",
     "e06_language_id",
     "e07_repetition_metrics", "e08_tfidf_terms", "e09_chunk_plan",
     "e10_pii_scrub", "e11_dsir_importance", "e12_passage_dedup",
@@ -68,19 +70,20 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "f06_idle_key_eviction", "f07_stream_static_enrichment",
     "f08_stream_left_outer_join", "f09_streaming_pii_scrub",
     "f10_streaming_quantiles", "f11_lambda_unified_totals",
-    # multimodal (m01/m03/m04 rotated out green)
+    # multimodal (m01/m03/m04 rotated out green; m06 new)
     "m02_payload_features_pandas",
-    "m05_crossmodal_join",
-    # composed pipelines (p04/p05/p07/p08 rotated out green; p09/p10 new)
+    "m05_crossmodal_join", "m06_payload_dedup",
+    # composed pipelines (p03/p04/p05/p07/p08 rotated out green;
+    # p09/p10 new)
     "p01_training_mix", "p02_streaming_ingest_funnel",
-    "p03_sequence_packing", "p06_contamination_check",
+    "p06_contamination_check",
     "p09_quality_percentile_gate", "p10_weighted_sample",
     # physical layout (b30 green r04; b31 z-order new this round)
     "b30_bucketed_colocated_join", "b31_zorder_box_scan",
     # cross-series analytics — never-scored + new this round
     "g13_value_correlation", "g14_conversion_funnel",
     "g15_cohort_retention", "g16_range_click_attribution",
-    "g17_time_weighted_value",
+    "g17_time_weighted_value", "g18_session_stats",
 )
 
 

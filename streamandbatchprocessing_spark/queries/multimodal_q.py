@@ -273,3 +273,69 @@ def m05_crossmodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "label")
     )
+
+
+# ---------------------------------------------------------------------------
+# m06 — binary payload dedup / storage-reclaim report
+# ---------------------------------------------------------------------------
+@query(
+    "m06_payload_dedup",
+    oracle="""
+    WITH p AS (SELECT doc_id,
+                      md5(text) AS payload_md5,
+                      octet_length(encode(text)) AS n_bytes
+               FROM documents),
+    g AS (SELECT payload_md5,
+                 CAST(COUNT(*) AS BIGINT) AS n_copies,
+                 MIN(doc_id) AS canonical_id,
+                 MIN(n_bytes) AS n_bytes,
+                 list_sort(list(doc_id)) AS replica_ids
+          FROM p GROUP BY payload_md5)
+    SELECT payload_md5, n_copies, canonical_id,
+           CAST((n_copies - 1) * n_bytes AS BIGINT) AS reclaimable_bytes,
+           replica_ids
+    FROM g
+    WHERE n_copies > 1
+    ORDER BY payload_md5
+    """,
+)
+def m06_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Storage-level exact dedup over OPAQUE binary payloads: group by
+    content hash of the bytes (never by the bytes themselves), emit one
+    row per duplicate-set with the canonical keeper, the replica list,
+    and the bytes a dedup pass would reclaim — the content-addressable-
+    storage report a multimodal lake runs over image/audio blobs, where
+    c01-style full-value grouping is impossible (you cannot shuffle
+    terabytes of payload bytes as a group key).
+
+    Scale design: the payload column never moves — the scan projects
+    the 128-bit digest and byte length, and everything downstream
+    (one map-side-combinable groupBy on the digest, the >1 filter)
+    shuffles hash-sized rows only. collect_list is bounded by the
+    duplicate-set size and made deterministic by sorting; at pathological
+    replica counts the replica list would be capped (slice) the same way
+    c04 caps posting lists."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id",
+        F.md5(F.encode("text", "UTF-8")).alias("payload_md5"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("long")
+        .alias("n_bytes"),
+    )
+    return (
+        p.groupBy("payload_md5")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("doc_id").alias("canonical_id"),
+            F.min("n_bytes").alias("n_bytes"),
+            F.array_sort(F.collect_list("doc_id")).alias("replica_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+        .select(
+            "payload_md5", "n_copies", "canonical_id",
+            ((F.col("n_copies") - 1) * F.col("n_bytes"))
+            .alias("reclaimable_bytes"),
+            "replica_ids",
+        )
+        .orderBy("payload_md5")
+    )

@@ -972,3 +972,92 @@ def g17_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(1000.0)
         ).alias("twap"),
     ).orderBy("user_id")
+
+
+# ---------------------------------------------------------------------------
+# g18 — gap-based batch sessionization (lag → cumulative session ids)
+# ---------------------------------------------------------------------------
+@query(
+    "g18_session_stats",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_id,
+               epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+               LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                   OVER (PARTITION BY user_id
+                         ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev_us
+        FROM events),
+    marked AS (
+        SELECT user_id, event_id, us,
+               CASE WHEN prev_us IS NULL
+                         OR us - prev_us > 1800000000 THEN 1
+                    ELSE 0 END AS is_start
+        FROM seq),
+    sess AS (
+        SELECT user_id, event_id, us,
+               SUM(is_start) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS session_seq
+        FROM marked)
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(us) AS start_us,
+           MAX(us) AS end_us,
+           MAX(us) - MIN(us) AS duration_us
+    FROM sess
+    GROUP BY user_id, session_seq
+    ORDER BY user_id, session_seq
+    """,
+)
+def g18_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based batch sessionization: a new session starts whenever a
+    user is idle for more than 30 minutes; the session id is the
+    running count of session-starts — the lag → flag → cumulative-sum
+    idiom that turns an event log into sessions without any stateful
+    operator. (f03 is the streaming twin via ``session_window``; this
+    is the batch/backfill path every lambda pipeline also needs, and
+    unlike ``session_window`` it yields a stable per-user session
+    ordinal usable as a join key.)
+
+    Scale design: ONE shuffle — lag, the session-start flag, and the
+    running sum all share the same (user_id; ts, event_id) window
+    frame, so Spark plans a single Exchange+Sort and evaluates both
+    window functions in one pass; the closing per-session aggregate is
+    map-side combinable on the already-co-located (user_id,
+    session_seq) key. Timestamps stay in exact integer microseconds —
+    no float time math, bit-identical on any engine/partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").cast("timestamp"), "event_id"
+    )
+    seq = ev.select(
+        "user_id", "event_id", us.alias("us"),
+        F.lag(us).over(w).alias("prev_us"),
+    )
+    marked = seq.withColumn(
+        "is_start",
+        F.when(
+            F.col("prev_us").isNull()
+            | (F.col("us") - F.col("prev_us") > 1_800_000_000),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.withColumn(
+        "session_seq", F.sum("is_start").over(wrun).cast("long")
+    )
+    return (
+        sess.groupBy("user_id", "session_seq")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("us").alias("start_us"),
+            F.max("us").alias("end_us"),
+            (F.max("us") - F.min("us")).alias("duration_us"),
+        )
+        .orderBy("user_id", "session_seq")
+    )

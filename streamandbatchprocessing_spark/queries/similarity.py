@@ -985,3 +985,124 @@ def d08_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# d07 — MMR-diversified top-k re-rank (greedy over a bounded candidate pool)
+# ---------------------------------------------------------------------------
+#: Candidate pool size (C), selections (K), and λ = 0.7 in tenths: the
+#: MMR score is the pure-integer 7·rel6 − 3·maxsim6.
+_MMR_POOL = 30
+_MMR_K = 10
+
+
+@query(
+    "d07_mmr_diversified_topk",
+    oracle="""
+    WITH RECURSIVE
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+    s AS (SELECT e.vec_id AS nid,
+                 CAST(floor(list_cosine_similarity(q.qv, e.v) * 1000000)
+                      AS BIGINT) AS rel6
+          FROM e, q WHERE e.vec_id <> 0),
+    cand AS (SELECT nid, rel6 FROM s ORDER BY rel6 DESC, nid LIMIT 30),
+    pairs AS (SELECT a.nid AS a, b.nid AS b,
+                     CAST(floor(list_cosine_similarity(ea.v, eb.v) * 1000000)
+                          AS BIGINT) AS sim6
+              FROM cand a JOIN cand b ON a.nid <> b.nid
+              JOIN e ea ON ea.vec_id = a.nid
+              JOIN e eb ON eb.vec_id = b.nid),
+    r(step, sel_ids, picked, rel6, score6) AS (
+        SELECT 1, [n.nid], n.nid, n.rel6, 7 * n.rel6
+        FROM (SELECT nid, rel6 FROM cand ORDER BY rel6 DESC, nid LIMIT 1) n
+        UNION ALL
+        SELECT r.step + 1, list_append(r.sel_ids, nx.nid), nx.nid,
+               nx.rel6, nx.score6
+        FROM r, LATERAL (
+            SELECT c.nid, c.rel6,
+                   7 * c.rel6 - 3 * (SELECT MAX(p.sim6) FROM pairs p
+                                     WHERE p.a = c.nid
+                                       AND list_contains(r.sel_ids, p.b))
+                       AS score6
+            FROM cand c WHERE NOT list_contains(r.sel_ids, c.nid)
+            ORDER BY score6 DESC, c.nid LIMIT 1) nx
+        WHERE r.step < 10)
+    SELECT CAST(step AS BIGINT) AS selection_rank,
+           picked AS neighbor_id, rel6, score6 AS mmr_score6
+    FROM r
+    ORDER BY selection_rank
+    """,
+)
+def d07_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-rank: from the query's top-30
+    cosine candidates, greedily pick 10 maximizing
+    ``λ·relevance − (1−λ)·max-similarity-to-already-picked`` (λ=0.7) —
+    the diversity-aware retrieval step RAG and training-data curation
+    put between ANN recall and final selection, so the picked set isn't
+    ten copies of the same near-duplicate passage.
+
+    Determinism design: relevance and pairwise similarity are computed
+    with the SAME codegen'd cosine fold the d-family oracles already
+    bit-match, then floor-quantized to integer micro-units; the greedy
+    objective is the pure-integer ``7·rel6 − 3·maxsim6`` with id
+    tiebreaks, so the selection sequence is engine-exact (the oracle
+    replays it as a recursive CTE with a LATERAL argmax).
+
+    Scale design: the corpus-sized work is exactly one broadcast-query
+    scoring pass + top-C (TakeOrderedAndProject) — the same shape as
+    d01 — and the C×C pair scoring is a broadcast self-join of a
+    30-row panel. The greedy itself is inherently sequential, O(C·K)
+    with C=30: it runs on the bounded panel at the driver (the d04
+    centroid-collect pattern), NOT over the corpus; at 100 TB only C
+    grows (tunable), never the driver's share of the data."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    qv = emb.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    rel6 = F.floor(
+        cosine(F.col("qv"), F.col("v")) * F.lit(1000000.0)
+    ).cast("long")
+    cand = (
+        emb.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(qv))
+        .select(F.col("vec_id").alias("nid"), "v", rel6.alias("rel6"))
+        .orderBy(F.desc("rel6"), F.asc("nid"))
+        .limit(_MMR_POOL)
+    )
+    cand = persist_tracked(cand)
+    sim6 = F.floor(
+        cosine(F.col("av"), F.col("bv")) * F.lit(1000000.0)
+    ).cast("long")
+    a = cand.select(F.col("nid").alias("a"), F.col("v").alias("av"))
+    b = cand.select(F.col("nid").alias("b"), F.col("v").alias("bv"))
+    pair_rows = (
+        a.join(F.broadcast(b), F.col("a") != F.col("b"))
+        .select("a", "b", sim6.alias("sim6"))
+        .collect()
+    )
+    cand_rows = cand.select("nid", "rel6").collect()
+    sims = {(r["a"], r["b"]): r["sim6"] for r in pair_rows}
+    rels = {r["nid"]: r["rel6"] for r in cand_rows}
+
+    picked: list[tuple[int, int, int, int]] = []
+    selected: list[int] = []
+    for step in range(1, _MMR_K + 1):
+        best = None
+        for nid, r6 in rels.items():
+            if nid in selected:
+                continue
+            penalty = max(sims[(nid, s)] for s in selected) if selected else 0
+            score = 7 * r6 - 3 * penalty if selected else 7 * r6
+            key = (-score, nid)
+            if best is None or key < best[0]:
+                best = (key, nid, r6, score)
+        _, nid, r6, score = best
+        selected.append(nid)
+        picked.append((step, nid, r6, score))
+
+    return spark.createDataFrame(
+        picked,
+        schema="selection_rank long, neighbor_id long, rel6 long, "
+               "mmr_score6 long",
+    ).orderBy("selection_rank")

@@ -52,6 +52,11 @@ PERTURBED = [
     "g16_range_click_attribution",
     "g17_time_weighted_value",
     "p10_weighted_sample",
+    # gap-sessionization's shared window frame, MMR's integer greedy
+    # over the collected panel, payload dedup's sorted replica lists.
+    "g18_session_stats",
+    "d07_mmr_diversified_topk",
+    "m06_payload_dedup",
 ]
 
 _PERTURB = {
