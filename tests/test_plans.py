@@ -383,3 +383,51 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_g16_range_join_is_hash_equi_join(spark, sf_dir):
+    """The 24 h interval predicate must NOT plan as a nested-loop join:
+    the bucketed rewrite turns it into a hash-partitionable equi-join
+    on (user_id, bucket), with the true range check as a post-join
+    filter. A BroadcastNestedLoopJoin here would be the O(n·m)
+    per-user cross product the rewrite exists to avoid."""
+    plan = executed_plan(QUERIES["g16_range_click_attribution"](spark, sf_dir))
+    assert "NestedLoop" not in plan, plan
+    assert "Join" in plan  # the equi-join is really there
+
+
+def test_g17_twap_single_user_shuffle(spark, sf_dir):
+    """TWAP's window and its closing groupBy share the user_id key: the
+    plan must carry exactly one hash exchange on user_id (plus the
+    presentation sort's range exchange) — no second shuffle for the
+    aggregate."""
+    plan = executed_plan(QUERIES["g17_time_weighted_value"](spark, sf_dir))
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+
+
+def test_g18_windows_share_one_exchange(spark, sf_dir):
+    """lag, the session-start flag, and the running session counter all
+    use the same (user_id; ts, event_id) frame — Spark must plan ONE
+    hash exchange feeding both Window operators and the per-session
+    aggregate."""
+    plan = executed_plan(QUERIES["g18_session_stats"](spark, sf_dir))
+    hash_exchanges = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert plan.count("Window") >= 2  # both window ops present
+
+
+def test_p10_sample_never_shuffles_corpus(spark, sf_dir):
+    """The PPS sample is scan → broadcast-scalar join → filter: the
+    only exchanges allowed are the 1-row scalar aggregate's and the
+    presentation sort's — no hash exchange of the documents table."""
+    plan = executed_plan(QUERIES["p10_weighted_sample"](spark, sf_dir))
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            raise AssertionError(f"corpus-side hash exchange: {ln}")
