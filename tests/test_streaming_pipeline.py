@@ -366,3 +366,97 @@ def test_streaming_state_merges_across_micro_batches(spark, sf_dir, tmp_path):
     assert [tuple(r) for r in got_q.collect()] == [
         tuple(r) for r in want_q.collect()
     ]
+
+
+def test_checkpoint_recovery_after_midstream_crash(spark, sf_dir, tmp_path):
+    """Exactly-once-through-restart: crash a streaming aggregation
+    mid-drain (fault injected at micro-batch 2) and restart it from the
+    SAME checkpoint. The restarted query must resume at the failed
+    batch — not replay from zero — and the recovered state must produce
+    the same answer as an uninterrupted batch aggregation. This is the
+    property that makes a 1000-executor ingest restartable after any
+    executor/driver loss with no data loss and no double counting."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # four single-file micro-batches, mtime-ordered
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    base = _time.time() - 100
+    for i in range(4):
+        pdir = str(tmp_path / f"part{i}")
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.parquet(pdir)
+        pfile = _glob.glob(f"{pdir}/part-*.parquet")[0]
+        dst = f"{src}/{i:02d}.parquet"
+        _os.rename(pfile, dst)
+        _os.utime(dst, (base + 10 * i, base + 10 * i))
+
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    seen: list[int] = []
+
+    def make_sink(fail_at: int | None):
+        def sink(batch_df, batch_id: int) -> None:
+            if fail_at is not None and batch_id == fail_at:
+                raise RuntimeError("injected crash")
+            seen.append(batch_id)
+            # overwrite = idempotent under foreachBatch's at-least-once
+            batch_df.write.mode("overwrite").parquet(out)
+        return sink
+
+    def run(fail_at: int | None) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        agg = stream.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+            .alias("total_value"),
+        )
+        q = (
+            agg.writeStream.outputMode("complete")
+            .foreachBatch(make_sink(fail_at))
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .queryName(f"ckpt_recovery_{fail_at}")
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except Exception:
+            pass  # run 1 dies on the injected fault — expected
+        finally:
+            if q.isActive:
+                q.stop()
+
+    run(fail_at=2)
+    committed_before_crash = list(seen)
+    assert committed_before_crash == [0, 1], committed_before_crash
+    run(fail_at=None)
+    resumed = seen[len(committed_before_crash):]
+    # the restart begins at the failed batch — earlier batches' state
+    # came back from the checkpoint, they were NOT reprocessed
+    assert resumed and min(resumed) >= 2, resumed
+
+    got = sorted(
+        (r["event_type"], r["n_events"], r["total_value"])
+        for r in spark.read.parquet(out).collect()
+    )
+    want = sorted(
+        (r["event_type"], r["n_events"], r["total_value"])
+        for r in ev.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+            .alias("total_value"),
+        ).collect()
+    )
+    assert got == want
