@@ -25,7 +25,11 @@ sys.path.insert(0, os.path.join(REPO, "tests"))
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    n_queries = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+    # second arg: how many registry entries to run — a number, or
+    # "all" for every registered query (never goes stale as the
+    # registry grows; a hardcoded count silently skipped the tail once)
+    n_arg = sys.argv[2] if len(sys.argv) > 2 else "50"
+    n_queries = sys.maxsize if n_arg == "all" else int(n_arg)
 
     from pyspark.sql import SparkSession
 

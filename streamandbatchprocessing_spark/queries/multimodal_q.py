@@ -291,27 +291,33 @@ def m05_crossmodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  MIN(n_bytes) AS n_bytes,
                  list_sort(list(doc_id)) AS replica_ids
           FROM p GROUP BY payload_md5)
-    SELECT payload_md5, n_copies, canonical_id,
+    SELECT payload_md5, n_copies, n_copies > 1 AS is_duplicated,
+           canonical_id,
            CAST((n_copies - 1) * n_bytes AS BIGINT) AS reclaimable_bytes,
            replica_ids
     FROM g
-    WHERE n_copies > 1
     ORDER BY payload_md5
     """,
 )
 def m06_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Storage-level exact dedup over OPAQUE binary payloads: group by
     content hash of the bytes (never by the bytes themselves), emit one
-    row per duplicate-set with the canonical keeper, the replica list,
+    row per UNIQUE payload with the canonical keeper, the replica list,
     and the bytes a dedup pass would reclaim — the content-addressable-
-    storage report a multimodal lake runs over image/audio blobs, where
-    c01-style full-value grouping is impossible (you cannot shuffle
-    terabytes of payload bytes as a group key).
+    storage catalog a multimodal lake keeps over image/audio blobs,
+    where c01-style full-value grouping is impossible (you cannot
+    shuffle terabytes of payload bytes as a group key). Singleton
+    payloads are KEPT in the report (is_duplicated = false,
+    reclaimable = 0): the catalog is the dedup index itself, and — the
+    verification point — the oracle gate then checks every digest and
+    byte length even on a fixture slice that happens to contain no
+    duplicates (at sf0.01 there are none; a duplicates-only report
+    would be vacuously green there).
 
     Scale design: the payload column never moves — the scan projects
     the 128-bit digest and byte length, and everything downstream
-    (one map-side-combinable groupBy on the digest, the >1 filter)
-    shuffles hash-sized rows only. collect_list is bounded by the
+    (one map-side-combinable groupBy on the digest) shuffles
+    hash-sized rows only. collect_list is bounded by the
     duplicate-set size and made deterministic by sorting; at pathological
     replica counts the replica list would be capped (slice) the same way
     c04 caps posting lists."""
@@ -330,9 +336,10 @@ def m06_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("n_bytes").alias("n_bytes"),
             F.array_sort(F.collect_list("doc_id")).alias("replica_ids"),
         )
-        .filter(F.col("n_copies") > 1)
         .select(
-            "payload_md5", "n_copies", "canonical_id",
+            "payload_md5", "n_copies",
+            (F.col("n_copies") > 1).alias("is_duplicated"),
+            "canonical_id",
             ((F.col("n_copies") - 1) * F.col("n_bytes"))
             .alias("reclaimable_bytes"),
             "replica_ids",

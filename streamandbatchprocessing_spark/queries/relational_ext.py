@@ -913,8 +913,14 @@ def g16_range_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SUM(v3 * dur_us) AS nsum
             FROM iv GROUP BY user_id)
     SELECT user_id, n_intervals, CAST(span_us AS BIGINT) AS span_us,
-           CAST((2 * CAST(nsum AS BIGINT) + CAST(span_us AS BIGINT))
-                // (2 * CAST(span_us AS BIGINT)) AS DOUBLE) / 1000.0 AS twap
+           CAST(CASE WHEN nsum < 0
+                     THEN -((2 * CAST(-nsum AS BIGINT)
+                             + CAST(span_us AS BIGINT))
+                            // (2 * CAST(span_us AS BIGINT)))
+                     ELSE (2 * CAST(nsum AS BIGINT)
+                           + CAST(span_us AS BIGINT))
+                          // (2 * CAST(span_us AS BIGINT))
+                END AS DOUBLE) / 1000.0 AS twap
     FROM agg
     ORDER BY user_id
     """,
@@ -933,8 +939,9 @@ def g17_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     with 6× headroom, asserted conservatively rather than hoped (a
     wider domain would widen v3·dur to DECIMAL and re-derive the
     bound). The final mean is rounded half-away-from-zero entirely in
-    integer division — (2N + D) div 2D on non-negative operands — the
-    same engine-portable discipline as g13's micro-unit means; the only
+    integer division — (2N + D) div 2D after the same sign split g13's
+    micro-mean uses, so a negative value domain rounds correctly too —
+    the engine-portable discipline of g13's micro-unit means; the only
     double in the whole path is the final presentation divide of a
     small exact integer by 1000 (IEEE-exact, identical on both
     engines), so any partitioning on any engine produces identical
@@ -968,7 +975,12 @@ def g17_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "user_id", "n_intervals", "span_us",
         (
-            F.expr("CAST((2 * nsum + span_us) DIV (2 * span_us) AS DOUBLE)")
+            F.expr(
+                "CAST(CASE WHEN nsum < 0"
+                " THEN -((2 * -nsum + span_us) DIV (2 * span_us))"
+                " ELSE (2 * nsum + span_us) DIV (2 * span_us)"
+                " END AS DOUBLE)"
+            )
             / F.lit(1000.0)
         ).alias("twap"),
     ).orderBy("user_id")

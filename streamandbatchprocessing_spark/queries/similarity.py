@@ -937,14 +937,20 @@ def d06_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH x AS (SELECT label, i - 1 AS pos,
                       CAST(embedding AS DOUBLE[])[i] AS v
                FROM embeddings,
-                    UNNEST(generate_series(1, len(embedding))) AS u(i))
+                    UNNEST(generate_series(1, len(embedding))) AS u(i)),
+    g AS (SELECT label, pos,
+                 CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 CAST(SUM(CAST(v AS DECIMAL(25,6))) * 1000000 AS BIGINT)
+                     AS s6
+          FROM x GROUP BY label, pos)
     SELECT label,
            CAST(pos AS INTEGER) AS pos,
-           CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           ROUND(CAST(SUM(CAST(v AS DECIMAL(25,6))) AS DOUBLE) / COUNT(v),
-                 6) AS centroid_val
-    FROM x
-    GROUP BY label, pos
+           n_vecs,
+           CAST(CASE WHEN s6 < 0
+                     THEN -((2 * (-s6) + n_vecs) // (2 * n_vecs))
+                     ELSE (2 * s6 + n_vecs) // (2 * n_vecs)
+                END AS DOUBLE) / 1000000.0 AS centroid_val
+    FROM g
     ORDER BY label, pos
     """,
 )
@@ -959,9 +965,10 @@ def d08_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles on (label, pos) — |labels|·dim cells, each a
     map-side-combinable decimal sum, so parallelism scales with
     labels×dimensions rather than being bottlenecked per label. The
-    centroid values quantize via the davg discipline (exact decimal sum,
-    one double division, round 6) so the cell values are
-    partition-order-independent and engine-exact."""
+    centroid values quantize via g13's integer micro-unit discipline
+    (exact decimal sum → half-away-from-zero integer rounding — NOT
+    round(double, 6), which engines disagree on at .5 boundaries) so
+    the cell values are partition-order-independent and engine-exact."""
     from ..functions.vectors import as_double
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -973,15 +980,20 @@ def d08_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         x.groupBy("label", "pos")
         .agg(
             F.count(F.lit(1)).alias("n_vecs"),
-            F.round(
-                F.sum(F.col("v").cast("decimal(25,6)")).cast("double")
-                / F.count("v"),
-                6,
-            ).alias("centroid_val"),
+            F.sum(F.col("v").cast("decimal(25,6)")).alias("dsum_raw"),
         )
+        .withColumn("s6", F.expr("CAST(dsum_raw * 1000000 AS BIGINT)"))
         .select(
             "label", F.col("pos").cast("int").alias("pos"), "n_vecs",
-            "centroid_val",
+            # round(double, 6) is NOT engine-portable at .5 boundaries
+            # (found at sf0.1: 0.003213 vs 0.003214) — quantize in
+            # g13's integer micro-unit arithmetic instead.
+            F.expr(
+                "CAST(CASE WHEN s6 < 0"
+                " THEN -((2 * (-s6) + n_vecs) DIV (2 * n_vecs))"
+                " ELSE (2 * s6 + n_vecs) DIV (2 * n_vecs)"
+                " END AS DOUBLE) / 1000000.0"
+            ).alias("centroid_val"),
         )
         .orderBy("label", "pos")
     )
@@ -1097,6 +1109,8 @@ def d07_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             key = (-score, nid)
             if best is None or key < best[0]:
                 best = (key, nid, r6, score)
+        if best is None:  # pool exhausted (< _MMR_K candidates): stop
+            break  # like the oracle CTE, which just stops producing rows
         _, nid, r6, score = best
         selected.append(nid)
         picked.append((step, nid, r6, score))

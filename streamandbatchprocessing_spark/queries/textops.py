@@ -21,6 +21,10 @@ from ..sources.batch import load_table
 from .registry import query
 
 _STOPWORDS = ("the", "a")
+#: SQL IN-list of the stopwords — interpolated into every oracle that
+#: mirrors the Spark-side _STOPWORDS filter, so the two can never
+#: desynchronize (the list exists exactly once).
+_STOP_IN = ", ".join(f"'{w}'" for w in _STOPWORDS)
 
 
 # ---------------------------------------------------------------------------
@@ -65,13 +69,12 @@ def quality_scored_docs(docs: DataFrame, *extra_cols: str) -> DataFrame:
     report, p09's percentile gate). Returns doc_id [+ ``extra_cols``
     passed through], n_chars, n_tokens, stop_hits, avg_token_len."""
     toks = F.split(F.col("text"), " ")
-    in_list = ", ".join(f"'{w}'" for w in _STOPWORDS)
     return docs.select(
         "doc_id",
         *extra_cols,
         F.length("text").cast("long").alias("n_chars"),
         F.size(toks).cast("long").alias("n_tokens"),
-        F.expr(f"CAST(size(filter(split(text, ' '), t -> t IN ({in_list}))) AS LONG)")
+        F.expr(f"CAST(size(filter(split(text, ' '), t -> t IN ({_STOP_IN}))) AS LONG)")
         .alias("stop_hits"),
     ).withColumn(
         "avg_token_len",
@@ -93,13 +96,13 @@ def quality_score_col() -> F.Column:
 
 #: DuckDB CTE computing (doc_id, source, quality_score) — the oracle
 #: twin of quality_scored_docs + quality_score_col, shared by e02/p09.
-QUALITY_SCORE_CTE = """
+QUALITY_SCORE_CTE = f"""
     qt AS (SELECT doc_id, source, string_split(text, ' ') AS toks,
                   CAST(length(text) AS BIGINT) AS n_chars
            FROM documents),
     qm AS (SELECT doc_id, source, n_chars,
                   CAST(len(toks) AS BIGINT) AS n_tokens,
-                  CAST(len(list_filter(toks, t -> t IN ('the', 'a')))
+                  CAST(len(list_filter(toks, t -> t IN ({_STOP_IN})))
                        AS BIGINT) AS stop_hits,
                   ROUND((n_chars - len(toks) + 1) * 1.0 / len(toks), 6)
                       AS avg_token_len
@@ -128,7 +131,7 @@ QUALITY_SCORE_CTE = """
                FROM documents),
     m AS (SELECT doc_id, n_chars,
                  CAST(len(toks) AS BIGINT) AS n_tokens,
-                 CAST(len(list_filter(toks, t -> t IN ('the', 'a'))) AS BIGINT)
+                 CAST(len(list_filter(toks, t -> t IN ({_STOP_IN}))) AS BIGINT)
                      AS stop_hits,
                  ROUND((n_chars - len(toks) + 1) * 1.0 / len(toks), 6)
                      AS avg_token_len

@@ -42,6 +42,14 @@ def build_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # Parity: the reference sizes driver memory explicitly
+        # (SparkManager.scala). The 1 GB local default OOMs the strict
+        # oracle harness's full-result collect on the multi-million-row
+        # pair queries at sf0.1; production result sets go through
+        # sinks, never collect, so this only serves local verification.
+        # Ignored (with a Spark warning) if the JVM already exists.
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")

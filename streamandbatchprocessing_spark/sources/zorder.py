@@ -78,6 +78,13 @@ def write_zordered(
     lo_a, hi_a, lo_b, hi_b = df.agg(
         F.min(dim_a), F.max(dim_a), F.min(dim_b), F.max(dim_b)
     ).first()
+    if lo_a is None or lo_b is None:
+        # Empty input (or all-null dimensions): there is nothing to
+        # cluster — write the empty relation as-is so callers still get
+        # a readable table with the right schema instead of a TypeError
+        # from int(None) below.
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
     z = morton2(
         quantize(F.col(dim_a), int(lo_a), int(hi_a), bits),
         quantize(F.col(dim_b), int(lo_b), int(hi_b), bits),

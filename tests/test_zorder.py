@@ -110,3 +110,16 @@ def test_zorder_box_scan_skips_files(spark, sf_dir, tmp_path):
         if not (amax < a_lo or amin > a_hi or bmax < b_lo or bmin > b_hi)
     ]
     assert len(hit) < len(boxes), (len(hit), len(boxes))
+
+
+def test_write_zordered_empty_input(spark, sf_dir, tmp_path):
+    """An empty slice through the layout writer must yield a readable
+    empty table with the input schema — not a TypeError from the
+    min/max collect returning NULLs."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    ).filter(F.lit(False))
+    out = write_zordered(li, "l_partkey", "l_orderkey",
+                         str(tmp_path / "zempty"))
+    assert out.count() == 0
+    assert out.columns == ["l_orderkey", "l_partkey", "l_quantity"]
