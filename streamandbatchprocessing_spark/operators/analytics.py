@@ -24,6 +24,8 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ..functions.aggregates import pround
+
 AnalysisFn = Callable[[DataFrame], DataFrame]
 
 def _completed():
@@ -82,7 +84,7 @@ def payment_analysis(df: DataFrame) -> DataFrame:
         agg.crossJoin(F.broadcast(total))
         .withColumn(
             "revenue_share_pct",
-            F.round(F.col("total_revenue") / F.col("_grand_total") * 100, 2),
+            pround(F.col("total_revenue") / F.col("_grand_total") * 100, 2),
         )
         .drop("_grand_total")
         .orderBy(F.desc("transaction_count"))
@@ -173,7 +175,7 @@ def channel_performance(df: DataFrame) -> DataFrame:
         )
         .withColumn(
             "fraud_rate_pct",
-            F.round(F.col("fraud_count") / F.col("transaction_count") * 100, 4),
+            pround(F.col("fraud_count") / F.col("transaction_count") * 100, 4),
         )
         .orderBy(F.desc("total_revenue"))
     )
@@ -233,7 +235,7 @@ def inventory_velocity(df: DataFrame) -> DataFrame:
         )
         .withColumn(
             "daily_velocity",
-            F.round(F.col("total_units_sold") / F.col("days_in_range"), 2),
+            pround(F.col("total_units_sold") / F.col("days_in_range"), 2),
         )
         .orderBy(F.desc("daily_velocity"))
     )

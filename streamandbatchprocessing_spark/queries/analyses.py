@@ -19,7 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.aggregates import davg, dsum
+from ..functions.aggregates import davg, dsum, pround
 from ..sources.batch import load_table
 from .registry import query
 
@@ -119,7 +119,7 @@ def a02_type_category_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, n_events,
            CAST(t AS DOUBLE) AS total_value,
            n_users,
-           ROUND(CAST(t AS DOUBLE) / CAST(SUM(t) OVER () AS DOUBLE) * 100, 2)
+           floor((CAST(t AS DOUBLE) / CAST(SUM(t) OVER () AS DOUBLE) * 100) * 100.0 + 0.5) / 100.0
                AS value_share_pct
     FROM agg
     ORDER BY n_events DESC, event_type
@@ -145,7 +145,7 @@ def a03_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.col("_t").cast("double").alias("total_value"),
             "n_users",
-            F.round(F.col("_t").cast("double") / F.col("_g").cast("double") * 100, 2)
+            pround(F.col("_t").cast("double") / F.col("_g").cast("double") * 100, 2)
             .alias("value_share_pct"),
         )
         .orderBy(F.desc("n_events"), "event_type")
@@ -290,7 +290,7 @@ def a06_hourly_trends(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_DAVG.format(x='value')} AS avg_value,
            COUNT(DISTINCT user_id) AS n_users,
            CAST(SUM(CASE WHEN value > 300 THEN 1 ELSE 0 END) AS BIGINT) AS n_big,
-           ROUND(SUM(CASE WHEN value > 300 THEN 1 ELSE 0 END) * 100.0 / COUNT(*), 4)
+           floor((SUM(CASE WHEN value > 300 THEN 1 ELSE 0 END) * 100.0 / COUNT(*)) * 10000.0 + 0.5) / 10000.0
                AS big_value_pct
     FROM events
     GROUP BY event_type
@@ -313,7 +313,7 @@ def a07_type_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "big_value_pct",
-            F.round(F.col("n_big") * 100.0 / F.col("n_events"), 4),
+            pround(F.col("n_big") * 100.0 / F.col("n_events"), 4),
         )
         .orderBy(F.desc("total_value"), F.asc("event_type"))
     )
@@ -337,7 +337,7 @@ def a07_type_performance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, n_events, total_value, first_date, last_date,
            CAST(datediff('day', first_date, last_date) + 1 AS BIGINT) AS days_active,
-           ROUND(n_events / (datediff('day', first_date, last_date) + 1.0), 2)
+           floor((n_events / (datediff('day', first_date, last_date) + 1.0)) * 100.0 + 0.5) / 100.0
                AS daily_velocity
     FROM agg
     ORDER BY daily_velocity DESC, user_id
@@ -360,7 +360,7 @@ def a08_user_velocity(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = F.datediff(F.col("last_date"), F.col("first_date")) + 1
     return (
         agg.withColumn("days_active", days.cast("long"))
-        .withColumn("daily_velocity", F.round(F.col("n_events") / days.cast("double"), 2))
+        .withColumn("daily_velocity", pround(F.col("n_events") / days.cast("double"), 2))
         .orderBy(F.desc("daily_velocity"), F.asc("user_id"))
     )
 

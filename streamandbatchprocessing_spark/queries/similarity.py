@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine, sign_bucket, sign_bucket_sql
+from ..functions.aggregates import pround
 from ..sources.batch import load_table
 from .registry import persist_tracked, query
 
@@ -145,7 +146,7 @@ def d02_ivf_bucket_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 20),
     s AS (SELECT q.qid, e.vec_id AS nid,
-                 ROUND(list_cosine_similarity(q.qv, e.v), 6) AS cos_sim
+                 floor((list_cosine_similarity(q.qv, e.v)) * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
           FROM q JOIN e ON e.vec_id <> q.qid),
     r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
                                        ORDER BY cos_sim DESC, nid) AS rank
@@ -263,7 +264,7 @@ def _kmeans_parts() -> tuple[list[str], str]:
         f"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
     ei AS (SELECT vec_id, v,
-                  list_transform(v, x -> CAST(round(x * {_IVF_SCALE}) AS BIGINT))
+                  list_transform(v, x -> CAST(floor(x * {_IVF_SCALE} + 0.5) AS BIGINT))
                       AS iv
            FROM e),
     c0 AS (SELECT vec_id AS cid, iv AS cv FROM ei WHERE vec_id < {_IVF_K})"""
@@ -363,7 +364,7 @@ def _quantized_vectors(
             "vec_id",
             "v",
             F.transform(
-                F.col("v"), lambda x: F.round(x * 1e6).cast("long")
+                F.col("v"), lambda x: pround(x * 1e6, 0).cast("long")
             ).alias("iv"),
         )
     )
@@ -671,8 +672,8 @@ def _sq8_oracle() -> str:
     z AS (SELECT vec_id,
                  list_transform(range(1, len(v) + 1),
                      i -> CASE WHEN mxs[i] = mns[i] THEN 0
-                               ELSE CAST(round((v[i] - mns[i]) * {_SQ_LEVELS}.0
-                                               / (mxs[i] - mns[i])) AS BIGINT)
+                               ELSE CAST(floor((v[i] - mns[i]) * {_SQ_LEVELS}.0
+                                               / (mxs[i] - mns[i]) + 0.5) AS BIGINT)
                           END) AS qv
           FROM e CROSS JOIN ml),
     q AS (SELECT vec_id AS qid, qv AS qqv FROM z WHERE vec_id < {_SQ_NQ}),
@@ -724,10 +725,11 @@ def d05_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[
             F.lit(0).cast("long")
             if mx == mn
-            else F.round(
+            else pround(
                 (F.element_at("v", pos + 1) - F.lit(mn))
                 * float(_SQ_LEVELS)
-                / F.lit(mx - mn)
+                / F.lit(mx - mn),
+                0,
             ).cast("long")
             for pos, mn, mx in stats
         ]
@@ -788,7 +790,7 @@ def _pq_oracle() -> str:
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
     ei AS (SELECT vec_id,
-                  list_transform(v, x -> CAST(round(x * {_IVF_SCALE}) AS BIGINT))
+                  list_transform(v, x -> CAST(floor(x * {_IVF_SCALE} + 0.5) AS BIGINT))
                       AS iv
            FROM e),
     sub AS (SELECT vec_id, r.m,

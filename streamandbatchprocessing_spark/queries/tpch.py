@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.aggregates import davg, dsum
+from ..functions.aggregates import davg, dsum, pround
 from ..sources.batch import load_table
 from .registry import query
 
@@ -482,7 +482,7 @@ def b12_salted_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT o_orderpriority, n_orders,
            CAST(t AS DOUBLE) AS total_price,
-           ROUND(CAST(t AS DOUBLE) / CAST(SUM(t) OVER () AS DOUBLE) * 100, 2)
+           floor((CAST(t AS DOUBLE) / CAST(SUM(t) OVER () AS DOUBLE) * 100) * 100.0 + 0.5) / 100.0
                AS revenue_share_pct
     FROM agg
     ORDER BY o_orderpriority
@@ -506,7 +506,7 @@ def b13_priority_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderpriority",
             "n_orders",
             F.col("_t").cast("double").alias("total_price"),
-            F.round(
+            pround(
                 F.col("_t").cast("double") / F.col("_g").cast("double") * 100, 2
             ).alias("revenue_share_pct"),
         )

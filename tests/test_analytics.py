@@ -100,7 +100,7 @@ def test_payment_analysis(tx_df, oracle_con):
                  COUNT(DISTINCT customer_id) unique_customers
           FROM tx WHERE transaction_status='completed'
           GROUP BY payment_method, card_network)
-        SELECT *, ROUND(total_revenue / SUM(total_revenue) OVER () * 100, 2)
+        SELECT *, floor((total_revenue / SUM(total_revenue) OVER () * 100) * 100.0 + 0.5) / 100.0
                AS revenue_share_pct FROM agg""")
     _assert_close("payment_analysis", got, exp, ["payment_method", "card_network"])
 
@@ -180,7 +180,7 @@ def test_channel_performance(tx_df, oracle_con):
                  SUM(CASE WHEN is_fraudulent THEN 1 ELSE 0 END) fraud_count,
                  AVG(fraud_score) avg_fraud_score
           FROM tx WHERE transaction_status='completed' GROUP BY channel)
-        SELECT *, ROUND(fraud_count * 1.0 / transaction_count * 100, 4)
+        SELECT *, floor((fraud_count * 1.0 / transaction_count * 100) * 10000.0 + 0.5) / 10000.0
                AS fraud_rate_pct FROM agg""")
     _assert_close("channel_performance", got, exp, ["channel"])
 
@@ -204,9 +204,9 @@ def test_inventory_velocity(tx_df, oracle_con):
         SELECT *,
                CAST(datediff('day', CAST(first_sale AS DATE),
                              CAST(last_sale AS DATE)) + 1 AS INT) days_in_range,
-               ROUND(total_units_sold * 1.0
+               floor((total_units_sold * 1.0
                      / (datediff('day', CAST(first_sale AS DATE),
-                                 CAST(last_sale AS DATE)) + 1), 2) daily_velocity
+                                 CAST(last_sale AS DATE)) + 1)) * 100.0 + 0.5) / 100.0 daily_velocity
         FROM agg""")
     _assert_close(
         "inventory_velocity",

@@ -110,3 +110,60 @@ def test_morton_spark_expression_matches_model(spark):
         ).collect()
     ]
     assert got == [_morton_model(x, y) for x, y in cases]
+
+
+# ---------------------------------------------------------------------------
+# pround: engine-portable floor-based rounding (the round(double, s)
+# replacement after d08's live .5-tie divergence)
+# ---------------------------------------------------------------------------
+def _pround_model(x: float, scale: int) -> float:
+    """Pure-float model of floor(x·10^s + 0.5)/10^s — every step an
+    exactly-specified IEEE op, so this IS what both engines compute."""
+    import math
+
+    k = float(10 ** scale)
+    return math.floor(x * k + 0.5) / k
+
+
+def _adversarial_doubles() -> list[float]:
+    """Inputs engineered to sit on or near rounding ties: exact
+    half-micro ties (2k+1)/(2e6), small-denominator quotients (the
+    fixture shape that produced d08's divergence), and scale edges."""
+    vals = [(2 * k + 1) / 2e6 for k in range(0, 2000, 97)]
+    vals += [a / b for b in (3, 7, 60, 64, 128, 192, 19200)
+             for a in range(1, 40)]
+    vals += [617 / 192000, 0.0032135, -0.0032135, 0.0, 1.0, -1.0]
+    vals += [v * s for v in (0.1234565, 123456.5 / 1e6) for s in (1, -1)]
+    return vals
+
+
+def test_pround_spark_matches_duckdb_on_tie_adversaries(spark):
+    """The portability claim itself, engine-vs-engine: Spark's pround
+    column expression and DuckDB's floor-formula twin must agree
+    EXACTLY on every tie-adversarial input (where round(double, 6)
+    is allowed to — and does — disagree)."""
+    import duckdb
+
+    from streamandbatchprocessing_spark.functions.aggregates import (
+        pround,
+        pround_sql,
+    )
+
+    vals = _adversarial_doubles()
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(vals)],
+                               schema="i long, x double")
+    got = {
+        r["i"]: r["y"]
+        for r in df.select("i", pround(F.col("x"), 6, alias="y")).collect()
+    }
+    con = duckdb.connect()
+    expr = pround_sql("x", 6)
+    want = {
+        i: con.execute(f"SELECT {expr} AS y FROM (SELECT ? AS x)", [v])
+        .fetchone()[0]
+        for i, v in enumerate(vals)
+    }
+    assert got == want
+    # model agreement too (documents WHAT the shared value is)
+    for i, v in enumerate(vals):
+        assert got[i] == _pround_model(v, 6)
