@@ -45,45 +45,58 @@ from .registry import ORACLES, QUERIES
 #: Rotated-out queries stay registered after slot 50: each carries a
 #: green CORRECTNESS row and keeps its local strict-oracle test, which
 #: is bit-exact with the driver's compare.
+#:
+#: Mid-round-5 update: seven operators added this round (c12 CMS heavy
+#: hitters, e13 bigram-LM scoring, f12 full-outer stream-stream join,
+#: p11 column profiling, b32 partition-pruned layout, g19 gap-fill
+#: interpolation, g20 SCD2 history) swap in for seven r04-greened
+#: entries (c03, c04, c05, d05, d06, e06, e07 — each family keeps
+#: in-window siblings and every rotated-out query keeps its local
+#: strict-oracle test).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
-    # dedup family (c01 rotated out green; c02+c07 keep exact-dedup
-    # canonicalization driver-covered)
-    "c02_minhash_lsh_pairs", "c03_simhash_neighbors",
-    "c04_ngram_jaccard_pairs", "c05_embedding_neardup", "c06_hll_user_sketch",
+    # dedup + sketches (c01/c03/c04/c05 rotated out green; c02+c07 keep
+    # MinHash-LSH and canonicalization driver-covered; c12 new)
+    "c02_minhash_lsh_pairs", "c06_hll_user_sketch",
     "c07_dup_clusters", "c09_semantic_dedup",
     "c10_incremental_neardup", "c11_quantile_sketch",
-    # similarity search (d01/d02/d03 rotated out green; d04 covers IVF,
-    # m02 keeps the Arrow path driver-covered; d07/d08 new)
+    "c12_heavy_hitters_cms",
+    # similarity search (d01/d02/d03/d05/d06 rotated out green; d04
+    # covers IVF, m02 keeps the Arrow path driver-covered; d07/d08 new)
     "d04_ivf_kmeans_ann",
-    "d05_sq8_topk", "d06_pq_adc_topk", "d07_mmr_diversified_topk",
+    "d07_mmr_diversified_topk",
     "d08_label_centroids",
-    # text analysis (e01/e02/e04/e05 rotated out green; e11/e12 new)
+    # text analysis (e01/e02/e04/e05/e06/e07 rotated out green;
+    # e11/e12/e13 new)
     "e03_corpus_stats",
-    "e06_language_id",
-    "e07_repetition_metrics", "e08_tfidf_terms", "e09_chunk_plan",
+    "e08_tfidf_terms", "e09_chunk_plan",
     "e10_pii_scrub", "e11_dsir_importance", "e12_passage_dedup",
-    # streaming extensions (f10/f11 are new this round)
+    "e13_bigram_lm_scores",
+    # streaming extensions (f10/f11/f12 are new this round)
     "f01_streaming_dashboard", "f02_streaming_dedup", "f03_session_windows",
     "f04_stateful_user_totals", "f05_stream_stream_join",
     "f06_idle_key_eviction", "f07_stream_static_enrichment",
     "f08_stream_left_outer_join", "f09_streaming_pii_scrub",
     "f10_streaming_quantiles", "f11_lambda_unified_totals",
+    "f12_stream_full_outer_join",
     # multimodal (m01/m03/m04 rotated out green; m06 new)
     "m02_payload_features_pandas",
     "m05_crossmodal_join", "m06_payload_dedup",
     # composed pipelines (p03/p04/p05/p07/p08 rotated out green;
-    # p09/p10 new)
+    # p09/p10/p11 new)
     "p01_training_mix", "p02_streaming_ingest_funnel",
     "p06_contamination_check",
     "p09_quality_percentile_gate", "p10_weighted_sample",
-    # physical layout (b30 green r04; b31 z-order new this round)
+    "p11_column_profile",
+    # physical layout (b30 green r04; b31 z-order, b32 partitioned new)
     "b30_bucketed_colocated_join", "b31_zorder_box_scan",
+    "b32_partition_pruned_scan",
     # cross-series analytics — never-scored + new this round
     "g13_value_correlation", "g14_conversion_funnel",
     "g15_cohort_retention", "g16_range_click_attribution",
     "g17_time_weighted_value", "g18_session_stats",
+    "g19_gap_fill_interpolate", "g20_scd2_priority_history",
 )
 
 

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, minhash_hashes
+from ..functions.aggregates import pround
 from ..sources.batch import load_table
 from .registry import persist_tracked, query
 
@@ -416,7 +417,7 @@ _MAX_SHINGLE_DF = 64
                 ON a.g = b.g AND a.source = b.source AND a.doc_id < b.doc_id
               GROUP BY 1, 2)
     SELECT inter.da AS doc_a, inter.db AS doc_b,
-           ROUND(inter.i * 1.0 / (sa.n + sb.n - inter.i), 6) AS jaccard
+           floor((inter.i * 1.0 / (sa.n + sb.n - inter.i)) * 1000000.0 + 0.5) / 1000000.0 AS jaccard
     FROM inter
     JOIN sz sa ON sa.doc_id = inter.da
     JOIN sz sb ON sb.doc_id = inter.db
@@ -474,7 +475,7 @@ def c04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         j.filter(F.col("_j") >= 0.01)
-        .select("doc_a", "doc_b", F.round("_j", 6).alias("jaccard"))
+        .select("doc_a", "doc_b", pround("_j", 6).alias("jaccard"))
         .orderBy("doc_a", "doc_b")
     )
 
@@ -762,14 +763,14 @@ def _verify_oracle() -> str:
     toksets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
                 FROM documents)
     SELECT e.da AS doc_a, e.db AS doc_b, e.est_jaccard,
-           ROUND(len(list_intersect(ta.toks, tb.toks)) * 1.0
+           floor((len(list_intersect(ta.toks, tb.toks)) * 1.0
                  / (len(ta.toks) + len(tb.toks)
-                    - len(list_intersect(ta.toks, tb.toks))), 6)
+                    - len(list_intersect(ta.toks, tb.toks)))) * 1000000.0 + 0.5) / 1000000.0
                AS exact_jaccard,
-           ROUND(abs(e.est_jaccard
+           floor((abs(e.est_jaccard
                      - len(list_intersect(ta.toks, tb.toks)) * 1.0
                        / (len(ta.toks) + len(tb.toks)
-                          - len(list_intersect(ta.toks, tb.toks)))), 6)
+                          - len(list_intersect(ta.toks, tb.toks))))) * 1000000.0 + 0.5) / 1000000.0
                AS est_error
     FROM est e
     JOIN toksets ta ON ta.doc_id = e.da
@@ -812,8 +813,8 @@ def c08_candidate_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("da").alias("doc_a"),
             F.col("db").alias("doc_b"),
             "est_jaccard",
-            F.round(exact, 6).alias("exact_jaccard"),
-            F.round(F.abs(F.col("est_jaccard") - exact), 6).alias("est_error"),
+            pround(exact, 6).alias("exact_jaccard"),
+            pround(F.abs(F.col("est_jaccard") - exact), 6).alias("est_error"),
         )
     )
 
@@ -922,4 +923,109 @@ def c10_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("corpus_min", "batch_min").alias("dup_of"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c12 — count-min sketch heavy hitters (frequency estimation)
+# ---------------------------------------------------------------------------
+#: Sketch depth (independent hash rows) and width (buckets per row).
+#: Collision error is bounded by E[overcount] <= total/width per row;
+#: taking the MIN over depth rows drives the failure probability to
+#: (1/e)^depth — the classic Cormode-Muthukrishnan guarantee.
+_CMS_D = 4
+_CMS_W = 512
+#: Report keys whose ESTIMATED share of all events is >= 0.5 %.
+_CMS_MIN_FRAC = 0.005
+
+
+@query(
+    "c12_heavy_hitters_cms",
+    oracle=f"""
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    tot AS (SELECT COUNT(*) AS n FROM ev),
+    depths AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d),
+    sk AS (SELECT d,
+                  CAST(('0x' || substr(md5('cms' || CAST(d AS VARCHAR)
+                                            || ':' || k), 1, 15)) AS BIGINT)
+                      % {_CMS_W} AS b,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM ev CROSS JOIN depths
+           GROUP BY 1, 2),
+    cand AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS true_n FROM ev GROUP BY k),
+    est AS (SELECT cand.k, MIN(sk.c) AS est_n
+            FROM cand CROSS JOIN depths
+            JOIN sk ON sk.d = depths.d
+                   AND sk.b = CAST(('0x' || substr(
+                           md5('cms' || CAST(depths.d AS VARCHAR)
+                               || ':' || cand.k), 1, 15)) AS BIGINT)
+                       % {_CMS_W}
+            GROUP BY cand.k)
+    SELECT CAST(cand.k AS BIGINT) AS user_id,
+           cand.true_n,
+           CAST(est.est_n AS BIGINT) AS est_n
+    FROM cand JOIN est ON est.k = cand.k CROSS JOIN tot
+    WHERE est.est_n * 1.0 >= tot.n * {_CMS_MIN_FRAC}
+    ORDER BY user_id
+    """,
+)
+def c12_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over ``events.user_id`` via a count-min sketch,
+    reported next to the exact count (``est_n >= true_n`` always — CMS
+    only ever overcounts on collisions).
+
+    Why a sketch when groupBy().count() exists: the sketch is a FIXED
+    d x w counter grid whose partials merge by cell-wise addition —
+    per-partition/per-day sketches combine associatively without
+    re-touching raw data, and frequency queries against the standing
+    sketch never rescan the corpus. At 100 TB the sketch build is one
+    map-side-combinable aggregate producing <= d*w rows total (the
+    per-partition partial is a few KB), while exact counting of a
+    high-cardinality key shuffles every distinct key. Hashes are the
+    repo's portable md5 family (functions/hashing.py), so the DuckDB
+    oracle reproduces every cell bit-for-bit.
+
+    The candidate set probed against the sketch is the exact key set
+    here (it doubles as the error-inspection baseline the oracle
+    checks); a production deployment tracks candidates with a
+    space-saving/sampled pass and probes only those — the sketch side
+    (build, broadcast, min-over-rows probe) is identical.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    keyed = ev.select(F.col("user_id").cast("string").alias("k"))
+    depths = F.array(*[F.lit(i) for i in range(_CMS_D)])
+
+    def bucket(key: F.Column, d: F.Column) -> F.Column:
+        return F.pmod(
+            hash60(
+                F.concat(F.lit("cms"), d.cast("string"), F.lit(":"), key)
+            ),
+            F.lit(_CMS_W),
+        )
+
+    rows = keyed.select("k", F.explode(depths).alias("d"))
+    sketch = (
+        rows.select("d", bucket(F.col("k"), F.col("d")).alias("b"))
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    tot = keyed.agg(F.count(F.lit(1)).alias("n"))
+    cand = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("true_n"))
+    est = (
+        cand.select("k", F.explode(depths).alias("d"))
+        .withColumn("b", bucket(F.col("k"), F.col("d")))
+        .join(F.broadcast(sketch), ["d", "b"])
+        .groupBy("k")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return (
+        cand.join(est, "k")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("est_n") * 1.0 >= F.col("n") * F.lit(_CMS_MIN_FRAC))
+        .select(
+            F.col("k").cast("long").alias("user_id"),
+            "true_n",
+            "est_n",
+        )
+        .orderBy("user_id")
     )

@@ -164,3 +164,71 @@ def b31_zorder_box_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# b32 — date-partitioned layout: directory-level partition pruning
+# ---------------------------------------------------------------------------
+#: Memoized partitioned write per (app, sf_dir) — write-once artifact.
+_PART_STAGED: dict[tuple[str, str], DataFrame] = {}
+
+#: The date window b32 scans (the fixture spans 2024-01-01..01-30 at
+#: every SF, so this 7-day slice prunes ~77 % of partitions).
+_PART_LO, _PART_HI = "2024-01-08", "2024-01-14"
+
+
+def date_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events rewritten as a hive-partitioned layout
+    (``event_date=YYYY-MM-DD/`` directories). A date filter then never
+    touches excluded directories — pruning happens at PLANNING time
+    from the file listing, before any I/O, visible as
+    ``PartitionFilters`` in the scan (pinned by
+    tests/test_plans.py::test_partition_pruning_reaches_scan)."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PART_STAGED.get(key)
+    if cached is not None:
+        return cached
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    base = tempfile.mkdtemp(prefix="sbp-datepart-") + "/events"
+    ev.write.partitionBy("event_date").mode("overwrite").parquet(base)
+    out = spark.read.parquet(base)
+    _PART_STAGED[key] = out
+    return out
+
+
+@query(
+    "b32_partition_pruned_scan",
+    oracle=f"""
+    SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total_value
+    FROM events
+    WHERE CAST(CAST(ts AS TIMESTAMP) AS DATE)
+              BETWEEN DATE '{_PART_LO}' AND DATE '{_PART_HI}'
+    GROUP BY 1, 2
+    ORDER BY event_date, event_type
+    """,
+)
+def b32_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily per-type rollup over a 7-day slice of the date-partitioned
+    events copy: identical answer to filtering the unpartitioned table
+    (the oracle — layout must be value-invisible), but the date
+    predicate resolves against DIRECTORY NAMES during planning, so
+    excluded days cost zero I/O and zero tasks. At 100 TB,
+    date-partitioning is the first-line layout decision — a 7-day
+    dashboard query reads 7 partitions of a 3-year table instead of
+    scanning it — and composes with b30/b31 (bucket or z-order WITHIN
+    each partition)."""
+    ev = date_partitioned_events(spark, sf_dir)
+    return (
+        ev.filter(F.col("event_date").between(_PART_LO, _PART_HI))
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60
 from ..functions.text import LANG_STOPWORDS
+from ..functions.aggregates import pround
 from ..sources.batch import load_table
 from .dedup import _agree_col, _band_pairs, _CC_MIN_AGREE, _sig_df
 from .registry import persist_tracked, query
@@ -261,8 +262,8 @@ _SAMPLE_SALT = "smpl:"
                 AS BIGINT) AS n_sampled,
            CAST(SUM(CASE WHEN bucket < rate_permille THEN n_tokens
                          ELSE 0 END) AS BIGINT) AS sampled_tokens,
-           ROUND(SUM(CASE WHEN bucket < rate_permille THEN 1 ELSE 0 END)
-                 * 1.0 / COUNT(*), 6) AS realized_rate
+           floor((SUM(CASE WHEN bucket < rate_permille THEN 1 ELSE 0 END)
+                 * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS realized_rate
     FROM t
     GROUP BY source, rate_permille
     ORDER BY source
@@ -316,7 +317,7 @@ def p04_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
             .cast("long")
             .alias("sampled_tokens"),
-            F.round(
+            pround(
                 F.sum(keep.cast("int")) * F.lit(1.0) / F.count(F.lit(1)), 6
             ).alias("realized_rate"),
         )
@@ -346,14 +347,15 @@ _MIX_BUDGET = 50_000
               FROM t GROUP BY source),
     tot AS (SELECT COUNT(*) AS n_sources FROM avail)
     SELECT source, n_docs, avail_tokens,
-           ROUND({_MIX_BUDGET} * 1.0 / n_sources, 6) AS target_tokens,
-           ROUND(LEAST(1.0, ({_MIX_BUDGET} * 1.0 / n_sources)
-                            / avail_tokens), 6) AS keep_frac,
-           CAST(round(avail_tokens
+           floor(({_MIX_BUDGET} * 1.0 / n_sources) * 1000000.0 + 0.5) / 1000000.0 AS target_tokens,
+           floor((LEAST(1.0, ({_MIX_BUDGET} * 1.0 / n_sources)
+                            / avail_tokens)) * 1000000.0 + 0.5) / 1000000.0 AS keep_frac,
+           CAST(floor(avail_tokens
                       * LEAST(1.0, ({_MIX_BUDGET} * 1.0 / n_sources)
-                                   / avail_tokens)) AS BIGINT) AS kept_tokens,
-           CAST(GREATEST(0, CAST(round(({_MIX_BUDGET} * 1.0 / n_sources)
-                                       - avail_tokens) AS BIGINT))
+                                   / avail_tokens) + 0.5) AS BIGINT)
+                AS kept_tokens,
+           CAST(GREATEST(0, CAST(floor(({_MIX_BUDGET} * 1.0 / n_sources)
+                                       - avail_tokens + 0.5) AS BIGINT))
                 AS BIGINT) AS shortfall_tokens
     FROM avail CROSS JOIN tot
     ORDER BY source
@@ -392,14 +394,14 @@ def p05_mix_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "avail_tokens",
-            F.round(target, 6).alias("target_tokens"),
-            F.round(keep, 6).alias("keep_frac"),
-            F.round(F.col("avail_tokens") * keep)
+            pround(target, 6).alias("target_tokens"),
+            pround(keep, 6).alias("keep_frac"),
+            pround(F.col("avail_tokens") * keep, 0)
             .cast("long")
             .alias("kept_tokens"),
             F.greatest(
                 F.lit(0).cast("long"),
-                F.round(target - F.col("avail_tokens")).cast("long"),
+                pround(target - F.col("avail_tokens"), 0).cast("long"),
             ).alias("shortfall_tokens"),
         )
         .orderBy("source")
@@ -468,8 +470,8 @@ def _guarded_panel_broadcast(
            CAST(COALESCE(hits.n_hit_grams, 0) AS BIGINT) AS n_hit_grams,
            CAST(COALESCE(hits.n_train_docs, 0) AS BIGINT) AS n_train_docs,
            CASE WHEN evs.n_grams = 0 THEN 0.0
-                ELSE ROUND(COALESCE(hits.n_hit_grams, 0) * 1.0
-                           / evs.n_grams, 6) END AS contamination_frac
+                ELSE floor((COALESCE(hits.n_hit_grams, 0) * 1.0
+                           / evs.n_grams) * 1000000.0 + 0.5) / 1000000.0 END AS contamination_frac
     FROM evs LEFT JOIN hits ON hits.eval_doc = evs.eval_doc
     ORDER BY evs.eval_doc
     """,
@@ -532,7 +534,7 @@ def p06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_train_docs", F.lit(0)).cast("long").alias("n_train_docs"),
             F.when(F.col("n_grams") == 0, F.lit(0.0))
             .otherwise(
-                F.round(
+                pround(
                     F.coalesce("n_hit_grams", F.lit(0)) * F.lit(1.0)
                     / F.col("n_grams"),
                     6,
@@ -568,9 +570,9 @@ _TEMP_ALPHA = 0.7
           FROM s CROSS JOIN tot),
     z AS (SELECT SUM(pw) AS z FROM w)
     SELECT source, n_docs, n_tokens,
-           ROUND(p, 6) AS natural_share,
-           ROUND(pw / z.z, 6) AS temp_share,
-           ROUND((pw / z.z) / p, 6) AS sampling_factor
+           floor((p) * 1000000.0 + 0.5) / 1000000.0 AS natural_share,
+           floor((pw / z.z) * 1000000.0 + 0.5) / 1000000.0 AS temp_share,
+           floor(((pw / z.z) / p) * 1000000.0 + 0.5) / 1000000.0 AS sampling_factor
     FROM w CROSS JOIN z
     ORDER BY source
     """,
@@ -608,9 +610,9 @@ def p07_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "n_tokens",
-            F.round("p", 6).alias("natural_share"),
-            F.round(F.col("pw") / F.col("z"), 6).alias("temp_share"),
-            F.round((F.col("pw") / F.col("z")) / F.col("p"), 6).alias(
+            pround("p", 6).alias("natural_share"),
+            pround(F.col("pw") / F.col("z"), 6).alias("temp_share"),
+            pround((F.col("pw") / F.col("z")) / F.col("p"), 6).alias(
                 "sampling_factor"
             ),
         )
@@ -710,8 +712,8 @@ def p08_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
            thr.threshold,
            CAST(SUM(CASE WHEN s.quality_score >= thr.threshold
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-           ROUND(SUM(CASE WHEN s.quality_score >= thr.threshold
-                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*), 6)
+           floor((SUM(CASE WHEN s.quality_score >= thr.threshold
+                          THEN 1 ELSE 0 END) * 1.0 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0
                AS kept_frac
     FROM scored s JOIN thr ON thr.source = s.source
     GROUP BY s.source, thr.threshold
@@ -760,7 +762,7 @@ def p09_quality_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "source", "n_docs", "threshold", "n_kept",
-            F.round(F.col("n_kept") * 1.0 / F.col("n_docs"), 6)
+            pround(F.col("n_kept") * 1.0 / F.col("n_docs"), 6)
             .alias("kept_frac"),
         )
         .orderBy("source")
@@ -844,4 +846,110 @@ def p10_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1.0) / F.col("pi")).alias("ht_weight"),
         )
         .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p11 — column profiling (data-quality summary of a table)
+# ---------------------------------------------------------------------------
+#: (column, kind) pairs profiled over ``orders``; kind picks the
+#: canonical engine-portable string rendering for min/max.
+_PROFILE_COLS = (
+    ("o_orderkey", "int"),
+    ("o_custkey", "int"),
+    ("o_orderstatus", "str"),
+    ("o_totalprice", "money"),
+    ("o_orderdate", "ts"),
+    ("o_orderpriority", "str"),
+)
+
+
+def _profile_render_sql(col: str, kind: str, agg: str) -> str:
+    x = f"{agg}({col})"
+    if kind == "int":
+        return f"CAST({x} AS VARCHAR)"
+    if kind == "money":
+        return (
+            f"CAST(CAST(floor({x} * 100.0 + 0.5) / 100.0"
+            f" AS DECIMAL(18,2)) AS VARCHAR)"
+        )
+    if kind == "ts":
+        return f"strftime({x}, '%Y-%m-%d %H:%M:%S')"
+    return x
+
+
+@query(
+    "p11_column_profile",
+    oracle="""
+    WITH n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows FROM orders)
+    SELECT * FROM (
+    """
+    + "\nUNION ALL\n".join(
+        f"""
+    SELECT '{col}' AS column_name,
+           n.n_rows,
+           CAST(n.n_rows - COUNT({col}) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+           {_profile_render_sql(col, kind, 'MIN')} AS min_s,
+           {_profile_render_sql(col, kind, 'MAX')} AS max_s
+    FROM orders CROSS JOIN n GROUP BY n.n_rows
+    """
+        for col, kind in _PROFILE_COLS
+    )
+    + """
+    ) ORDER BY column_name
+    """,
+)
+def p11_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass column profile of ``orders`` — per column: row count,
+    null count, distinct count, and canonically-rendered min/max. The
+    schema-drift / data-quality gate a production ingest runs before
+    committing a batch (profile deltas catch silent upstream changes:
+    a column going nullable, a cardinality explosion, a range shift).
+
+    Scale: ONE aggregate pass computes every per-column statistic
+    (Catalyst plans the multi-countDistinct via a single Expand —
+    |columns| x row multiplier, each branch map-side combinable), then a
+    |columns|-row stack unpivots driver-free. At 100 TB the exact
+    distinct counts would swap to approx_count_distinct one-for-one;
+    exact is kept here because the oracle gate demands bit-equality.
+    Min/max strings render through explicitly-pinned portable formats
+    (decimal quantization, strftime pattern) — never engine-default
+    casts of doubles/timestamps.
+    """
+    orders = load_table(spark, sf_dir, "orders")
+
+    def render(col: str, kind: str, agg) -> F.Column:
+        x = agg(col)
+        if kind == "int":
+            return x.cast("string")
+        if kind == "money":
+            return pround(x, 2).cast("decimal(18,2)").cast("string")
+        if kind == "ts":
+            return F.date_format(x, "yyyy-MM-dd HH:mm:ss")
+        return x
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for col, kind in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).cast("long").alias(f"nn_{col}"),
+            F.countDistinct(col).cast("long").alias(f"nd_{col}"),
+            render(col, kind, F.min).alias(f"mn_{col}"),
+            render(col, kind, F.max).alias(f"mx_{col}"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', nn_{col}, nd_{col}, mn_{col}, mx_{col}"
+        for col, _ in _PROFILE_COLS
+    )
+    return (
+        wide.selectExpr(
+            "n_rows",
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (column_name, n_null, n_distinct, min_s, max_s)",
+        )
+        .select(
+            "column_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s"
+        )
+        .orderBy("column_name")
     )

@@ -10,9 +10,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.aggregates import davg, dsum
+from ..functions.aggregates import davg, dsum, pround
 from ..sources.batch import load_table
-from .registry import query
+from .registry import persist_tracked, query
 
 _DSUM = "CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE)"
 
@@ -67,8 +67,8 @@ def g01_customer_order_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderpriority,
            COUNT(*) AS n_orders,
-           ROUND(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
-           ROUND(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+           floor((quantile_cont(o_totalprice, 0.5)) * 1000000.0 + 0.5) / 1000000.0 AS median_price,
+           floor((quantile_cont(o_totalprice, 0.9)) * 1000000.0 + 0.5) / 1000000.0 AS p90_price,
            MIN(o_totalprice) AS min_price,
            MAX(o_totalprice) AS max_price
     FROM orders
@@ -88,8 +88,8 @@ def g02_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
-            F.round(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
+            pround(F.percentile("o_totalprice", F.lit(0.5)), 6).alias("median_price"),
+            pround(F.percentile("o_totalprice", F.lit(0.9)), 6).alias("p90_price"),
             F.min("o_totalprice").alias("min_price"),
             F.max("o_totalprice").alias("max_price"),
         )
@@ -110,9 +110,9 @@ def g02_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                {_DSUM.format(x='c_acctbal * c_acctbal')} AS s2
         FROM customer GROUP BY c_mktsegment)
     SELECT c_mktsegment, n,
-           ROUND(s1 / n, 6) AS mean_acctbal,
-           ROUND((s2 - s1 * s1 / n) / (n - 1), 6) AS var_acctbal,
-           ROUND(sqrt((s2 - s1 * s1 / n) / (n - 1)), 6) AS stddev_acctbal
+           floor((s1 / n) * 1000000.0 + 0.5) / 1000000.0 AS mean_acctbal,
+           floor(((s2 - s1 * s1 / n) / (n - 1)) * 1000000.0 + 0.5) / 1000000.0 AS var_acctbal,
+           floor((sqrt((s2 - s1 * s1 / n) / (n - 1))) * 1000000.0 + 0.5) / 1000000.0 AS stddev_acctbal
     FROM m
     ORDER BY c_mktsegment
     """,
@@ -134,9 +134,9 @@ def g03_acctbal_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.select(
             "c_mktsegment",
             "n",
-            F.round(F.col("s1") / F.col("n"), 6).alias("mean_acctbal"),
-            F.round(var, 6).alias("var_acctbal"),
-            F.round(F.sqrt(var), 6).alias("stddev_acctbal"),
+            pround(F.col("s1") / F.col("n"), 6).alias("mean_acctbal"),
+            pround(var, 6).alias("var_acctbal"),
+            pround(F.sqrt(var), 6).alias("stddev_acctbal"),
         )
         .orderBy("c_mktsegment")
     )
@@ -452,11 +452,11 @@ def g10_json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS n_view_click,
            CAST(SUM(CASE WHEN t_purchase > t_click AND t_click > t_view
                          THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel,
-           ROUND(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) * 1.0
-                 / COUNT(t_view), 6) AS view_to_click_rate,
-           ROUND(SUM(CASE WHEN t_purchase > t_click AND t_click > t_view
+           floor((SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(t_view)) * 1000000.0 + 0.5) / 1000000.0 AS view_to_click_rate,
+           floor((SUM(CASE WHEN t_purchase > t_click AND t_click > t_view
                           THEN 1 ELSE 0 END) * 1.0
-                 / COUNT(t_view), 6) AS full_funnel_rate
+                 / COUNT(t_view)) * 1000000.0 + 0.5) / 1000000.0 AS full_funnel_rate
     FROM stages
     """,
 )
@@ -489,10 +489,10 @@ def g11_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_view").alias("n_view"),
         cnt(did_click).alias("n_view_click"),
         cnt(full).alias("n_full_funnel"),
-        F.round(cnt(did_click) * 1.0 / F.count("t_view"), 6).alias(
+        pround(cnt(did_click) * 1.0 / F.count("t_view"), 6).alias(
             "view_to_click_rate"
         ),
-        F.round(cnt(full) * 1.0 / F.count("t_view"), 6).alias("full_funnel_rate"),
+        pround(cnt(full) * 1.0 / F.count("t_view"), 6).alias("full_funnel_rate"),
     )
 
 
@@ -576,7 +576,7 @@ _MICRO_MEAN_SQL = (
           FROM agg)
     SELECT type_a, type_b, n_buckets,
            CASE WHEN vx <= 0 OR vy <= 0 THEN NULL
-                ELSE ROUND(cov_n / (sqrt(vx) * sqrt(vy)), 6)
+                ELSE floor((cov_n / (sqrt(vx) * sqrt(vy))) * 1000000.0 + 0.5) / 1000000.0
            END AS corr
     FROM v
     ORDER BY type_a, type_b
@@ -658,7 +658,7 @@ def g13_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # both engines, so the sign agrees) before any sqrt/divide.
     corr = F.when(
         (vx <= 0) | (vy <= 0), F.lit(None).cast("double")
-    ).otherwise(F.round(cov_n / (F.sqrt(vx) * F.sqrt(vy)), 6))
+    ).otherwise(pround(cov_n / (F.sqrt(vx) * F.sqrt(vy)), 6))
     return agg.select(
         "type_a", "type_b", "n_buckets", corr.alias("corr")
     ).orderBy("type_a", "type_b")
@@ -766,7 +766,7 @@ def g14_conversion_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM act a JOIN first f ON f.user_id = a.user_id
              GROUP BY f.cohort_date, day_offset)
     SELECT g.cohort_date, g.day_offset, s.cohort_size, g.n_active,
-           ROUND(g.n_active * 1.0 / s.cohort_size, 6) AS retention
+           floor((g.n_active * 1.0 / s.cohort_size) * 1000000.0 + 0.5) / 1000000.0 AS retention
     FROM grid g JOIN sizes s ON s.cohort_date = g.cohort_date
     ORDER BY g.cohort_date, g.day_offset
     """,
@@ -805,7 +805,7 @@ def g15_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         grid.join(F.broadcast(sizes), "cohort_date")
         .select(
             "cohort_date", "day_offset", "cohort_size", "n_active",
-            F.round(F.col("n_active") * 1.0 / F.col("cohort_size"), 6)
+            pround(F.col("n_active") * 1.0 / F.col("cohort_size"), 6)
             .alias("retention"),
         )
         .orderBy("cohort_date", "day_offset")
@@ -1073,3 +1073,219 @@ def g18_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_seq")
     )
+
+
+# ---------------------------------------------------------------------------
+# g19 — time-series gap fill + linear interpolation
+# ---------------------------------------------------------------------------
+@query(
+    "g19_gap_fill_interpolate",
+    oracle="""
+    WITH ev AS (SELECT event_type,
+                       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                       value
+                FROM events),
+    act AS (SELECT event_type, h,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   floor((CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
+                          / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS val
+            FROM ev GROUP BY event_type, h),
+    bounds AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
+               FROM act GROUP BY event_type),
+    grid AS (SELECT event_type,
+                    unnest(generate_series(h0, h1, INTERVAL '1 hour')) AS h
+             FROM bounds),
+    j AS (SELECT g.event_type, g.h, epoch_us(g.h) AS hu, a.n_events, a.val
+          FROM grid g LEFT JOIN act a
+            ON a.event_type = g.event_type AND a.h = g.h),
+    w AS (SELECT *,
+            last_value(val IGNORE NULLS) OVER
+                (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            last_value(CASE WHEN val IS NOT NULL THEN hu END IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+            first_value(val IGNORE NULLS) OVER
+                (PARTITION BY event_type ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            first_value(CASE WHEN val IS NOT NULL THEN hu END IGNORE NULLS)
+                OVER (PARTITION BY event_type ORDER BY h
+                      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+          FROM j)
+    SELECT event_type, h AS hour_start,
+           CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
+           CASE WHEN val IS NOT NULL THEN val
+                ELSE floor((pv + (nv - pv) * (hu - ph) * 1.0 / (nh - ph))
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS value,
+           (val IS NULL) AS is_gap
+    FROM w
+    ORDER BY event_type, hour_start
+    """,
+)
+def g19_gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series regularization: hourly per-type averages on a DENSE
+    hour grid, with empty hours linearly interpolated between their
+    nearest observed neighbors — the resample/gap-fill step every
+    downstream forecasting or anomaly job assumes has already happened.
+
+    Scale: the actuals are one map-side-combinable aggregate; the grid
+    is generated per type from its (min, max) hour — never a driver
+    loop — and is bounded by time range, not data volume; the
+    neighbor-carry windows partition by event_type (bounded state,
+    parallel across types; a single-series deployment would bucket by
+    coarse time ranges and stitch boundaries). All time math is exact
+    integer microseconds; interpolated values quantize through the
+    portable floor formula on 6-dp-quantized endpoints, so both engines
+    interpolate identical doubles.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+        "value",
+    )
+    # persisted: bounds AND the grid join both consume act — without
+    # the persist Catalyst recomputes it from a second full scan of
+    # events (the hourly rollup is |types|x|hours| rows, metadata-sized
+    # at any SF, so caching it is free; rescanning 100 TB is not).
+    act = persist_tracked(
+        ev.groupBy("event_type", "h").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            pround(dsum("value") / F.count(F.lit(1)), 6).alias("val"),
+        )
+    )
+    bounds = act.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = bounds.select(
+        "event_type",
+        F.explode(
+            F.sequence("h0", "h1", F.expr("interval 1 hour"))
+        ).alias("h"),
+    )
+    j = grid.join(act, ["event_type", "h"], "left").withColumn(
+        "hu", F.unix_micros(F.col("h").cast("timestamp"))
+    )
+    wp = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    hu_obs = F.when(F.col("val").isNotNull(), F.col("hu"))
+    filled = j.select(
+        "event_type",
+        F.col("h").alias("hour_start"),
+        F.coalesce("n_events", F.lit(0)).cast("long").alias("n_events"),
+        "val",
+        F.last("val", ignorenulls=True).over(wp).alias("pv"),
+        F.last(hu_obs, ignorenulls=True).over(wp).alias("ph"),
+        F.first("val", ignorenulls=True).over(wn).alias("nv"),
+        F.first(hu_obs, ignorenulls=True).over(wn).alias("nh"),
+        "hu",
+    )
+    interp = F.col("pv") + (F.col("nv") - F.col("pv")) * (
+        F.col("hu") - F.col("ph")
+    ) * F.lit(1.0) / (F.col("nh") - F.col("ph"))
+    return filled.select(
+        "event_type",
+        "hour_start",
+        "n_events",
+        F.when(F.col("val").isNotNull(), F.col("val"))
+        .otherwise(pround(interp, 6))
+        .alias("value"),
+        F.col("val").isNull().alias("is_gap"),
+    ).orderBy("event_type", "hour_start")
+
+
+# ---------------------------------------------------------------------------
+# g20 — SCD2 dimension history (change-data versioning)
+# ---------------------------------------------------------------------------
+@query(
+    "g20_scd2_priority_history",
+    oracle="""
+    WITH s AS (SELECT o_custkey, o_orderkey, o_orderpriority, o_orderdate,
+                      LAG(o_orderpriority) OVER
+                          (PARTITION BY o_custkey
+                           ORDER BY o_orderdate, o_orderkey) AS prev
+               FROM orders),
+    m AS (SELECT *, CASE WHEN prev IS NULL OR prev <> o_orderpriority
+                         THEN 1 ELSE 0 END AS chg
+          FROM s),
+    r AS (SELECT *, SUM(chg) OVER (PARTITION BY o_custkey
+                                   ORDER BY o_orderdate, o_orderkey
+                                   ROWS UNBOUNDED PRECEDING) AS version
+          FROM m),
+    v AS (SELECT o_custkey, CAST(version AS BIGINT) AS version,
+                 MIN(o_orderpriority) AS o_orderpriority,
+                 MIN(o_orderdate) AS valid_from,
+                 CAST(COUNT(*) AS BIGINT) AS n_orders
+          FROM r GROUP BY o_custkey, version)
+    SELECT o_custkey, version, o_orderpriority, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+               AS valid_to,
+           n_orders,
+           (LEAD(valid_from) OVER (PARTITION BY o_custkey ORDER BY version)
+            IS NULL) AS is_current
+    FROM v
+    ORDER BY o_custkey, version
+    """,
+)
+def g20_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build: collapse each customer's
+    order-priority timeline into versioned validity intervals
+    ([valid_from, valid_to), NULL-open current row) via change
+    detection — the MERGE-free batch recipe for maintaining dimension
+    history from an ordered change log.
+
+    Scale: every step lives on o_custkey partitioning — the change
+    flags, row numbers, and per-customer totals share one
+    (o_custkey; date, key) window Exchange, and the run collapse is
+    NOT a groupBy (which would re-shuffle on (custkey, version)):
+    each run is represented by its start row, whose extent comes from
+    lead() arithmetic on row numbers within the same partitioning. One
+    shuffle total; per-key state is a lagged value. The total order
+    within each customer (date, then unique order key) makes versions
+    deterministic under any partitioning.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = w.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    prev = F.lag("o_orderpriority").over(w)
+    chg = F.when(
+        prev.isNull() | (prev != F.col("o_orderpriority")), F.lit(1)
+    ).otherwise(F.lit(0))
+    marked = o.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        chg.alias("chg"),
+        F.row_number().over(w).alias("rn"),
+        F.sum(chg).over(wrun).cast("long").alias("version"),
+        F.count(F.lit(1)).over(wall).alias("cust_n"),
+    )
+    # run-start rows ARE the versions: valid_from is the start row's
+    # own date (the run's minimum by construction), and the run length
+    # is the gap to the next start (or to the customer's end).
+    starts = marked.filter(F.col("chg") == 1)
+    wv = Window.partitionBy("o_custkey").orderBy("version")
+    valid_to = F.lead("o_orderdate").over(wv)
+    n_orders = (
+        F.coalesce(F.lead("rn").over(wv), F.col("cust_n") + 1) - F.col("rn")
+    ).cast("long")
+    return starts.select(
+        "o_custkey",
+        "version",
+        "o_orderpriority",
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        n_orders.alias("n_orders"),
+        valid_to.isNull().alias("is_current"),
+    ).orderBy("o_custkey", "version")

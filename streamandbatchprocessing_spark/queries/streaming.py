@@ -646,3 +646,73 @@ def f11_lambda_unified_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@query(
+    "f12_stream_full_outer_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           c.event_id AS click_id,
+           COALESCE(p.user_id, c.user_id) AS user_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts >= p.ts - INTERVAL 5 MINUTE
+     AND c.ts <= p.ts
+    ORDER BY purchase_id, click_id
+    """,
+)
+def f12_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER stream-stream interval join — completes the streaming
+    join matrix (inner f05, left-outer f08): every purchase-click
+    attribution pair PLUS the unattributed purchases (null click) AND
+    the orphaned clicks that led to no purchase in their forward
+    5-minute window (null purchase) — the two failure sides an
+    attribution pipeline monitors.
+
+    Same watermark mechanics as f08: both branches carry a 10-minute
+    watermark and the interval condition bounds each side's state
+    (purchases retained 10 m + 5 m, clicks 10 m), so state is
+    rate x window, never unbounded. Null-padded rows for BOTH sides are
+    emitted only after the watermark proves no counterpart can arrive;
+    the staged sentinel files advance both branch watermarks past the
+    real data so the finite drain flushes every withheld row. Sentinel
+    rows (user_id = -1, both types) are dropped from the result."""
+    from ..streaming.pipeline import events_stream_staged, run_to_memory
+
+    stream = events_stream_staged(spark, sf_dir)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "fullOuter",
+    )
+    result = run_to_memory(joined, output_mode="append", name_prefix="f12_ssfoj")
+    return (
+        result.filter(F.coalesce("user_id", "c_user_id") >= 0)
+        .select(
+            "purchase_id",
+            "click_id",
+            F.coalesce("user_id", "c_user_id").alias("user_id"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )

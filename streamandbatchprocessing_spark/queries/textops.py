@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, md5_prefix
 from ..functions.text import LANG_STOPWORDS, langid_from_tokens, langid_scores
+from ..functions.aggregates import pround
 from ..sources.batch import load_table
 from .registry import query
 
@@ -38,7 +39,7 @@ _STOP_IN = ", ".join(f"'{w}'" for w in _STOPWORDS)
     SELECT doc_id, lang, source,
            CAST(len(toks) AS BIGINT) AS n_tokens,
            CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
-           ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS ttr,
+           floor((len(list_distinct(toks)) * 1.0 / len(toks)) * 1000000.0 + 0.5) / 1000000.0 AS ttr,
            CAST(length(text) AS BIGINT) AS n_chars_measured
     FROM t
     ORDER BY doc_id
@@ -55,7 +56,7 @@ def e01_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             F.size(toks).cast("long").alias("n_tokens"),
             F.size(F.array_distinct(toks)).cast("long").alias("n_distinct"),
-            F.round(F.size(F.array_distinct(toks)) * 1.0 / F.size(toks), 6).alias("ttr"),
+            pround(F.size(F.array_distinct(toks)) * 1.0 / F.size(toks), 6).alias("ttr"),
             F.length("text").cast("long").alias("n_chars_measured"),
         )
         .orderBy("doc_id")
@@ -78,7 +79,7 @@ def quality_scored_docs(docs: DataFrame, *extra_cols: str) -> DataFrame:
         .alias("stop_hits"),
     ).withColumn(
         "avg_token_len",
-        F.round((F.col("n_chars") - F.col("n_tokens") + 1) * 1.0 / F.col("n_tokens"), 6),
+        pround((F.col("n_chars") - F.col("n_tokens") + 1) * 1.0 / F.col("n_tokens"), 6),
     )
 
 
@@ -86,7 +87,7 @@ def quality_score_col() -> F.Column:
     """The weighted quality score over quality_scored_docs columns,
     rounded to 6 dp (identical expression in every oracle using it)."""
     stop_ratio = F.col("stop_hits") * 1.0 / F.col("n_tokens")
-    return F.round(
+    return pround(
         0.5 * stop_ratio
         + 0.3 * (F.least(F.col("n_tokens"), F.lit(60)) / 60.0)
         + 0.2 * (F.least(F.col("avg_token_len"), F.lit(8.0)) / 8.0),
@@ -104,17 +105,16 @@ QUALITY_SCORE_CTE = f"""
                   CAST(len(toks) AS BIGINT) AS n_tokens,
                   CAST(len(list_filter(toks, t -> t IN ({_STOP_IN})))
                        AS BIGINT) AS stop_hits,
-                  ROUND((n_chars - len(toks) + 1) * 1.0 / len(toks), 6)
+                  floor(((n_chars - len(toks) + 1) * 1.0 / len(toks)) * 1000000.0 + 0.5) / 1000000.0
                       AS avg_token_len
            FROM qt),
     scored AS (
         SELECT doc_id, source,
-               ROUND(0.5 * (stop_hits * 1.0 / n_tokens)
+               floor((0.5 * (stop_hits * 1.0 / n_tokens)
                      + 0.3 * (CASE WHEN n_tokens > 60 THEN 60
                                    ELSE n_tokens END / 60.0)
                      + 0.2 * (CASE WHEN avg_token_len > 8 THEN 8
-                                   ELSE avg_token_len END / 8.0),
-                     6) AS quality_score
+                                   ELSE avg_token_len END / 8.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality_score
         FROM qm)
 """
 
@@ -133,16 +133,15 @@ QUALITY_SCORE_CTE = f"""
                  CAST(len(toks) AS BIGINT) AS n_tokens,
                  CAST(len(list_filter(toks, t -> t IN ({_STOP_IN}))) AS BIGINT)
                      AS stop_hits,
-                 ROUND((n_chars - len(toks) + 1) * 1.0 / len(toks), 6)
+                 floor(((n_chars - len(toks) + 1) * 1.0 / len(toks)) * 1000000.0 + 0.5) / 1000000.0
                      AS avg_token_len
           FROM t)
     SELECT doc_id, n_tokens, stop_hits,
-           ROUND(stop_hits * 1.0 / n_tokens, 6) AS stop_ratio,
+           floor((stop_hits * 1.0 / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS stop_ratio,
            avg_token_len,
-           ROUND(0.5 * (stop_hits * 1.0 / n_tokens)
+           floor((0.5 * (stop_hits * 1.0 / n_tokens)
                  + 0.3 * (CASE WHEN n_tokens > 60 THEN 60 ELSE n_tokens END / 60.0)
-                 + 0.2 * (CASE WHEN avg_token_len > 8 THEN 8 ELSE avg_token_len END / 8.0),
-                 6) AS quality_score,
+                 + 0.2 * (CASE WHEN avg_token_len > 8 THEN 8 ELSE avg_token_len END / 8.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality_score,
            CASE WHEN n_tokens >= 30 AND stop_hits > 0 THEN 'good'
                 WHEN n_tokens >= 15 THEN 'fair'
                 ELSE 'poor' END AS quality_class
@@ -162,9 +161,9 @@ def e02_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             "n_tokens",
             "stop_hits",
-            F.round(stop_ratio, 6).alias("stop_ratio"),
+            pround(stop_ratio, 6).alias("stop_ratio"),
             "avg_token_len",
-            F.round(
+            pround(
                 0.5 * stop_ratio
                 + 0.3 * (F.least(F.col("n_tokens"), F.lit(60)) / 60.0)
                 + 0.2 * (F.least(F.col("avg_token_len"), F.lit(8.0)) / 8.0),
@@ -284,7 +283,7 @@ _BPE_RE = "[a-z]+|[0-9]+|[^a-z0-9 ]"
            CAST(len(list_filter(pieces, p -> p ~ '^[0-9]+$')) AS BIGINT)
                AS n_number_pieces,
            n_ws_tokens,
-           ROUND(len(pieces) * 1.0 / n_ws_tokens, 6) AS pieces_per_word
+           floor((len(pieces) * 1.0 / n_ws_tokens) * 1000000.0 + 0.5) / 1000000.0 AS pieces_per_word
     FROM m
     ORDER BY doc_id
     """,
@@ -320,7 +319,7 @@ def e05_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_number_pieces"
             ),
             "n_ws_tokens",
-            F.round(F.size("pieces") * 1.0 / F.col("n_ws_tokens"), 6).alias(
+            pround(F.size("pieces") * 1.0 / F.col("n_ws_tokens"), 6).alias(
                 "pieces_per_word"
             ),
         )
@@ -415,7 +414,7 @@ _DUP_TOKEN_MAX_FRAC = 0.50
                FROM documents),
     b AS (SELECT doc_id,
                  CAST(len(toks) AS BIGINT) AS n_tokens,
-                 ROUND(1 - len(list_distinct(toks)) * 1.0 / len(toks), 6)
+                 floor((1 - len(list_distinct(toks)) * 1.0 / len(toks)) * 1000000.0 + 0.5) / 1000000.0
                      AS dup_token_frac,
                  list_transform(range(1, len(toks)),
                                 i -> toks[i] || ' ' || toks[i + 1]) AS bigrams
@@ -429,7 +428,7 @@ _DUP_TOKEN_MAX_FRAC = 0.50
                  CAST(MAX(c) AS BIGINT) AS top_bigram_n
           FROM c GROUP BY doc_id, n_tokens, dup_token_frac)
     SELECT doc_id, n_tokens, dup_token_frac, n_bigrams, top_bigram_n,
-           ROUND(top_bigram_n * 1.0 / n_bigrams, 6) AS top_bigram_frac,
+           floor((top_bigram_n * 1.0 / n_bigrams) * 1000000.0 + 0.5) / 1000000.0 AS top_bigram_frac,
            (top_bigram_n * 1.0 / n_bigrams > {_TOP_BIGRAM_MAX_FRAC}
             OR dup_token_frac > {_DUP_TOKEN_MAX_FRAC}) AS repetitive
     FROM p
@@ -458,7 +457,7 @@ def e07_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", F.split("text", " ").alias("toks")).select(
         "doc_id",
         F.size(toks).cast("long").alias("n_tokens"),
-        F.round(
+        pround(
             F.lit(1) - F.size(F.array_distinct(toks)) * F.lit(1.0) / F.size(toks), 6
         ).alias("dup_token_frac"),
         F.transform(
@@ -493,7 +492,7 @@ def e07_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dup_token_frac",
         "n_bigrams",
         "top_bigram_n",
-        F.round(frac, 6).alias("top_bigram_frac"),
+        pround(frac, 6).alias("top_bigram_frac"),
         (
             (frac > _TOP_BIGRAM_MAX_FRAC)
             | (F.col("dup_token_frac") > _DUP_TOKEN_MAX_FRAC)
@@ -521,8 +520,7 @@ _TFIDF_TOPN = 5
     tf AS (SELECT source, term, CAST(COUNT(*) AS BIGINT) AS tf FROM t
            GROUP BY source, term),
     scored AS (SELECT tf.source, tf.term, tf.tf, df.df,
-                      ROUND(tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0),
-                            6) AS score
+                      floor((tf.tf * (ln((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS score
                FROM tf JOIN df ON df.term = tf.term CROSS JOIN n)
     SELECT source, term, tf, df, score, CAST(rank AS BIGINT) AS rank
     FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY source
@@ -543,7 +541,7 @@ def e08_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partial aggregation), joined on term; the corpus size N is
     a broadcast scalar (W1 pattern), never a recomputation. The top-k
     window partitions by source, so no global sort touches the full
-    vocabulary. Ranking compares ROUND(score, 6) — engine-identical —
+    vocabulary. Ranking compares floor((score) * 1000000.0 + 0.5) / 1000000.0 — engine-identical —
     not raw ln() doubles."""
     from pyspark.sql import Window
 
@@ -564,7 +562,7 @@ def e08_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "term",
             "tf",
             F.col("df").cast("long").alias("df"),
-            F.round(
+            pround(
                 F.col("tf")
                 * (
                     F.log(
@@ -744,10 +742,10 @@ _DSIR_B = 128
                    CAST(SUM(cr) AS BIGINT) AS nr FROM cnt),
     grid AS (SELECT unnest(generate_series(0, {_DSIR_B - 1})) AS b),
     lr AS (SELECT grid.b,
-                  CAST(ROUND(ln(((COALESCE(cnt.ct, 0) + 1.0)
+                  CAST(floor((ln(((COALESCE(cnt.ct, 0) + 1.0)
                                  * (tot.nr + {_DSIR_B}.0))
                                 / ((COALESCE(cnt.cr, 0) + 1.0)
-                                   * (tot.nt + {_DSIR_B}.0))), 6)
+                                   * (tot.nt + {_DSIR_B}.0)))) * 1000000.0 + 0.5) / 1000000.0
                        AS DECIMAL(18,6)) AS lr6
            FROM grid LEFT JOIN cnt ON cnt.b = grid.b CROSS JOIN tot)
     SELECT tb.doc_id,
@@ -802,7 +800,7 @@ def e11_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(tot))
         .select(
             "b",
-            F.round(
+            pround(
                 F.log(
                     (
                         (F.coalesce(F.col("ct"), F.lit(0)) + F.lit(1.0))
@@ -860,8 +858,8 @@ _PSG_W = 32
            CAST(COUNT(*) AS BIGINT) AS n_passages,
            CAST(SUM(CASE WHEN k.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_shared_passages,
-           ROUND(SUM(CASE WHEN k.nd >= 2 THEN 1 ELSE 0 END) * 1.0
-                 / COUNT(*), 6) AS shared_frac
+           floor((SUM(CASE WHEN k.nd >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS shared_frac
     FROM p JOIN k ON k.pkey = p.pkey
     GROUP BY p.doc_id
     ORDER BY p.doc_id
@@ -916,9 +914,117 @@ def e12_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "doc_id", "n_passages", "n_shared_passages",
-            F.round(
+            pround(
                 F.col("n_shared_passages") * 1.0 / F.col("n_passages"), 6
             ).alias("shared_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e13 — bigram language-model scoring (perplexity-style quality filter)
+# ---------------------------------------------------------------------------
+@query(
+    "e13_bigram_lm_scores",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    tok AS (SELECT unnest(toks) AS w FROM t),
+    uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS uc FROM tok GROUP BY w),
+    v AS (SELECT COUNT(*) AS v FROM uc),
+    bg AS (SELECT doc_id,
+                  unnest(list_transform(range(1, len(toks)),
+                                        i -> toks[i] || ' ' || toks[i + 1]))
+                      AS g
+           FROM t WHERE len(toks) >= 2),
+    bc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS bc FROM bg GROUP BY g),
+    lm AS (SELECT bc.g,
+                  CAST(floor(ln((bc.bc + 1.0) / (uc.uc + v.v))
+                             * 1000000.0 + 0.5) / 1000000.0
+                       AS DECIMAL(18,6)) AS lp6
+           FROM bc JOIN uc ON uc.w = split_part(bc.g, ' ', 1) CROSS JOIN v)
+    SELECT bg.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           floor((CAST(SUM(lm.lp6) AS DOUBLE) / COUNT(*))
+                 * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob
+    FROM bg JOIN lm ON lm.g = bg.g
+    GROUP BY bg.doc_id
+    ORDER BY bg.doc_id
+    """,
+)
+def e13_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document average bigram log-probability under an add-one
+    smoothed corpus LM — the CCNet/Gopher "perplexity filter" shape
+    (docs far below the corpus-typical score are boilerplate or noise;
+    far above, likely duplicated templates).
+
+    Scale: two linear map-side-combinable aggregates build the LM
+    (unigram + bigram counts — the same shuffles a WordCount costs),
+    the per-bigram score is computed ONCE per distinct bigram on the
+    vocabulary-sized LM table (bc ⋈ uc on the bigram's first token,
+    corpus size as a broadcast scalar), and the document stream joins
+    that scored table exactly once on the bigram key. Nothing quadratic,
+    no per-doc recomputation of ln(); AQE broadcasts the LM when it
+    fits and falls back to a shuffle join (with skew split) when a
+    100 TB vocabulary doesn't.
+
+    Determinism: each bigram's log-prob is quantized to DECIMAL(18,6)
+    via the portable floor formula (e11's pattern) BEFORE the per-doc
+    sum, so the aggregate is exact decimal addition — partition-order
+    independent and engine-identical.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    toks = F.col("toks")
+    uni = (
+        t.select(F.explode_outer("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("uc"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    bg = (
+        t.filter(F.size(toks) >= 2)
+        .select(
+            "doc_id",
+            # explode_outer: plain explode plants a size()>0 filter that
+            # pushdown inlines into the scan, re-tokenizing every row
+            # (the e07 gotcha); n_tokens >= 2 already gates the row.
+            F.explode_outer(
+                F.transform(
+                    F.sequence(F.lit(1), F.size(toks) - 1),
+                    lambda i: F.concat(
+                        F.element_at(toks, i),
+                        F.lit(" "),
+                        F.element_at(toks, i + 1),
+                    ),
+                )
+            ).alias("g"),
+        )
+    )
+    bc = bg.groupBy("g").agg(F.count(F.lit(1)).alias("bc"))
+    lm = (
+        bc.withColumn("w1", F.substring_index("g", " ", 1))
+        .join(uni.withColumnRenamed("w", "w1"), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "g",
+            pround(
+                F.log((F.col("bc") + F.lit(1.0)) / (F.col("uc") + F.col("v"))),
+                6,
+            ).cast("decimal(18,6)").alias("lp6"),
+        )
+    )
+    return (
+        bg.join(lm, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            (F.sum("lp6").cast("double") / F.count(F.lit(1))).alias("_avg"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            pround(F.col("_avg"), 6).alias("avg_logprob"),
         )
         .orderBy("doc_id")
     )

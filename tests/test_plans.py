@@ -431,3 +431,24 @@ def test_p10_sample_never_shuffles_corpus(spark, sf_dir):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             raise AssertionError(f"corpus-side hash exchange: {ln}")
+
+
+def test_partition_pruning_reaches_scan(spark, sf_dir):
+    """b32's date filter must resolve against partition DIRECTORIES at
+    planning time (PartitionFilters on the scan), with zero data-column
+    filters left to evaluate per row."""
+    df = QUERIES["b32_partition_pruned_scan"](spark, sf_dir)
+    plan = executed_plan(df)
+    scan_lines = [l for l in plan.splitlines() if "FileScan" in l]
+    assert scan_lines, plan
+    pruned = [
+        l for l in scan_lines
+        if "PartitionFilters" in l and "event_date" in l.split(
+            "PartitionFilters", 1)[1].split("]", 1)[0]
+    ]
+    assert pruned, f"no partition filters on scan:\n{plan}"
+    # the date predicate must NOT degrade to a per-row data filter
+    assert all(
+        "event_date" not in l.split("DataFilters", 1)[1].split("]", 1)[0]
+        for l in pruned if "DataFilters" in l
+    ), plan
