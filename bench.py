@@ -97,6 +97,14 @@ EXTRA = [
     "g18_session_stats",
     "d07_mmr_diversified_topk",
     "m06_payload_dedup",
+    # mid-round-5 additions
+    "c12_heavy_hitters_cms",
+    "e13_bigram_lm_scores",
+    "p11_column_profile",
+    "g19_gap_fill_interpolate",
+    "g20_scd2_priority_history",
+    "f12_stream_full_outer_join",
+    "b32_partition_pruned_scan",
 ]
 
 

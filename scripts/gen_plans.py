@@ -207,6 +207,39 @@ ANNOTATED = {
         "bytes never shuffle; one map-side-combinable groupBy on the "
         "digest, then the duplicate-set filter."
     ),
+    "c12_heavy_hitters_cms": (
+        "Count-min sketch: the d x w counter grid builds in one "
+        "map-side-combinable aggregate, broadcasts (<= 2048 rows), and "
+        "the candidate probe is a BroadcastHashJoin + min-over-depths "
+        "aggregate — the corpus is never joined to itself."
+    ),
+    "e13_bigram_lm_scores": (
+        "Bigram LM: unigram/bigram counts are two linear WordCount "
+        "shuffles; ln() is evaluated once per DISTINCT bigram on the "
+        "vocabulary-sized LM table; the doc stream joins the scored LM "
+        "exactly once (AQE picks broadcast vs shuffle by size)."
+    ),
+    "p11_column_profile": (
+        "Column profile: ONE aggregate pass over orders computes every "
+        "per-column statistic (multi-countDistinct via a single "
+        "Expand), then a 6-row stack unpivot — no per-column rescans."
+    ),
+    "g19_gap_fill_interpolate": (
+        "Gap fill: the hourly rollup is persisted (metadata-sized) so "
+        "bounds+grid+join reuse it instead of rescanning events; the "
+        "neighbor-carry windows share one event_type Exchange."
+    ),
+    "g20_scd2_priority_history": (
+        "SCD2: change flags, row numbers, per-customer totals, and the "
+        "version lead all live on ONE o_custkey Exchange (3 Window ops, "
+        "no groupBy re-shuffle — runs collapse via lead arithmetic on "
+        "their start rows)."
+    ),
+    "b32_partition_pruned_scan": (
+        "Partitioned layout: the 7-day predicate resolves against "
+        "directory names at planning time — PartitionFilters on the "
+        "scan, empty DataFilters, pruned ReadSchema."
+    ),
 }
 
 
