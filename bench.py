@@ -105,6 +105,7 @@ EXTRA = [
     "g20_scd2_priority_history",
     "f12_stream_full_outer_join",
     "b32_partition_pruned_scan",
+    "d09_ann_recall_eval",
 ]
 
 

@@ -240,6 +240,11 @@ ANNOTATED = {
         "directory names at planning time — PartitionFilters on the "
         "scan, empty DataFilters, pruned ReadSchema."
     ),
+    "d09_ann_recall_eval": (
+        "Recall harness: one persisted embedding scan feeds both the "
+        "broadcast-panel brute-force truth and the bucket-equi-join ANN "
+        "side; the overlap join touches only (panel x k)-sized results."
+    ),
 }
 
 

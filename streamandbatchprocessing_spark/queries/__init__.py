@@ -49,8 +49,9 @@ from .registry import ORACLES, QUERIES
 #: Mid-round-5 update: seven operators added this round (c12 CMS heavy
 #: hitters, e13 bigram-LM scoring, f12 full-outer stream-stream join,
 #: p11 column profiling, b32 partition-pruned layout, g19 gap-fill
-#: interpolation, g20 SCD2 history) swap in for seven r04-greened
-#: entries (c03, c04, c05, d05, d06, e06, e07 — each family keeps
+#: interpolation, g20 SCD2 history, plus d09 ANN recall eval) swap in
+#: for r04-greened entries (c03, c04, c05, d05, d06, e03, e06, e07 —
+#: each family keeps
 #: in-window siblings and every rotated-out query keeps its local
 #: strict-oracle test).
 PRIORITY_ORDER: tuple[str, ...] = (
@@ -63,13 +64,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "c10_incremental_neardup", "c11_quantile_sketch",
     "c12_heavy_hitters_cms",
     # similarity search (d01/d02/d03/d05/d06 rotated out green; d04
-    # covers IVF, m02 keeps the Arrow path driver-covered; d07/d08 new)
+    # covers IVF, m02 keeps the Arrow path driver-covered; d07/d08/d09
+    # new — d09 is the recall-eval harness)
     "d04_ivf_kmeans_ann",
     "d07_mmr_diversified_topk",
-    "d08_label_centroids",
-    # text analysis (e01/e02/e04/e05/e06/e07 rotated out green;
+    "d08_label_centroids", "d09_ann_recall_eval",
+    # text analysis (e01/e02/e03/e04/e05/e06/e07 rotated out green;
     # e11/e12/e13 new)
-    "e03_corpus_stats",
     "e08_tfidf_terms", "e09_chunk_plan",
     "e10_pii_scrub", "e11_dsir_importance", "e12_passage_dedup",
     "e13_bigram_lm_scores",

@@ -1122,3 +1122,123 @@ def d07_mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="selection_rank long, neighbor_id long, rel6 long, "
                "mmr_score6 long",
     ).orderBy("selection_rank")
+
+
+# ---------------------------------------------------------------------------
+# d09 — ANN recall evaluation (approximate vs exact ground truth)
+# ---------------------------------------------------------------------------
+#: Query panel and depth for the recall measurement.
+_REC_NQ = 20
+_REC_K = 10
+
+
+@query(
+    "d09_ann_recall_eval",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      {_BUCKET_SQL} AS bucket
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket
+          FROM e WHERE vec_id < {_REC_NQ}),
+    ts AS (SELECT q.qid, e.vec_id AS nid,
+                  list_cosine_similarity(q.qv, e.v) AS cos_sim
+           FROM q JOIN e ON e.vec_id <> q.qid),
+    tr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY cos_sim DESC, nid) AS rank
+           FROM ts),
+    truth AS (SELECT qid, nid FROM tr WHERE rank <= {_REC_K}),
+    as_ AS (SELECT q.qid, e.vec_id AS nid,
+                   list_cosine_similarity(q.qv, e.v) AS cos_sim
+            FROM q JOIN e ON e.bucket = q.qbucket AND e.vec_id <> q.qid),
+    ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY cos_sim DESC, nid) AS rank
+           FROM as_),
+    ann AS (SELECT qid, nid FROM ar WHERE rank <= {_REC_K}),
+    hits AS (SELECT t.qid, CAST(COUNT(a.nid) AS BIGINT) AS n_hits
+             FROM truth t LEFT JOIN ann a
+               ON a.qid = t.qid AND a.nid = t.nid
+             GROUP BY t.qid),
+    nt AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_truth
+           FROM truth GROUP BY qid)
+    SELECT nt.qid AS query_id, nt.n_truth, hits.n_hits,
+           floor((hits.n_hits * 1.0 / nt.n_truth) * 1000000.0 + 0.5)
+               / 1000000.0 AS recall
+    FROM nt JOIN hits ON hits.qid = nt.qid
+    ORDER BY query_id
+    """,
+)
+def d09_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the sign-bucket IVF ANN (d02's index shape) against
+    the exact brute-force ground truth, per query — the evaluation
+    harness an ANN deployment runs whenever the index parameters
+    change (recall is THE accept/reject metric for an approximate
+    index; shipping an index without this measurement is guessing).
+
+    Scale: the ground-truth side is exact brute force over the bounded
+    query panel only (|panel| x corpus scored rows, one broadcast of
+    the panel, no shuffle of the corpus — d01's shape); the ANN side
+    probes one bucket per query via the same equi-join as d02. The
+    overlap count joins two (panel x k)-sized result sets — metadata.
+    The measured recall is LOW on this fixture (mostly 0.0-0.2):
+    random near-orthogonal vectors spread each query's true neighbors
+    across many sign cells, and nprobe=1 reads one — which is exactly
+    the finding this harness exists to surface; it is the quantified
+    case for d04's trained k-means index and multi-cell probing.
+    """
+    emb = persist_tracked(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            as_double(F.col("embedding")).alias("v"),
+            sign_bucket(F.col("embedding"), 4).alias("bucket"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") < _REC_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    truth = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _REC_K)
+        .select("qid", "nid")
+    )
+    ann = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _REC_K)
+        .select("qid", F.col("nid").alias("a_nid"))
+    )
+    hits = (
+        truth.join(
+            ann,
+            (truth["qid"] == ann["qid"]) & (truth["nid"] == ann["a_nid"]),
+            "left",
+        )
+        .groupBy(truth["qid"].alias("qid"))
+        .agg(
+            F.count(F.lit(1)).alias("n_truth"),
+            F.count("a_nid").alias("n_hits"),
+        )
+    )
+    return hits.select(
+        F.col("qid").alias("query_id"),
+        "n_truth",
+        "n_hits",
+        pround(F.col("n_hits") * 1.0 / F.col("n_truth"), 6).alias("recall"),
+    ).orderBy("query_id")

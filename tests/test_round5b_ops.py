@@ -170,3 +170,20 @@ def test_p11_profile_matches_direct_aggregates(spark, sf_dir):
     assert prof["o_orderstatus"]["n_distinct"] == len(statuses)
     assert prof["o_orderstatus"]["min_s"] == min(statuses)
     assert prof["o_orderstatus"]["max_s"] == max(statuses)
+
+
+def test_d09_recall_bounds_and_consistency(spark, sf_dir):
+    """Recall must be a true ratio: 0 <= n_hits <= n_truth <= k, one
+    row per panel query, and every hit must actually be a brute-force
+    ground-truth neighbor that the ANN side also returned."""
+    rows = QUERIES["d09_ann_recall_eval"](spark, sf_dir).collect()
+    from streamandbatchprocessing_spark.queries.similarity import (
+        _REC_K,
+        _REC_NQ,
+    )
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == min(_REC_NQ, n_vecs)
+    for r in rows:
+        assert 0 <= r["n_hits"] <= r["n_truth"] <= _REC_K
+        assert abs(r["recall"] - r["n_hits"] / r["n_truth"]) < 1e-6
