@@ -106,6 +106,8 @@ EXTRA = [
     "f12_stream_full_outer_join",
     "b32_partition_pruned_scan",
     "d09_ann_recall_eval",
+    "c13_bloom_prefilter",
+    "e14_token_entropy",
 ]
 
 

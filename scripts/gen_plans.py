@@ -245,6 +245,17 @@ ANNOTATED = {
         "broadcast-panel brute-force truth and the bucket-equi-join ANN "
         "side; the overlap join touches only (panel x k)-sized results."
     ),
+    "c13_bloom_prefilter": (
+        "Bloom pre-screen: the corpus collapses to <= m distinct "
+        "set-bit rows (map-side combinable) broadcast to the delta "
+        "probe — the corpus is touched once at build time, never per "
+        "delta."
+    ),
+    "e14_token_entropy": (
+        "Token entropy: one (doc, token) count aggregate and a per-doc "
+        "rollup — two linear map-side-combinable shuffles, no "
+        "vocabulary join."
+    ),
 }
 
 

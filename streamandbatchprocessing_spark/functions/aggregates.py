@@ -84,6 +84,14 @@ def pround(col: Column | str, scale: int, alias: str | None = None) -> Column:
 
 
 def pround_sql(x: str, scale: int) -> str:
-    """The SQL twin of :func:`pround` for DuckDB oracle strings."""
+    """The SQL twin of :func:`pround` for DuckDB oracle strings.
+
+    Most existing oracles INLINE this formula verbatim (they are plain
+    strings, predating this helper); use pround_sql in new f-string
+    oracles. The inlined copies are pinned two ways: the engine-vs-
+    engine tie test (test_pround_spark_matches_duckdb...) proves the
+    formula itself, and test_oracle_floor_rounding_formulas_are_self_
+    consistent scans every registered oracle for mismatched multiply/
+    divide scales."""
     k = float(10 ** scale)
     return f"floor(({x}) * {k!r} + 0.5) / {k!r}"

@@ -46,34 +46,35 @@ from .registry import ORACLES, QUERIES
 #: green CORRECTNESS row and keeps its local strict-oracle test, which
 #: is bit-exact with the driver's compare.
 #:
-#: Mid-round-5 update: seven operators added this round (c12 CMS heavy
-#: hitters, e13 bigram-LM scoring, f12 full-outer stream-stream join,
-#: p11 column profiling, b32 partition-pruned layout, g19 gap-fill
-#: interpolation, g20 SCD2 history, plus d09 ANN recall eval) swap in
-#: for r04-greened entries (c03, c04, c05, d05, d06, e03, e06, e07 —
-#: each family keeps
-#: in-window siblings and every rotated-out query keeps its local
-#: strict-oracle test).
+#: Mid-round-5 update: ten operators added this round (c12 CMS heavy
+#: hitters, c13 Bloom pre-screen, e13 bigram-LM scoring, e14 token
+#: entropy, f12 full-outer stream-stream join, p11 column profiling,
+#: b32 partition-pruned layout, g19 gap-fill interpolation, g20 SCD2
+#: history, d09 ANN recall eval) swap in for ten r04-greened entries
+#: (c03, c04, c05, c06, d05, d06, e03, e06, e07, e09 — each family
+#: keeps in-window siblings and every rotated-out query keeps its
+#: local strict-oracle test; c06's rows-only verdict and e09's hash
+#: verdict both stand from r04).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
-    # dedup + sketches (c01/c03/c04/c05 rotated out green; c02+c07 keep
-    # MinHash-LSH and canonicalization driver-covered; c12 new)
-    "c02_minhash_lsh_pairs", "c06_hll_user_sketch",
+    # dedup + sketches (c01/c03/c04/c05/c06 rotated out; c02+c07 keep
+    # MinHash-LSH and canonicalization driver-covered; c12/c13 new)
+    "c02_minhash_lsh_pairs",
     "c07_dup_clusters", "c09_semantic_dedup",
     "c10_incremental_neardup", "c11_quantile_sketch",
-    "c12_heavy_hitters_cms",
+    "c12_heavy_hitters_cms", "c13_bloom_prefilter",
     # similarity search (d01/d02/d03/d05/d06 rotated out green; d04
     # covers IVF, m02 keeps the Arrow path driver-covered; d07/d08/d09
     # new — d09 is the recall-eval harness)
     "d04_ivf_kmeans_ann",
     "d07_mmr_diversified_topk",
     "d08_label_centroids", "d09_ann_recall_eval",
-    # text analysis (e01/e02/e03/e04/e05/e06/e07 rotated out green;
-    # e11/e12/e13 new)
-    "e08_tfidf_terms", "e09_chunk_plan",
+    # text analysis (e01-e07 + e09 rotated out green;
+    # e11/e12/e13/e14 new)
+    "e08_tfidf_terms",
     "e10_pii_scrub", "e11_dsir_importance", "e12_passage_dedup",
-    "e13_bigram_lm_scores",
+    "e13_bigram_lm_scores", "e14_token_entropy",
     # streaming extensions (f10/f11/f12 are new this round)
     "f01_streaming_dashboard", "f02_streaming_dedup", "f03_session_windows",
     "f04_stateful_user_totals", "f05_stream_stream_join",

@@ -990,6 +990,13 @@ def c12_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks); a production deployment tracks candidates with a
     space-saving/sampled pass and probes only those — the sketch side
     (build, broadcast, min-over-rows probe) is identical.
+
+    One scan: because the harness needs the exact per-key counts
+    anyway, the sketch cells and the grand total both DERIVE from the
+    persisted candidate table (sum of key counts per cell == count of
+    raw rows per cell), so events is read exactly once. A sketch-only
+    production build skips the key aggregate entirely and feeds raw
+    rows straight into the d x w grid — same cells, no key shuffle.
     """
     ev = load_table(spark, sf_dir, "events")
     keyed = ev.select(F.col("user_id").cast("string").alias("k"))
@@ -1003,14 +1010,17 @@ def c12_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_CMS_W),
         )
 
-    rows = keyed.select("k", F.explode(depths).alias("d"))
-    sketch = (
-        rows.select("d", bucket(F.col("k"), F.col("d")).alias("b"))
-        .groupBy("d", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+    cand = persist_tracked(
+        keyed.groupBy("k").agg(F.count(F.lit(1)).alias("true_n"))
     )
-    tot = keyed.agg(F.count(F.lit(1)).alias("n"))
-    cand = keyed.groupBy("k").agg(F.count(F.lit(1)).alias("true_n"))
+    sketch = (
+        cand.select("true_n", F.explode(depths).alias("d"),
+                    F.col("k").alias("sk"))
+        .select("d", bucket(F.col("sk"), F.col("d")).alias("b"), "true_n")
+        .groupBy("d", "b")
+        .agg(F.sum("true_n").alias("c"))
+    )
+    tot = cand.agg(F.sum("true_n").alias("n"))
     est = (
         cand.select("k", F.explode(depths).alias("d"))
         .withColumn("b", bucket(F.col("k"), F.col("d")))
@@ -1028,4 +1038,137 @@ def c12_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "est_n",
         )
         .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c13 — Bloom-filter membership pre-screen for incremental dedup
+# ---------------------------------------------------------------------------
+#: Filter geometry: m bits, k hash functions. At the fixture's corpus
+#: cardinality (<= ~45k distinct texts at sf0.1) m=65536, k=4 keeps the
+#: theoretical false-positive rate (1-e^{-kn/m})^k under ~2 %.
+_BF_M = 65_536
+_BF_K = 4
+#: Delta batch = every 10th doc (c10's convention); the rest is corpus.
+_BF_BATCH_MOD = 10
+#: Membership key = the document's opening 8-token passage. The fixture
+#: contains zero EXACT text duplicates at any SF (measured), so a
+#: full-text key would make every verdict vacuously false; shared
+#: openings are the realistic "seen this boilerplate before" signal,
+#: and a full-text/content-hash key is a one-line swap.
+_BF_PREFIX = 8
+
+
+@query(
+    "c13_bloom_prefilter",
+    oracle=f"""
+    WITH d AS (SELECT doc_id,
+                      md5(array_to_string(string_split(text, ' ')[1:{_BF_PREFIX}],
+                                          ' ')) AS th
+               FROM documents),
+    corpus AS (SELECT th FROM d WHERE doc_id % {_BF_BATCH_MOD} <> 0),
+    delta AS (SELECT doc_id, th FROM d WHERE doc_id % {_BF_BATCH_MOD} = 0),
+    bits AS (SELECT DISTINCT
+                    CAST(('0x' || substr(md5('bf' || CAST(i.i AS VARCHAR)
+                                             || ':' || corpus.th), 1, 15))
+                         AS BIGINT) % {_BF_M} AS pos
+             FROM corpus
+             CROSS JOIN (SELECT unnest(generate_series(0, {_BF_K - 1}))
+                         AS i) i),
+    probe AS (SELECT delta.doc_id, delta.th, i.i,
+                     CAST(('0x' || substr(md5('bf' || CAST(i.i AS VARCHAR)
+                                              || ':' || delta.th), 1, 15))
+                          AS BIGINT) % {_BF_M} AS pos
+              FROM delta
+              CROSS JOIN (SELECT unnest(generate_series(0, {_BF_K - 1}))
+                          AS i) i),
+    hits AS (SELECT probe.doc_id,
+                    CAST(COUNT(bits.pos) AS BIGINT) AS n_set
+             FROM probe LEFT JOIN bits ON bits.pos = probe.pos
+             GROUP BY probe.doc_id),
+    truth AS (SELECT delta.doc_id,
+                     EXISTS (SELECT 1 FROM corpus c
+                             WHERE c.th = delta.th) AS exact_dup
+              FROM delta)
+    SELECT hits.doc_id,
+           hits.n_set = {_BF_K} AS bloom_hit,
+           truth.exact_dup,
+           (hits.n_set = {_BF_K} AND NOT truth.exact_dup)
+               AS false_positive
+    FROM hits JOIN truth ON truth.doc_id = hits.doc_id
+    ORDER BY hits.doc_id
+    """,
+)
+def c13_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter membership pre-screen: the corpus's opening-passage
+    hashes (first 8 tokens — see _BF_PREFIX) set k=4 bits each in an
+    m=65536-bit filter; a delta batch is probed
+    bits-first so only "probably seen" documents proceed to the exact
+    (or LSH) dedup path. Output per delta doc: the bloom verdict, the
+    exact ground truth, and the false-positive flag — never a false
+    NEGATIVE (the Bloom guarantee, asserted in tests).
+
+    Scale: the filter is the km-bounded DISTINCT of bit positions —
+    built with one map-side-combinable aggregate, broadcast as <= m
+    rows (a production build packs them into an m/8-byte bitmap; the
+    set-bit relation IS that bitmap, mergeable across shards by
+    union/OR). The delta probes it with a broadcast join — the corpus
+    is touched once at build time and NEVER per delta, which is the
+    point: at 100 TB the pre-screen turns per-batch dedup from
+    delta x corpus work into delta x O(1)-broadcast work, with the
+    expensive exact path reserved for the bloom-hit subset.
+
+    Portable hashing: bit positions are the repo's md5 hash60 family
+    (functions/hashing.py), so the DuckDB oracle reproduces the filter
+    bit-for-bit.
+    """
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, _BF_PREFIX))
+        ).alias("th"),
+    )
+    corpus = docs.filter(F.col("doc_id") % _BF_BATCH_MOD != 0)
+    delta = docs.filter(F.col("doc_id") % _BF_BATCH_MOD == 0)
+
+    def pos(i: int, th) -> F.Column:
+        return F.pmod(
+            hash60(F.concat(F.lit(f"bf{i}:"), th)), F.lit(_BF_M)
+        )
+
+    bits = (
+        corpus.select(
+            F.explode(
+                F.array(*[pos(i, F.col("th")) for i in range(_BF_K)])
+            ).alias("pos")
+        )
+        .distinct()
+    )
+    probe = delta.select(
+        "doc_id",
+        "th",
+        F.explode(
+            F.array(*[pos(i, F.col("th")) for i in range(_BF_K)])
+        ).alias("pos"),
+    )
+    hits = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("doc_id")
+        .agg(F.count("hit").alias("n_set"))
+    )
+    truth = delta.join(
+        corpus.select(F.col("th").alias("cth")).distinct(),
+        F.col("th") == F.col("cth"),
+        "left",
+    ).select("doc_id", F.col("cth").isNotNull().alias("exact_dup"))
+    bloom_hit = F.col("n_set") == _BF_K
+    return (
+        hits.join(truth, "doc_id")
+        .select(
+            "doc_id",
+            bloom_hit.alias("bloom_hit"),
+            "exact_dup",
+            (bloom_hit & ~F.col("exact_dup")).alias("false_positive"),
+        )
+        .orderBy("doc_id")
     )

@@ -209,7 +209,11 @@ def d03_topk_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                 {
                     "qid": np.repeat(q_ids[None, :], b, axis=0).ravel(),
                     "nid": np.repeat(nids, nq),
-                    "cos_sim": np.round(sims.ravel(), 6),
+                    # floor(x*1e6+0.5)/1e6, NOT np.round: np.round ties
+                    # half-to-even while the oracle's portable floor
+                    # formula ties half-up — they disagree exactly at
+                    # the .5 ties pround exists to pin down.
+                    "cos_sim": np.floor(sims.ravel() * 1e6 + 0.5) / 1e6,
                 }
             )
 

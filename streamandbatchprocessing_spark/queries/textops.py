@@ -1028,3 +1028,71 @@ def e13_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# e14 — per-document token entropy (distributional quality signal)
+# ---------------------------------------------------------------------------
+@query(
+    "e14_token_entropy",
+    oracle="""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
+    p AS (SELECT doc_id, c,
+                 CAST(floor((c * ln(c)) * 1000000.0 + 0.5) / 1000000.0
+                      AS DECIMAL(18,6)) AS clc
+          FROM c),
+    a AS (SELECT doc_id,
+                 CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct,
+                 SUM(clc) AS s
+          FROM p GROUP BY doc_id)
+    SELECT doc_id, n_tokens, n_distinct,
+           floor((ln(n_tokens) - CAST(s AS DOUBLE) / n_tokens)
+                 * 1000000.0 + 0.5) / 1000000.0 AS entropy
+    FROM a
+    ORDER BY doc_id
+    """,
+)
+def e14_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each document's token distribution — the
+    distributional quality signal that separates natural prose
+    (moderate entropy) from keyword-stuffed spam (high) and template/
+    repetition pathologies (low); complements e07's surface repetition
+    ratios with an information-theoretic one.
+
+    Algebra: H = ln(n) - (Σ c·ln c)/n over per-doc token counts, so the
+    corpus-wide work is ONE (doc, token) count aggregate (map-side
+    combinable) and a per-doc rollup — two linear shuffles, no
+    vocabulary join at all. Each term's c·ln c is quantized to
+    DECIMAL(18,6) via the portable floor formula before the sum
+    (partition-order independent, engine-identical); ln(c) of an
+    integer count is the same double on both engines (e08/e13
+    precedent).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per = cnt.select(
+        "doc_id",
+        "c",
+        pround(F.col("c") * F.log("c"), 6).cast("decimal(18,6)").alias("clc"),
+    )
+    agg = per.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum("clc").alias("s"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "n_distinct",
+        pround(
+            F.log("n_tokens") - F.col("s").cast("double") / F.col("n_tokens"),
+            6,
+        ).alias("entropy"),
+    ).orderBy("doc_id")

@@ -167,3 +167,24 @@ def test_pround_spark_matches_duckdb_on_tie_adversaries(spark):
     # model agreement too (documents WHAT the shared value is)
     for i, v in enumerate(vals):
         assert got[i] == _pround_model(v, 6)
+
+
+def test_oracle_floor_rounding_formulas_are_self_consistent():
+    """Most oracles inline the portable floor formula rather than
+    calling pround_sql (they predate it / are plain strings). This
+    guard makes the inlining safe: in EVERY registered oracle, each
+    `* K + 0.5) / K'` rounding site must use the SAME scale on both
+    sides (a mismatched pair silently rounds to the wrong precision —
+    exactly the drift class pround_sql exists to prevent)."""
+    import re
+
+    from streamandbatchprocessing_spark.queries import ORACLES
+
+    pat = re.compile(r"\*\s*([0-9]+(?:\.[0-9]+)?)\s*\+\s*0\.5\)\s*/\s*"
+                     r"([0-9]+(?:\.[0-9]+)?)")
+    checked = 0
+    for name, sql in ORACLES.items():
+        for mul, div in pat.findall(sql):
+            assert float(mul) == float(div), (name, mul, div)
+            checked += 1
+    assert checked >= 40  # the formula is load-bearing across families

@@ -150,11 +150,18 @@ def test_p11_profile_matches_direct_aggregates(spark, sf_dir):
         "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
         "o_orderdate", "o_orderpriority",
     }
-    for r in prof.values():
+    # min <= max must compare in each column's own domain: numeric
+    # renderings are NOT lexicographically ordered ('10' < '2'), only
+    # timestamps (fixed-width sortable format) and plain strings are.
+    numeric = {"o_orderkey", "o_custkey", "o_totalprice"}
+    for name, r in prof.items():
         assert r["n_rows"] == n
         assert 0 <= r["n_null"] <= n
         assert 1 <= r["n_distinct"] <= n
-        assert r["min_s"] <= r["max_s"]
+        if name in numeric:
+            assert float(r["min_s"]) <= float(r["max_s"])
+        else:
+            assert r["min_s"] <= r["max_s"]
     direct = orders.agg(
         F.countDistinct("o_custkey").alias("nd"),
         F.min("o_custkey").alias("mn"),
@@ -187,3 +194,31 @@ def test_d09_recall_bounds_and_consistency(spark, sf_dir):
     for r in rows:
         assert 0 <= r["n_hits"] <= r["n_truth"] <= _REC_K
         assert abs(r["recall"] - r["n_hits"] / r["n_truth"]) < 1e-6
+
+
+def test_c13_bloom_has_no_false_negatives_and_is_nonvacuous(spark, sf_dir):
+    """The Bloom guarantee: every exact duplicate MUST be a bloom hit
+    (no false negatives, ever); and the fixture must actually exercise
+    the hit path (a key choice that yields all-false verdicts would
+    make the oracle gate vacuous)."""
+    rows = QUERIES["c13_bloom_prefilter"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r["exact_dup"]:
+            assert r["bloom_hit"], r
+        assert r["false_positive"] == (r["bloom_hit"] and not r["exact_dup"])
+    assert any(r["exact_dup"] for r in rows), "vacuous: no dup reaches delta"
+
+
+def test_e14_entropy_bounds(spark, sf_dir):
+    """0 <= H <= ln(n_distinct) (uniform maximizes entropy), H == 0
+    iff the doc repeats a single token, and counts are consistent."""
+    import math
+
+    rows = QUERIES["e14_token_entropy"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["n_distinct"] <= r["n_tokens"]
+        assert -1e-6 <= r["entropy"] <= math.log(r["n_distinct"]) + 1e-6, r
+        if r["n_distinct"] == 1:
+            assert abs(r["entropy"]) < 1e-6
