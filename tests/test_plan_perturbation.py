@@ -57,6 +57,19 @@ PERTURBED = [
     "g18_session_stats",
     "d07_mmr_diversified_topk",
     "m06_payload_dedup",
+    # mid-round-5 additions: CMS cell sums + broadcast min-probe, Bloom
+    # bit census, LM/entropy decimal-quantized sums, neighbor-carry
+    # interpolation windows, SCD2 lead arithmetic, the Expand profile,
+    # recall overlap counts, and the partitioned-layout rewrite.
+    "c12_heavy_hitters_cms",
+    "c13_bloom_prefilter",
+    "e13_bigram_lm_scores",
+    "e14_token_entropy",
+    "g19_gap_fill_interpolate",
+    "g20_scd2_priority_history",
+    "p11_column_profile",
+    "d09_ann_recall_eval",
+    "b32_partition_pruned_scan",
 ]
 
 _PERTURB = {
