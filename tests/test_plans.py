@@ -236,6 +236,14 @@ _BOUNDED_BROADCAST_OK = {
     "d05_sq8_topk",
     # p06 broadcasts the eval panel's exploded gram set (doc_id < K).
     "p06_contamination_check",
+    # d09 broadcasts the literal-bounded query panel (vec_id < 20), the
+    # same set d01-d03 broadcast.
+    "d09_ann_recall_eval",
+    # c13 broadcasts the Bloom set-bit relation — a Deduplicate node
+    # bounded by the filter geometry (<= m = 65536 rows) rather than by
+    # data volume (the generic check only recognizes Aggregate/Limit
+    # reductions, not Deduplicate).
+    "c13_bloom_prefilter",
 }
 
 
