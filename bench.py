@@ -108,6 +108,7 @@ EXTRA = [
     "d09_ann_recall_eval",
     "c13_bloom_prefilter",
     "e14_token_entropy",
+    "g21_rolling_zscore_anomaly",
 ]
 
 

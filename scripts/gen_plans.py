@@ -256,6 +256,11 @@ ANNOTATED = {
         "rollup — two linear map-side-combinable shuffles, no "
         "vocabulary join."
     ),
+    "g21_rolling_zscore_anomaly": (
+        "Rolling anomaly: hourly rollup, then one per-type window pass "
+        "whose RANGE frame holds <= 24 rows of integer-micro-unit "
+        "state; moments accumulate in exact DECIMAL(38,0)."
+    ),
 }
 
 

@@ -46,12 +46,13 @@ from .registry import ORACLES, QUERIES
 #: green CORRECTNESS row and keeps its local strict-oracle test, which
 #: is bit-exact with the driver's compare.
 #:
-#: Mid-round-5 update: ten operators added this round (c12 CMS heavy
+#: Mid-round-5 update: eleven operators added this round (c12 CMS heavy
 #: hitters, c13 Bloom pre-screen, e13 bigram-LM scoring, e14 token
 #: entropy, f12 full-outer stream-stream join, p11 column profiling,
 #: b32 partition-pruned layout, g19 gap-fill interpolation, g20 SCD2
-#: history, d09 ANN recall eval) swap in for ten r04-greened entries
-#: (c03, c04, c05, c06, d05, d06, e03, e06, e07, e09 — each family
+#: history, d09 ANN recall eval, g21 rolling z-score anomaly) swap in
+#: for eleven r04-greened entries
+#: (c03, c04, c05, c06, d05, d06, e03, e06, e07, e08, e09 — each family
 #: keeps in-window siblings and every rotated-out query keeps its
 #: local strict-oracle test; c06's rows-only verdict and e09's hash
 #: verdict both stand from r04).
@@ -70,9 +71,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "d04_ivf_kmeans_ann",
     "d07_mmr_diversified_topk",
     "d08_label_centroids", "d09_ann_recall_eval",
-    # text analysis (e01-e07 + e09 rotated out green;
-    # e11/e12/e13/e14 new)
-    "e08_tfidf_terms",
+    # text analysis (e01-e09 rotated out green; e11/e12/e13/e14 new)
     "e10_pii_scrub", "e11_dsir_importance", "e12_passage_dedup",
     "e13_bigram_lm_scores", "e14_token_entropy",
     # streaming extensions (f10/f11/f12 are new this round)
@@ -99,6 +98,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "g15_cohort_retention", "g16_range_click_attribution",
     "g17_time_weighted_value", "g18_session_stats",
     "g19_gap_fill_interpolate", "g20_scd2_priority_history",
+    "g21_rolling_zscore_anomaly",
 )
 
 

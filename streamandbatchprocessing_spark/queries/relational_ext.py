@@ -1289,3 +1289,122 @@ def g20_scd2_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_orders.alias("n_orders"),
         valid_to.isNull().alias("is_current"),
     ).orderBy("o_custkey", "version")
+
+
+# ---------------------------------------------------------------------------
+# g21 — rolling z-score anomaly detection (trailing-window baseline)
+# ---------------------------------------------------------------------------
+#: Baseline = the trailing 24 observed hours STRICTLY BEFORE the scored
+#: hour (range frame -24..-1 on the integer hour index, so calendar
+#: gaps shrink the baseline rather than shifting it); hours with fewer
+#: than _ZS_MIN_BASE baseline points score NULL.
+_ZS_MIN_BASE = 6
+_ZS_THRESHOLD = 3.0
+
+
+@query(
+    "g21_rolling_zscore_anomaly",
+    oracle=f"""
+    WITH ev AS (SELECT event_type,
+                       date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
+                       value
+                FROM events),
+    act AS (SELECT event_type, h,
+                   CAST(epoch_us(h) / 3600000000 AS BIGINT) AS hidx,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(floor((CAST(SUM(CAST(value AS DECIMAL(25,6)))
+                                    AS DOUBLE) / COUNT(*))
+                              * 1000000.0 + 0.5) AS BIGINT) AS vmu
+            FROM ev GROUP BY event_type, h),
+    w AS (SELECT *,
+            COUNT(vmu) OVER tw AS bn,
+            SUM(CAST(vmu AS DECIMAL(38,0))) OVER tw AS s1,
+            SUM(CAST(vmu AS DECIMAL(38,0)) * CAST(vmu AS DECIMAL(38,0)))
+                OVER tw AS s2
+          FROM act
+          WINDOW tw AS (PARTITION BY event_type ORDER BY hidx
+                        RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+    z AS (SELECT event_type, h, n_events, vmu, bn,
+                 CASE WHEN bn >= {_ZS_MIN_BASE}
+                       AND CAST(bn * s2 - s1 * s1 AS DOUBLE) > 0
+                      THEN (vmu - CAST(s1 AS DOUBLE) / bn)
+                           / sqrt(CAST(bn * s2 - s1 * s1 AS DOUBLE)
+                                  / (bn * (bn - 1)))
+                 END AS zraw
+          FROM w)
+    SELECT event_type, h AS hour_start, n_events,
+           CAST(vmu AS DOUBLE) / 1000000.0 AS value,
+           CAST(bn AS BIGINT) AS baseline_n,
+           floor(zraw * 1000000.0 + 0.5) / 1000000.0 AS zscore,
+           CASE WHEN zraw IS NULL THEN NULL
+                ELSE abs(zraw) > {_ZS_THRESHOLD!r} END AS is_anomaly
+    FROM z
+    ORDER BY event_type, hour_start
+    """,
+)
+def g21_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly per-type anomaly scores: each hour's mean value against
+    the mean/stddev of its own trailing 24 observed hours — the
+    rolling-baseline z-score monitor that pages someone when a metric
+    jumps (|z| > 3).
+
+    Scale: one map-side-combinable hourly rollup, then a single
+    per-type window pass whose RANGE frame holds <= 24 rows of state.
+    Determinism is the g13/g17 discipline end-to-end in INTEGER
+    micro-units: the hourly mean quantizes to an int64 BEFORE the
+    rolling moments, Σv and Σv² accumulate in exact DECIMAL(38,0)
+    (order-independent; Σv² can exceed int64), and the variance
+    numerator n·Σv² − (Σv)² is formed exactly in decimal before ONE
+    correctly-rounded conversion to double — both engines then run the
+    same IEEE divide/sqrt and the z-score quantizes through the
+    portable floor formula."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+        "value",
+    )
+    act = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.floor(
+            (dsum("value") / F.count(F.lit(1))) * F.lit(1000000.0)
+            + F.lit(0.5)
+        ).cast("long").alias("vmu"),
+    ).withColumn(
+        "hidx",
+        (F.unix_micros(F.col("h").cast("timestamp")) / 3_600_000_000)
+        .cast("long"),
+    )
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("hidx")
+        .rangeBetween(-24, -1)
+    )
+    vdec = F.col("vmu").cast("decimal(38,0)")
+    w = act.select(
+        "event_type",
+        "h",
+        "n_events",
+        "vmu",
+        F.count("vmu").over(tw).alias("bn"),
+        F.sum(vdec).over(tw).alias("s1"),
+        F.sum(vdec * vdec).over(tw).alias("s2"),
+    )
+    var_num = (F.col("bn") * F.col("s2") - F.col("s1") * F.col("s1")).cast(
+        "double"
+    )
+    zraw = F.when(
+        (F.col("bn") >= _ZS_MIN_BASE) & (var_num > 0),
+        (F.col("vmu") - F.col("s1").cast("double") / F.col("bn"))
+        / F.sqrt(var_num / (F.col("bn") * (F.col("bn") - 1))),
+    )
+    return w.select(
+        "event_type",
+        F.col("h").alias("hour_start"),
+        "n_events",
+        (F.col("vmu").cast("double") / F.lit(1000000.0)).alias("value"),
+        F.col("bn").cast("long").alias("baseline_n"),
+        pround(zraw, 6).alias("zscore"),
+        F.when(zraw.isNotNull(), F.abs(zraw) > _ZS_THRESHOLD).alias(
+            "is_anomaly"
+        ),
+    ).orderBy("event_type", "hour_start")

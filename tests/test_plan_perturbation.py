@@ -70,6 +70,7 @@ PERTURBED = [
     "p11_column_profile",
     "d09_ann_recall_eval",
     "b32_partition_pruned_scan",
+    "g21_rolling_zscore_anomaly",
 ]
 
 _PERTURB = {

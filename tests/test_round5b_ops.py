@@ -222,3 +222,38 @@ def test_e14_entropy_bounds(spark, sf_dir):
         assert -1e-6 <= r["entropy"] <= math.log(r["n_distinct"]) + 1e-6, r
         if r["n_distinct"] == 1:
             assert abs(r["entropy"]) < 1e-6
+
+
+def test_g21_zscore_matches_trailing_window_recompute(spark, sf_dir):
+    """Each z-score must reproduce from the emitted series itself: the
+    baseline is exactly the trailing 24 observed hours strictly before
+    the scored hour, and z = (v - mean) / stddev over that baseline."""
+    import math
+
+    rows = QUERIES["g21_rolling_zscore_anomaly"](spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    assert by_type
+    scored = 0
+    for rs in by_type.values():
+        series = [
+            (int(r["hour_start"].timestamp() // 3600), r["value"], r)
+            for r in rs
+        ]
+        for i, (h, v, r) in enumerate(series):
+            base = [bv for bh, bv, _ in series[:i] if h - 24 <= bh <= h - 1]
+            if len(base) < 6:
+                assert r["zscore"] is None and r["is_anomaly"] is None
+                continue
+            mean = sum(base) / len(base)
+            var = sum((b - mean) ** 2 for b in base) / (len(base) - 1)
+            if var <= 0:
+                assert r["zscore"] is None
+                continue
+            z = (v - mean) / math.sqrt(var)
+            assert abs(r["zscore"] - z) < 1e-4, (r, z)
+            assert r["is_anomaly"] == (abs(z) > 3.0) or abs(abs(z) - 3.0) < 1e-4
+            assert r["baseline_n"] == len(base)
+            scored += 1
+    assert scored > 0
