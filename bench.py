@@ -109,6 +109,7 @@ EXTRA = [
     "c13_bloom_prefilter",
     "e14_token_entropy",
     "g21_rolling_zscore_anomaly",
+    "b33_dynamic_partition_prune",
 ]
 
 

@@ -261,6 +261,12 @@ ANNOTATED = {
         "whose RANGE frame holds <= 24 rows of integer-micro-unit "
         "state; moments accumulate in exact DECIMAL(38,0)."
     ),
+    "b33_dynamic_partition_prune": (
+        "Dynamic partition pruning: the runtime day panel broadcasts "
+        "and becomes a dynamicpruningexpression in the fact scan's "
+        "PartitionFilters — 23 of 30 date partitions skipped before "
+        "any I/O."
+    ),
 }
 
 

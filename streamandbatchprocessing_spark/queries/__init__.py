@@ -46,13 +46,13 @@ from .registry import ORACLES, QUERIES
 #: green CORRECTNESS row and keeps its local strict-oracle test, which
 #: is bit-exact with the driver's compare.
 #:
-#: Mid-round-5 update: eleven operators added this round (c12 CMS heavy
+#: Mid-round-5 update: twelve operators added this round (c12 CMS heavy
 #: hitters, c13 Bloom pre-screen, e13 bigram-LM scoring, e14 token
 #: entropy, f12 full-outer stream-stream join, p11 column profiling,
 #: b32 partition-pruned layout, g19 gap-fill interpolation, g20 SCD2
-#: history, d09 ANN recall eval, g21 rolling z-score anomaly) swap in
-#: for eleven r04-greened entries
-#: (c03, c04, c05, c06, d05, d06, e03, e06, e07, e08, e09 — each family
+#: history, d09 ANN recall eval, g21 rolling z-score anomaly, b33
+#: dynamic partition pruning) swap in for twelve r04-greened entries
+#: (c03-c06, d05, d06, e03, e06-e09, p06 — each family
 #: keeps in-window siblings and every rotated-out query keeps its
 #: local strict-oracle test; c06's rows-only verdict and e09's hash
 #: verdict both stand from r04).
@@ -87,12 +87,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # composed pipelines (p03/p04/p05/p07/p08 rotated out green;
     # p09/p10/p11 new)
     "p01_training_mix", "p02_streaming_ingest_funnel",
-    "p06_contamination_check",
     "p09_quality_percentile_gate", "p10_weighted_sample",
     "p11_column_profile",
-    # physical layout (b30 green r04; b31 z-order, b32 partitioned new)
+    # physical layout (b30 green r04; b31 z-order, b32 partitioned,
+    # b33 dynamic partition pruning new; p06 rotated out green)
     "b30_bucketed_colocated_join", "b31_zorder_box_scan",
-    "b32_partition_pruned_scan",
+    "b32_partition_pruned_scan", "b33_dynamic_partition_prune",
     # cross-series analytics — never-scored + new this round
     "g13_value_correlation", "g14_conversion_funnel",
     "g15_cohort_retention", "g16_range_click_attribution",

@@ -232,3 +232,85 @@ def b32_partition_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# b33 — dynamic partition pruning (runtime dim-driven partition skip)
+# ---------------------------------------------------------------------------
+#: The review panel: the 7 highest purchase-revenue days.
+_DPP_TOP_DAYS = 7
+
+
+@query(
+    "b33_dynamic_partition_prune",
+    oracle=f"""
+    WITH byday AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS d,
+                          SUM(CAST(CASE WHEN event_type = 'purchase'
+                                        THEN value ELSE 0 END
+                                   AS DECIMAL(25,6))) AS ptotal
+                   FROM events GROUP BY 1),
+    top AS (SELECT d FROM (SELECT d, ROW_NUMBER()
+                                      OVER (ORDER BY ptotal DESC, d) AS rn
+                           FROM byday)
+            WHERE rn <= {_DPP_TOP_DAYS}),
+    ev AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+                  event_type, value
+           FROM events)
+    SELECT ev.event_date, ev.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ev.value AS DECIMAL(25,6))) AS DOUBLE)
+               AS total_value
+    FROM ev JOIN top ON top.d = ev.event_date
+    GROUP BY 1, 2
+    ORDER BY event_date, event_type
+    """,
+)
+def b33_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type rollup of the 7 highest purchase-revenue days, computed
+    as a dimension-driven join against the date-partitioned events
+    layout (b32) — the DYNAMIC partition-pruning shape: the day panel
+    only exists at RUNTIME (it is itself an aggregate), so no static
+    predicate can prune the fact scan; instead Spark broadcasts the
+    panel, derives an IN-filter from it, and skips the other 23 of 30
+    date partitions before reading them
+    (``dynamicpruningexpression`` in the scan's PartitionFilters,
+    pinned by tests/test_plans.py::test_dynamic_partition_pruning).
+
+    At 100 TB this is the difference between "join the 3-year fact
+    table, then discard 99% of it" and "read 7 partitions": DPP turns
+    a dim-side decision into fact-side I/O elimination with no layout
+    change beyond b32's date partitioning. The day ranking orders by
+    the EXACT decimal revenue (ties broken by date), so the panel —
+    and therefore the result — is engine-deterministic; the 30-row
+    ranking window is metadata-sized by construction."""
+    ev = load_table(spark, sf_dir, "events")
+    byday = (
+        ev.groupBy(F.to_date("ts").alias("d"))
+        .agg(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("value"))
+                .otherwise(0)
+                .cast("decimal(25,6)")
+            ).alias("ptotal")
+        )
+    )
+    from pyspark.sql import Window
+
+    rn = F.row_number().over(
+        Window.orderBy(F.desc("ptotal"), F.asc("d"))
+    )
+    top = (
+        byday.withColumn("rn", rn)
+        .filter(F.col("rn") <= _DPP_TOP_DAYS)
+        .select(F.col("d").alias("event_date"))
+    )
+    fact = date_partitioned_events(spark, sf_dir)
+    return (
+        fact.join(F.broadcast(top), "event_date")
+        .groupBy("event_date", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value", "total_value"),
+        )
+        .orderBy("event_date", "event_type")
+    )

@@ -71,6 +71,7 @@ PERTURBED = [
     "d09_ann_recall_eval",
     "b32_partition_pruned_scan",
     "g21_rolling_zscore_anomaly",
+    "b33_dynamic_partition_prune",
 ]
 
 _PERTURB = {

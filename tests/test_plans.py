@@ -460,3 +460,19 @@ def test_partition_pruning_reaches_scan(spark, sf_dir):
         "event_date" not in l.split("DataFilters", 1)[1].split("]", 1)[0]
         for l in pruned if "DataFilters" in l
     ), plan
+
+
+def test_dynamic_partition_pruning(spark, sf_dir):
+    """b33's fact scan must carry a dynamicpruningexpression in its
+    PartitionFilters — the runtime day panel prunes date partitions
+    before I/O rather than filtering rows after the join."""
+    df = QUERIES["b33_dynamic_partition_prune"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
+    scan_lines = [
+        l for l in plan.splitlines()
+        if "FileScan" in l and "PartitionFilters" in l
+    ]
+    assert any(
+        "dynamicpruning" in l.lower() for l in scan_lines
+    ), "\n".join(scan_lines)

@@ -10,11 +10,11 @@ query without a driver verdict: c11 (upgraded to a quantile_disc/cont
 oracle, exact at the driver's sf0.01), g13 (added post-rotation in
 round 4), round 5's fifteen early operators
 e11/e12/f10/f11/g14/g15/g16/g17/g18/p09/p10/b31/d07/d08/m06, and the
-mid-round-5 additions c12/c13/e13/e14/f12/p11/b32/g19/g20/g21/d09
-(which swapped in for r04-greened c03-c06, d05, d06, e03, e06-e09).
-Rotated-out entries (p03, p04, p05, p07, p08, e01-e09, m01, m03, m04,
-d01, d02, d03, d05, d06, c01, c03, c04, c05, c06, c08) each keep their
-r04 verdict and local strict-oracle test.
+mid-round-5 additions c12/c13/e13/e14/f12/p11/b32/b33/g19/g20/g21/d09
+(which swapped in for r04-greened c03-c06, d05, d06, e03, e06-e09,
+p06). Rotated-out entries (p03-p08, e01-e09, m01, m03, m04, d01, d02,
+d03, d05, d06, c01, c03-c06, c08) each keep their r04 verdict and
+local strict-oracle test.
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES
