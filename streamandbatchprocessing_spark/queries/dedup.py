@@ -1045,8 +1045,12 @@ def c12_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
 # c13 — Bloom-filter membership pre-screen for incremental dedup
 # ---------------------------------------------------------------------------
 #: Filter geometry: m bits, k hash functions. At the fixture's corpus
-#: cardinality (<= ~45k distinct texts at sf0.1) m=65536, k=4 keeps the
-#: theoretical false-positive rate (1-e^{-kn/m})^k under ~2 %.
+#: cardinality (~4.3k distinct opening-passage keys at sf0.1,
+#: measured) m=65536, k=4 gives a theoretical false-positive rate
+#: (1-e^{-kn/m})^k of ~0.3 %. The geometry must scale WITH corpus
+#: cardinality: m ~ 10-15 bits per distinct key holds FP at the
+#: ~0.1-1 % a pre-screen wants (at n=45k keys this m would already be
+#: ~77 % FP — resize m, don't reuse it).
 _BF_M = 65_536
 _BF_K = 4
 #: Delta batch = every 10th doc (c10's convention); the rest is corpus.

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.aggregates import davg, dsum, pround
+from ..functions.aggregates import davg, dsum, pround, pround_sql
 from ..sources.batch import load_table
 from .registry import persist_tracked, query
 
@@ -1080,15 +1080,15 @@ def g18_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "g19_gap_fill_interpolate",
-    oracle="""
+    oracle=f"""
     WITH ev AS (SELECT event_type,
                        date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h,
                        value
                 FROM events),
     act AS (SELECT event_type, h,
                    CAST(COUNT(*) AS BIGINT) AS n_events,
-                   floor((CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)
-                          / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0 AS val
+                   {pround_sql('CAST(SUM(CAST(value AS DECIMAL(25,6))) '
+                               'AS DOUBLE) / COUNT(*)', 6)} AS val
             FROM ev GROUP BY event_type, h),
     bounds AS (SELECT event_type, MIN(h) AS h0, MAX(h) AS h1
                FROM act GROUP BY event_type),
@@ -1115,8 +1115,8 @@ def g18_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, h AS hour_start,
            CAST(COALESCE(n_events, 0) AS BIGINT) AS n_events,
            CASE WHEN val IS NOT NULL THEN val
-                ELSE floor((pv + (nv - pv) * (hu - ph) * 1.0 / (nh - ph))
-                           * 1000000.0 + 0.5) / 1000000.0
+                ELSE {pround_sql(
+                         'pv + (nv - pv) * (hu - ph) * 1.0 / (nh - ph)', 6)}
            END AS value,
            (val IS NULL) AS is_gap
     FROM w
@@ -1335,7 +1335,7 @@ _ZS_THRESHOLD = 3.0
     SELECT event_type, h AS hour_start, n_events,
            CAST(vmu AS DOUBLE) / 1000000.0 AS value,
            CAST(bn AS BIGINT) AS baseline_n,
-           floor(zraw * 1000000.0 + 0.5) / 1000000.0 AS zscore,
+           {pround_sql('zraw', 6)} AS zscore,
            CASE WHEN zraw IS NULL THEN NULL
                 ELSE abs(zraw) > {_ZS_THRESHOLD!r} END AS is_anomaly
     FROM z

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import as_double, cosine, sign_bucket, sign_bucket_sql
-from ..functions.aggregates import pround
+from ..functions.aggregates import pround, pround_sql
 from ..sources.batch import load_table
 from .registry import persist_tracked, query
 
@@ -1165,8 +1165,7 @@ _REC_K = 10
     nt AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_truth
            FROM truth GROUP BY qid)
     SELECT nt.qid AS query_id, nt.n_truth, hits.n_hits,
-           floor((hits.n_hits * 1.0 / nt.n_truth) * 1000000.0 + 0.5)
-               / 1000000.0 AS recall
+           {pround_sql('hits.n_hits * 1.0 / nt.n_truth', 6)} AS recall
     FROM nt JOIN hits ON hits.qid = nt.qid
     ORDER BY query_id
     """,

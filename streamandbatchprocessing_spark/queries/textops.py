@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, md5_prefix
 from ..functions.text import LANG_STOPWORDS, langid_from_tokens, langid_scores
-from ..functions.aggregates import pround
+from ..functions.aggregates import pround, pround_sql
 from ..sources.batch import load_table
 from .registry import query
 
@@ -927,7 +927,7 @@ def e12_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "e13_bigram_lm_scores",
-    oracle="""
+    oracle=f"""
     WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
     tok AS (SELECT unnest(toks) AS w FROM t),
     uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS uc FROM tok GROUP BY w),
@@ -939,14 +939,13 @@ def e12_passage_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM t WHERE len(toks) >= 2),
     bc AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS bc FROM bg GROUP BY g),
     lm AS (SELECT bc.g,
-                  CAST(floor(ln((bc.bc + 1.0) / (uc.uc + v.v))
-                             * 1000000.0 + 0.5) / 1000000.0
+                  CAST({pround_sql('ln((bc.bc + 1.0) / (uc.uc + v.v))', 6)}
                        AS DECIMAL(18,6)) AS lp6
            FROM bc JOIN uc ON uc.w = split_part(bc.g, ' ', 1) CROSS JOIN v)
     SELECT bg.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           floor((CAST(SUM(lm.lp6) AS DOUBLE) / COUNT(*))
-                 * 1000000.0 + 0.5) / 1000000.0 AS avg_logprob
+           {pround_sql('CAST(SUM(lm.lp6) AS DOUBLE) / COUNT(*)', 6)}
+               AS avg_logprob
     FROM bg JOIN lm ON lm.g = bg.g
     GROUP BY bg.doc_id
     ORDER BY bg.doc_id
@@ -1035,12 +1034,12 @@ def e13_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @query(
     "e14_token_entropy",
-    oracle="""
+    oracle=f"""
     WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
                FROM documents),
     c AS (SELECT doc_id, tok, COUNT(*) AS c FROM t GROUP BY 1, 2),
     p AS (SELECT doc_id, c,
-                 CAST(floor((c * ln(c)) * 1000000.0 + 0.5) / 1000000.0
+                 CAST({pround_sql('c * ln(c)', 6)}
                       AS DECIMAL(18,6)) AS clc
           FROM c),
     a AS (SELECT doc_id,
@@ -1049,8 +1048,8 @@ def e13_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
                  SUM(clc) AS s
           FROM p GROUP BY doc_id)
     SELECT doc_id, n_tokens, n_distinct,
-           floor((ln(n_tokens) - CAST(s AS DOUBLE) / n_tokens)
-                 * 1000000.0 + 0.5) / 1000000.0 AS entropy
+           {pround_sql('ln(n_tokens) - CAST(s AS DOUBLE) / n_tokens', 6)}
+               AS entropy
     FROM a
     ORDER BY doc_id
     """,
