@@ -40,7 +40,7 @@ def main() -> int:
         .getOrCreate()
     )
     import __spark_entry__ as entrymod
-    from oracle_harness import compare
+    from oracle_harness import assert_flat_output_schema, compare
 
     edf = entrymod.entry(spark)
     rows = edf.collect()
@@ -60,7 +60,10 @@ def main() -> int:
                 df = queries[name](spark, sf_dir)
                 # Falsifiable smoke: fixtures are non-empty, so a
                 # correct rows-only query must produce rows and at
-                # least one named output column.
+                # least one named output column — and the output must
+                # survive the driver's pandas canonicalization (flat
+                # scalar columns only; round-5 m06 failure mode).
+                assert_flat_output_schema(name, df)
                 n = df.count()
                 assert n > 0, f"{name}: rows-only query returned 0 rows"
                 assert df.columns, f"{name}: empty schema"

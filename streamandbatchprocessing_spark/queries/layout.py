@@ -251,7 +251,7 @@ _DPP_TOP_DAYS = 7
                    FROM events GROUP BY 1),
     top AS (SELECT d FROM (SELECT d, ROW_NUMBER()
                                       OVER (ORDER BY ptotal DESC, d) AS rn
-                           FROM byday)
+                           FROM byday WHERE ptotal > 0)
             WHERE rn <= {_DPP_TOP_DAYS}),
     ev AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
                   event_type, value
@@ -266,7 +266,11 @@ _DPP_TOP_DAYS = 7
     """,
 )
 def b33_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-type rollup of the 7 highest purchase-revenue days, computed
+    """Per-type rollup of the 7 highest positive purchase-revenue days
+    (a zero-purchase day is not reviewable, and the positivity filter
+    is ALSO what lets Spark insert the dynamic-pruning subquery — DPP
+    requires a selective predicate on the dim side; a bare top-K limit
+    does not qualify), computed
     as a dimension-driven join against the date-partitioned events
     layout (b32) — the DYNAMIC partition-pruning shape: the day panel
     only exists at RUNTIME (it is itself an aggregate), so no static
@@ -280,9 +284,13 @@ def b33_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     table, then discard 99% of it" and "read 7 partitions": DPP turns
     a dim-side decision into fact-side I/O elimination with no layout
     change beyond b32's date partitioning. The day ranking orders by
-    the EXACT decimal revenue (ties broken by date), so the panel —
-    and therefore the result — is engine-deterministic; the 30-row
-    ranking window is metadata-sized by construction."""
+    the EXACT decimal revenue (ties broken by date, which is unique,
+    so the ordering is total and the panel engine-deterministic) and
+    is planned as ``TakeOrderedAndProject`` — per-partition top-K
+    merged on the driver — NOT an unpartitioned ranking window, so
+    the panel selection itself scales to any number of days without
+    a single-partition exchange (plan-pinned by
+    tests/test_plans.py::test_b33_panel_take_ordered)."""
     ev = load_table(spark, sf_dir, "events")
     byday = (
         ev.groupBy(F.to_date("ts").alias("d"))
@@ -294,14 +302,10 @@ def b33_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ptotal")
         )
     )
-    from pyspark.sql import Window
-
-    rn = F.row_number().over(
-        Window.orderBy(F.desc("ptotal"), F.asc("d"))
-    )
     top = (
-        byday.withColumn("rn", rn)
-        .filter(F.col("rn") <= _DPP_TOP_DAYS)
+        byday.filter(F.col("ptotal") > 0)
+        .orderBy(F.desc("ptotal"), F.asc("d"))
+        .limit(_DPP_TOP_DAYS)
         .select(F.col("d").alias("event_date"))
     )
     fact = date_partitioned_events(spark, sf_dir)

@@ -289,7 +289,7 @@ def m05_crossmodal_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                  CAST(COUNT(*) AS BIGINT) AS n_copies,
                  MIN(doc_id) AS canonical_id,
                  MIN(n_bytes) AS n_bytes,
-                 list_sort(list(doc_id)) AS replica_ids
+                 array_to_string(list_sort(list(doc_id)), ',') AS replica_ids
           FROM p GROUP BY payload_md5)
     SELECT payload_md5, n_copies, n_copies > 1 AS is_duplicated,
            canonical_id,
@@ -320,7 +320,15 @@ def m06_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-sized rows only. collect_list is bounded by the
     duplicate-set size and made deterministic by sorting; at pathological
     replica counts the replica list would be capped (slice) the same way
-    c04 caps posting lists."""
+    c04 caps posting lists.
+
+    The replica list is emitted as a comma-joined STRING, sorted
+    NUMERICALLY before the cast (array_join requires array<string>;
+    casting first would sort '10' before '2'): the external driver
+    canonicalizes results with a pandas column sort, and a raw
+    array column is unhashable there (the round-5 m06 driver error) —
+    scored queries must emit flat scalar columns only, enforced
+    registry-wide by oracle_harness.assert_flat_output_schema."""
     docs = load_table(spark, sf_dir, "documents")
     p = docs.select(
         "doc_id",
@@ -334,7 +342,13 @@ def m06_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_copies"),
             F.min("doc_id").alias("canonical_id"),
             F.min("n_bytes").alias("n_bytes"),
-            F.array_sort(F.collect_list("doc_id")).alias("replica_ids"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("replica_ids"),
         )
         .select(
             "payload_md5", "n_copies",

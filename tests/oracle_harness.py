@@ -107,6 +107,47 @@ def _spark_class(d) -> str:
     return "other"
 
 
+def assert_flat_output_schema(name: str, sdf) -> None:
+    """Fail when a query's OUTPUT schema contains array/map/struct
+    columns. The external driver canonicalizes results with a pandas
+    ``sort_values`` over every column, and non-scalar cells are
+    unhashable in pandas' lexsort — the round-5 m06 failure mode
+    (``TypeError: unhashable type: 'list'`` in the driver, no verdict
+    recorded). Scored queries must emit flat scalar columns only;
+    list-shaped payloads are joined into deterministic strings
+    (see m06's replica_ids)."""
+    bad = [
+        f"{f.name}:{f.dataType.simpleString()}"
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    assert not bad, (
+        f"{name}: non-scalar output columns {bad} — the driver's pandas "
+        f"sort_values canonicalization cannot hash them (round-5 m06). "
+        f"Emit a sorted joined string instead."
+    )
+
+
+def _driver_canon(name: str, side: str, cols, raw_rows):
+    """Replicate the external driver's canonicalization EXACTLY: a
+    pandas frame, columns reordered by name, then a full-frame
+    ``sort_values``. Run on the RAW (un-normalized) values so anything
+    the driver's compare would choke on — unhashable list/dict cells —
+    fails HERE, in the local harness, before a round ships."""
+    import pandas as pd
+
+    df = pd.DataFrame(raw_rows, columns=cols)
+    df = df[sorted(df.columns)]
+    try:
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+    except TypeError as exc:  # pragma: no cover - exercised via m06 test
+        raise AssertionError(
+            f"{name}: {side} result does not survive the driver's pandas "
+            f"sort_values canonicalization ({exc}) — scored queries must "
+            f"emit flat scalar columns only."
+        ) from exc
+
+
 def assert_type_classes_match(name, sdf, relation) -> None:
     """Fail when any output column's type class differs between the Spark
     result and the DuckDB oracle (e.g. BIGINT vs HUGEINT → the driver's
@@ -131,13 +172,22 @@ def assert_type_classes_match(name, sdf, relation) -> None:
 
 def compare(spark, sf_dir: str, name: str, query_fn, oracle: str) -> None:
     sdf = query_fn(spark, sf_dir)
+    assert_flat_output_schema(name, sdf)
     scols = [c.lower() for c in sdf.columns]
-    srows = [tuple(_norm(v) for v in row) for row in sdf.collect()]
+    sraw = [tuple(row) for row in sdf.collect()]
+    srows = [tuple(_norm(v) for v in row) for row in sraw]
 
     con = duckdb_conn(sf_dir)
     res = con.sql(oracle)
     dcols = [c.lower() for c in res.columns]
-    drows = [tuple(_norm(v) for v in row) for row in res.fetchall()]
+    draw = res.fetchall()
+    drows = [tuple(_norm(v) for v in row) for row in draw]
+
+    # Both sides must survive the driver's pandas canonicalization
+    # (sort_values over every column on raw values) — the exact step
+    # that errored m06 in round 5 without recording a verdict.
+    _driver_canon(name, "spark", scols, sraw)
+    _driver_canon(name, "duckdb", dcols, draw)
 
     assert sorted(scols) == sorted(dcols), (
         f"{name}: column mismatch spark={scols} duckdb={dcols}"

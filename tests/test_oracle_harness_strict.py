@@ -58,3 +58,38 @@ def test_exposed_decimal_fails_locally(spark, sf_dir):
     oracle = "SELECT CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) AS total FROM events"
     with pytest.raises(AssertionError, match="type-class mismatch"):
         compare(spark, sf_dir, "strict_decimal", decimal_query, oracle)
+
+
+def test_array_output_fails_locally(spark, sf_dir):
+    """A query emitting an array column must fail the local harness —
+    the external driver's pandas sort_values canonicalization raises
+    ``unhashable type: 'list'`` on it and records NO verdict (the
+    round-5 m06_payload_dedup failure). The flat-schema gate catches
+    it before the raw-value canonicalization even runs."""
+
+    def array_query(spark, sf_dir):
+        ev = load_table(spark, sf_dir, "events")
+        return (
+            ev.groupBy("event_type")
+            .agg(F.array_sort(F.collect_set("user_id")).alias("users"))
+        )
+
+    oracle = """
+        SELECT event_type, list_sort(list(DISTINCT user_id)) AS users
+        FROM events GROUP BY event_type
+    """
+    with pytest.raises(AssertionError, match="non-scalar output columns"):
+        compare(spark, sf_dir, "strict_array", array_query, oracle)
+
+
+def test_driver_canon_rejects_raw_lists():
+    """The canonicalization replica itself (bypassing the schema gate)
+    must fail on list cells exactly like the driver's pandas sort."""
+    from .oracle_harness import _driver_canon
+
+    with pytest.raises(AssertionError, match="sort_values canonicalization"):
+        _driver_canon("strict_canon", "spark", ["k", "v"],
+                      [(1, [1, 2]), (2, [3])])
+    out = _driver_canon("strict_canon", "spark", ["k", "v"],
+                        [(2, "b"), (1, "a")])
+    assert list(out["k"]) == [1, 2]

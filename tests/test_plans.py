@@ -476,3 +476,14 @@ def test_dynamic_partition_pruning(spark, sf_dir):
     assert any(
         "dynamicpruning" in l.lower() for l in scan_lines
     ), "\n".join(scan_lines)
+
+
+def test_b33_panel_take_ordered(spark, sf_dir):
+    """b33's day-panel ranking must plan as TakeOrderedAndProject
+    (distributed per-partition top-K + driver merge), never an
+    unpartitioned ranking Window — the round-5 bench tail's
+    'No Partition Defined for Window' warning came from here."""
+    df = QUERIES["b33_dynamic_partition_prune"](spark, sf_dir)
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
