@@ -133,13 +133,18 @@ def events_stream_staged(
     watermark has advanced past a row's expiry, so on a 1-batch drain
     they would be withheld forever. Staging copies the fixture into a
     temp dir alongside ``n_sentinels`` far-future sentinel files and
-    reads with ``maxFilesPerTrigger=1``: batch 1 = the data, batch 2
-    advances every branch's watermark past all real event times, batch 3
-    flushes the expired state. Each sentinel carries one 'purchase' AND
-    one 'click' row (``user_id = -1``) because watermarks are tracked
-    per branch and the GLOBAL watermark is their minimum — a
-    click-only sentinel would stall the purchase branch. Callers must
-    drop ``user_id < 0`` rows from the result."""
+    reads with ``maxFilesPerTrigger=2``: batch 1 = the data PLUS the
+    first sentinel (which sets the batch's max event time a day past
+    every real row, so the watermark computed at batch end already
+    clears all real-data expiries), batch 2 = the second sentinel,
+    whose only job is to BE a batch — expired state flushes while it
+    runs. Two micro-batches total; the earlier one-file-per-trigger
+    staging spent a third batch advancing the watermark separately
+    (measured ~25% of the whole f12 drain). Each sentinel carries one
+    'purchase' AND one 'click' row (``user_id = -1``) because
+    watermarks are tracked per branch and the GLOBAL watermark is
+    their minimum — a click-only sentinel would stall the purchase
+    branch. Callers must drop ``user_id < 0`` rows from the result."""
     import shutil
     import time as _time
 
@@ -177,7 +182,7 @@ def events_stream_staged(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = (
         spark.readStream.schema(_events_schema_for(unit))
-        .option("maxFilesPerTrigger", "1")
+        .option("maxFilesPerTrigger", "2")
         .parquet(stage)
     )
     return _normalize_event_ts(raw, unit)
