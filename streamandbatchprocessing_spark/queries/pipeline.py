@@ -953,3 +953,65 @@ def p11_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("column_name")
     )
+
+
+@query("p12_column_profile_at_scale")
+def p12_column_profile_at_scale(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """p11's 100-TB twin: the same one-pass column profile with every
+    exact ``countDistinct`` swapped for ``approx_count_distinct``
+    (HLL++, rsd 2%). p11's docstring pins this swap as prose; this
+    registers it as CODE — the variant a production profile job runs,
+    where exact multi-countDistinct's Expand multiplier (|columns| x
+    rows shuffled) is the dominant cost and a 2% cardinality estimate
+    is plenty for drift detection.
+
+    Plan difference vs p11: NO Expand node — each HLL sketch
+    accumulates map-side in the same single aggregate, so the pass
+    shuffles |columns| fixed-size sketches instead of |columns| x rows
+    (plan-pinned by tests/test_plans.py::test_p12_profile_no_expand).
+
+    No SQL oracle ON PURPOSE: HLL estimates are engine-specific
+    (Spark's HLL++ vs DuckDB's HLL disagree by design), so the driver
+    records a rows-only verdict — the estimator's accuracy against
+    p11's exact counts is asserted locally instead
+    (tests/test_round6_ops.py::test_p12_approx_within_tolerance)."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def render(col: str, kind: str, agg) -> F.Column:
+        x = agg(col)
+        if kind == "int":
+            return x.cast("string")
+        if kind == "money":
+            return pround(x, 2).cast("decimal(18,2)").cast("string")
+        if kind == "ts":
+            return F.date_format(x, "yyyy-MM-dd HH:mm:ss")
+        return x
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for col, kind in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).cast("long").alias(f"nn_{col}"),
+            F.approx_count_distinct(col, rsd=0.02).cast("long")
+            .alias(f"nd_{col}"),
+            render(col, kind, F.min).alias(f"mn_{col}"),
+            render(col, kind, F.max).alias(f"mx_{col}"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', nn_{col}, nd_{col}, mn_{col}, mx_{col}"
+        for col, _ in _PROFILE_COLS
+    )
+    return (
+        wide.selectExpr(
+            "n_rows",
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            " AS (column_name, n_null, approx_distinct, min_s, max_s)",
+        )
+        .select(
+            "column_name", "n_rows", "n_null", "approx_distinct",
+            "min_s", "max_s",
+        )
+        .orderBy("column_name")
+    )

@@ -1408,3 +1408,61 @@ def g21_rolling_zscore_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     ).orderBy("event_type", "hour_start")
+
+
+# ---------------------------------------------------------------------------
+# g22 — per-user event-type transition matrix (first-order Markov)
+# ---------------------------------------------------------------------------
+@query(
+    "g22_event_transitions",
+    oracle="""
+    WITH s AS (SELECT user_id, event_type,
+                      LAG(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                          AS prev_type
+               FROM events),
+    t AS (SELECT prev_type, event_type AS next_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_trans
+          FROM s WHERE prev_type IS NOT NULL
+          GROUP BY prev_type, event_type),
+    tot AS (SELECT prev_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+            FROM t GROUP BY prev_type)
+    SELECT t.prev_type, t.next_type, t.n_trans, tot.n_from,
+           floor((t.n_trans * 1.0 / tot.n_from) * 1000000.0 + 0.5)
+               / 1000000.0 AS prob
+    FROM t JOIN tot ON tot.prev_type = t.prev_type
+    ORDER BY t.prev_type, t.next_type
+    """,
+)
+def g22_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences: for each (prev_type → next_type) pair, the transition
+    count and conditional probability — the session-path model behind
+    next-action prediction and funnel-drop diagnosis.
+
+    Scale: ONE window pass builds the lagged pairs (partitioned by
+    user_id — parallel, never global; ordered by (ts, event_id) so the
+    sequence is total and the result engine-deterministic), then two
+    map-side-combinable aggregates over a |types|^2-bounded key space.
+    The per-prev totals join is a broadcast of at most |types| rows.
+    The probability divides two exact integers, so the double is
+    bit-identical on any partitioning and engine."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.col("event_type").alias("next_type"),
+        F.lag("event_type").over(w).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    t = seq.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("n_trans")
+    )
+    tot = t.groupBy("prev_type").agg(F.sum("n_trans").alias("n_from"))
+    return (
+        t.join(F.broadcast(tot), "prev_type")
+        .select(
+            "prev_type", "next_type", "n_trans", "n_from",
+            pround(F.col("n_trans") * 1.0 / F.col("n_from"), 6).alias("prob"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

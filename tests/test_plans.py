@@ -487,3 +487,15 @@ def test_b33_panel_take_ordered(spark, sf_dir):
     plan = executed_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
+
+
+def test_p12_profile_no_expand(spark, sf_dir):
+    """p12 (approx profile) must plan WITHOUT the Expand node that p11's
+    exact multi-countDistinct requires — the whole point of the swap:
+    |columns| fixed-size HLL sketches shuffle instead of |columns| x rows."""
+    exact_plan = executed_plan(QUERIES["p11_column_profile"](spark, sf_dir))
+    approx_plan = executed_plan(
+        QUERIES["p12_column_profile_at_scale"](spark, sf_dir)
+    )
+    assert "Expand" in exact_plan
+    assert "Expand" not in approx_plan, approx_plan
