@@ -1015,3 +1015,132 @@ def p12_column_profile_at_scale(
         )
         .orderBy("column_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# p13 — curriculum mix table (value-bucketed, no global sort)
+# ---------------------------------------------------------------------------
+@query(
+    "p13_curriculum_buckets",
+    oracle=f"""
+    WITH {QUALITY_SCORE_CTE.strip()},
+    tk AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+           FROM documents),
+    ph AS (SELECT s.doc_id, s.quality_score, tk.n_tokens,
+                  CAST(CASE WHEN floor(s.quality_score * 10) > 9 THEN 9
+                            ELSE floor(s.quality_score * 10) END AS INT)
+                      AS phase,
+                  CAST(s.doc_id % 8 AS INT) AS shard
+           FROM scored s JOIN tk ON tk.doc_id = s.doc_id)
+    SELECT phase, shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+           floor((CAST(SUM(CAST(quality_score AS DECIMAL(25,6)))
+                       AS DOUBLE) / COUNT(quality_score)) * 1000000.0
+                 + 0.5) / 1000000.0 AS avg_quality
+    FROM ph
+    GROUP BY phase, shard
+    ORDER BY phase, shard
+    """,
+)
+def p13_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum schedule table: documents bucketed into training
+    phases by VALUE (quality-score decile band) and sharded by a
+    deterministic id hash — the (phase, shard) manifest a curriculum
+    trainer consumes, with per-cell doc and token budgets.
+
+    Why value buckets and not ntile: rank-based deciles need a GLOBAL
+    sort (single-reducer window at 100 TB); a fixed score→phase map is
+    a stateless codegen'd projection that partitions identically at any
+    scale, and phase populations stay comparable because the score is
+    bounded in [0, 1]. floor(score·10) is the same IEEE operation on
+    both engines, so the bucketing is hash-exact.
+
+    Scale: one scan → projection → 80-cell aggregate (map-side
+    combinable). No window, no join wider than the score table."""
+    from .textops import quality_score_col, quality_scored_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_scored_docs(docs).select(
+        "doc_id", "n_tokens", quality_score_col().alias("quality_score")
+    )
+    phase = F.least(
+        F.floor(F.col("quality_score") * 10), F.lit(9)
+    ).cast("int")
+    return (
+        scored.select(
+            "doc_id", "n_tokens", "quality_score",
+            phase.alias("phase"),
+            (F.col("doc_id") % 8).cast("int").alias("shard"),
+        )
+        .groupBy("phase", "shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            pround(
+                F.sum(F.col("quality_score").cast("decimal(25,6)"))
+                .cast("double") / F.count("quality_score"),
+                6,
+            ).alias("avg_quality"),
+        )
+        .orderBy("phase", "shard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# p14 — partition-skew report (hot-key diagnosis)
+# ---------------------------------------------------------------------------
+@query(
+    "p14_skew_report",
+    oracle="""
+    WITH c AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_rows
+               FROM events GROUP BY user_id),
+    t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total_rows,
+                 CAST(COUNT(*) AS BIGINT) AS n_keys
+          FROM c)
+    SELECT c.user_id, c.n_rows, t.total_rows, t.n_keys,
+           floor((c.n_rows * 1.0 / t.total_rows) * 1000000.0 + 0.5)
+               / 1000000.0 AS share,
+           floor((c.n_rows * 1.0 * t.n_keys / t.total_rows) * 1000000.0
+                 + 0.5) / 1000000.0 AS x_mean_ratio
+    FROM c, t
+    ORDER BY c.n_rows DESC, c.user_id
+    LIMIT 20
+    """,
+)
+def p14_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key skew report: the 20 heaviest shuffle keys with their row
+    share and ratio-to-mean-key — the diagnosis a pipeline runs BEFORE
+    choosing a salting factor or enabling AQE skew-join on a 100 TB
+    groupBy/join key.
+
+    Scale: per-key counts are one map-side-combinable aggregate; the
+    (total, n_keys) scalar is a 1-row broadcast cross join (W1's
+    scalar-agg idiom, never a window); top-20 plans as
+    TakeOrderedAndProject — no global sort materializes. The
+    (n DESC, user_id) order is total, so the LIMIT boundary is
+    deterministic on both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows")
+    )
+    stats = counts.agg(
+        F.sum("n_rows").cast("long").alias("total_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "user_id", "n_rows", "total_rows", "n_keys",
+            pround(F.col("n_rows") * 1.0 / F.col("total_rows"), 6)
+            .alias("share"),
+            pround(
+                F.col("n_rows") * 1.0 * F.col("n_keys")
+                / F.col("total_rows"),
+                6,
+            ).alias("x_mean_ratio"),
+        )
+        .orderBy(F.col("n_rows").desc(), "user_id")
+        .limit(20)
+    )

@@ -1466,3 +1466,85 @@ def g22_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# g23 — snapshot diff (table reconciliation)
+# ---------------------------------------------------------------------------
+@query(
+    "g23_snapshot_diff",
+    oracle="""
+    WITH snap_b AS (
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1.5
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 11 <> 0)
+    SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN b.o_orderkey IS NULL THEN 'deleted'
+                WHEN a.o_orderkey IS NULL THEN 'added'
+                ELSE 'changed' END AS change_type,
+           a.o_totalprice AS old_price,
+           b.o_totalprice AS new_price
+    FROM orders a
+    FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR a.o_custkey <> b.o_custkey
+       OR a.o_orderstatus <> b.o_orderstatus
+       OR a.o_totalprice <> b.o_totalprice
+       OR a.o_orderdate <> b.o_orderdate
+       OR a.o_orderpriority <> b.o_orderpriority
+    ORDER BY o_orderkey
+    """,
+)
+def g23_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation (data-diff): classify every primary key
+    as added / deleted / changed between two table versions and emit
+    only the churn — the audit step behind incremental-load validation
+    and CDC backfills. Snapshot B is derived deterministically from
+    the orders fixture (every 11th key deleted, every 7th price bumped
+    by an IEEE-exact +1.5) so both engines diff identical inputs.
+
+    Scale: ONE co-partitioned full-outer shuffle join on the primary
+    key (zero-shuffle if both snapshots share a bucketed layout, b30's
+    path); the column comparison is codegen'd per-row work and the
+    output is bounded by the churn, never the table. At 100 TB a
+    production diff first collapses the non-key columns into a single
+    row fingerprint AT SCAN (md5 of the packed row) so only
+    (key, fingerprint) shuffles — the explicit per-column compare here
+    keeps the result oracle-exact and shows which field moved."""
+    orders = load_table(spark, sf_dir, "orders")
+    bumped = F.when(
+        F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") + 1.5
+    ).otherwise(F.col("o_totalprice"))
+    snap_b = (
+        orders.filter(F.col("o_orderkey") % 11 != 0)
+        .select(
+            "o_orderkey", "o_custkey", "o_orderstatus",
+            bumped.alias("o_totalprice"), "o_orderdate", "o_orderpriority",
+        )
+    )
+    a, b = orders.alias("a"), snap_b.alias("b")
+    ak, bk = F.col("a.o_orderkey"), F.col("b.o_orderkey")
+    differs = (
+        ak.isNull() | bk.isNull()
+        | (F.col("a.o_custkey") != F.col("b.o_custkey"))
+        | (F.col("a.o_orderstatus") != F.col("b.o_orderstatus"))
+        | (F.col("a.o_totalprice") != F.col("b.o_totalprice"))
+        | (F.col("a.o_orderdate") != F.col("b.o_orderdate"))
+        | (F.col("a.o_orderpriority") != F.col("b.o_orderpriority"))
+    )
+    return (
+        a.join(b, ak == bk, "full_outer")
+        .filter(differs)
+        .select(
+            F.coalesce(ak, bk).alias("o_orderkey"),
+            F.when(bk.isNull(), F.lit("deleted"))
+            .when(ak.isNull(), F.lit("added"))
+            .otherwise(F.lit("changed"))
+            .alias("change_type"),
+            F.col("a.o_totalprice").alias("old_price"),
+            F.col("b.o_totalprice").alias("new_price"),
+        )
+        .orderBy("o_orderkey")
+    )
