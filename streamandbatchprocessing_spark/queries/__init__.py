@@ -56,15 +56,22 @@ from .registry import ORACLES, QUERIES
 #: keeps in-window siblings and every rotated-out query keeps its
 #: local strict-oracle test; c06's rows-only verdict and e09's hash
 #: verdict both stand from r04).
+#: Round-6 rotation: the never-scored round-6 operators (g22, g23, c14,
+#: c15, p12, p13, p14) swap in for seven r05-greened entries (g17–g21,
+#: c12, c13 — every family keeps stronger in-window siblings and every
+#: rotated-out query keeps its local strict-oracle test). m06 stays in:
+#: its r05 row was a driver-canonicalization ERROR, fixed this round,
+#: and needs a hash verdict.
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
-    # dedup + sketches (c01/c03/c04/c05/c06 rotated out; c02+c07 keep
-    # MinHash-LSH and canonicalization driver-covered; c12/c13 new)
+    # dedup + sketches (c01/c03-c06/c12/c13 rotated out green; c02+c07
+    # keep MinHash-LSH and canonicalization driver-covered; c14
+    # calibration + c15 keep-best canonical new)
     "c02_minhash_lsh_pairs",
     "c07_dup_clusters", "c09_semantic_dedup",
     "c10_incremental_neardup", "c11_quantile_sketch",
-    "c12_heavy_hitters_cms", "c13_bloom_prefilter",
+    "c14_minhash_calibration", "c15_band_canonical_keep_best",
     # similarity search (d01/d02/d03/d05/d06 rotated out green; d04
     # covers IVF, m02 keeps the Arrow path driver-covered; d07/d08/d09
     # new — d09 is the recall-eval harness)
@@ -85,20 +92,20 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "m02_payload_features_pandas",
     "m05_crossmodal_join", "m06_payload_dedup",
     # composed pipelines (p03/p04/p05/p07/p08 rotated out green;
-    # p09/p10/p11 new)
+    # p12 approx-profile twin, p13 curriculum, p14 skew report new)
     "p01_training_mix", "p02_streaming_ingest_funnel",
     "p09_quality_percentile_gate", "p10_weighted_sample",
-    "p11_column_profile",
+    "p11_column_profile", "p12_column_profile_at_scale",
+    "p13_curriculum_buckets", "p14_skew_report",
     # physical layout (b30 green r04; b31 z-order, b32 partitioned,
     # b33 dynamic partition pruning new; p06 rotated out green)
     "b30_bucketed_colocated_join", "b31_zorder_box_scan",
     "b32_partition_pruned_scan", "b33_dynamic_partition_prune",
-    # cross-series analytics — never-scored + new this round
+    # cross-series analytics (g17-g21 rotated out green; g22 Markov
+    # transitions + g23 snapshot diff new)
     "g13_value_correlation", "g14_conversion_funnel",
     "g15_cohort_retention", "g16_range_click_attribution",
-    "g17_time_weighted_value", "g18_session_stats",
-    "g19_gap_fill_interpolate", "g20_scd2_priority_history",
-    "g21_rolling_zscore_anomaly",
+    "g22_event_transitions", "g23_snapshot_diff",
 )
 
 

@@ -1176,3 +1176,207 @@ def c13_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# c14 — MinHash estimator calibration (per-level error profile)
+# ---------------------------------------------------------------------------
+def _calibration_oracle() -> str:
+    return f"""
+    {_sig_cte()},
+    {_cand_cte()},
+    est AS (
+        SELECT c.da, c.db, ({_AGREE}) / 16.0 AS est_jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.da
+        JOIN sig sb ON sb.doc_id = c.db
+    ),
+    toksets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                FROM documents),
+    iu AS (SELECT e.est_jaccard,
+                  len(list_intersect(ta.toks, tb.toks)) AS i,
+                  len(ta.toks) + len(tb.toks)
+                      - len(list_intersect(ta.toks, tb.toks)) AS u
+           FROM est e
+           JOIN toksets ta ON ta.doc_id = e.da
+           JOIN toksets tb ON tb.doc_id = e.db),
+    per AS (SELECT est_jaccard,
+                   floor((i * 1.0 / u) * 1000000.0 + 0.5) / 1000000.0
+                       AS exact_r
+            FROM iu),
+    err AS (SELECT est_jaccard, exact_r,
+                   floor(abs(est_jaccard - exact_r) * 1000000.0 + 0.5)
+                       / 1000000.0 AS err_r
+            FROM per)
+    SELECT est_jaccard,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           floor((CAST(SUM(CAST(exact_r AS DECIMAL(25,6))) AS DOUBLE)
+                  / COUNT(exact_r)) * 1000000.0 + 0.5) / 1000000.0
+               AS avg_exact,
+           floor((CAST(SUM(CAST(err_r AS DECIMAL(25,6))) AS DOUBLE)
+                  / COUNT(err_r)) * 1000000.0 + 0.5) / 1000000.0
+               AS avg_abs_err,
+           MAX(err_r) AS max_abs_err
+    FROM err
+    GROUP BY est_jaccard
+    ORDER BY est_jaccard
+    """
+
+
+@query("c14_minhash_calibration", oracle=_calibration_oracle())
+def c14_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator calibration report: c08's per-pair (estimate, exact)
+    measurements aggregated per estimate LEVEL (the 16-hash estimate
+    only takes values k/16) — pair count, mean exact jaccard, mean and
+    max absolute error. This is the table an operator reads to pick
+    the dedup threshold: it says, for every value the estimator can
+    output, how far the truth sits on average and at worst.
+
+    Scale: identical join shape to c08 (exact measure confined to the
+    LSH candidate set; two doc_id equi-joins) followed by one map-side-
+    combinable aggregate over at most 17 groups. Per-pair values are
+    6dp-rounded BEFORE the decimal-sum average, so the report is
+    bit-identical under any partitioning — mergeable across a 1000-
+    executor fleet by construction."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = persist_tracked(_sig_df(docs))
+    est = _band_pairs(
+        sig,
+        lambda pa, pb, band: [
+            (_agree_col(pa, pb, band) / 16.0).alias("est_jaccard")
+        ],
+    )
+    toksets = docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    )
+    ta, tb = toksets.alias("ta"), toksets.alias("tb")
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    union = F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
+    exact_r = pround(inter * 1.0 / union, 6)
+    per = (
+        est.join(ta, F.col("da") == F.col("ta.doc_id"))
+        .join(tb, F.col("db") == F.col("tb.doc_id"))
+        .select(
+            "est_jaccard",
+            exact_r.alias("exact_r"),
+            pround(F.abs(F.col("est_jaccard") - exact_r), 6).alias("err_r"),
+        )
+    )
+    dec = "decimal(25,6)"
+    return (
+        per.groupBy("est_jaccard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            pround(
+                F.sum(F.col("exact_r").cast(dec)).cast("double")
+                / F.count("exact_r"),
+                6,
+            ).alias("avg_exact"),
+            pround(
+                F.sum(F.col("err_r").cast(dec)).cast("double")
+                / F.count("err_r"),
+                6,
+            ).alias("avg_abs_err"),
+            F.max("err_r").alias("max_abs_err"),
+        )
+        .orderBy("est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c15 — band-bucket canonical selection (keep best quality per bucket)
+# ---------------------------------------------------------------------------
+def _band_bucket_cols(band: int) -> list[str]:
+    lo = band * _ROWS_PER_BAND
+    return [f"h{i}" for i in range(lo, lo + _ROWS_PER_BAND)]
+
+
+def _canonical_oracle() -> str:
+    from .textops import QUALITY_SCORE_CTE
+
+    def bucket(band: int) -> str:
+        cols = ", ".join(
+            f"CAST({c} AS VARCHAR)" for c in _band_bucket_cols(band)
+        )
+        return (
+            f"SELECT CAST({band} AS INT) AS band, "
+            f"md5(concat_ws('|', {cols})) AS bucket_md5, doc_id FROM sig"
+        )
+
+    buckets = "\n    UNION ALL\n    ".join(bucket(b) for b in range(_BANDS))
+    return f"""
+    {_sig_cte()},
+    {QUALITY_SCORE_CTE.strip()},
+    b AS (
+    {buckets}
+    ),
+    j AS (SELECT b.band, b.bucket_md5, b.doc_id, s.quality_score
+          FROM b JOIN scored s ON s.doc_id = b.doc_id),
+    r AS (SELECT band, bucket_md5, doc_id, quality_score,
+                 ROW_NUMBER() OVER (PARTITION BY band, bucket_md5
+                                    ORDER BY quality_score DESC, doc_id)
+                     AS rn,
+                 COUNT(*) OVER (PARTITION BY band, bucket_md5) AS n_docs
+          FROM j)
+    SELECT band, bucket_md5,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           doc_id AS kept_doc_id,
+           quality_score AS kept_quality,
+           CAST(n_docs - 1 AS BIGINT) AS n_dropped
+    FROM r WHERE rn = 1 AND n_docs >= 2
+    ORDER BY band, bucket_md5
+    """
+
+
+@query("c15_band_canonical_keep_best", oracle=_canonical_oracle())
+def c15_band_canonical_keep_best(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Bucket-level canonical selection: within every LSH band bucket
+    that collides (≥ 2 docs), keep the HIGHEST-QUALITY document
+    (e02's score; doc_id tie-break) and count the suppressed replicas —
+    the "keep best, not keep first" dedup policy, run as the cheap
+    bucket-granular first pass before pairwise verification.
+
+    Scale: signatures shuffle once per band on the band's raw hash
+    columns (same key the LSH join uses); the keep-best choice is a
+    single max(struct(quality, -doc_id)) aggregate — NO window, no
+    per-bucket sort, mergeable map-side. Output is bounded by the
+    number of colliding buckets, never pairs."""
+    from .textops import quality_score_col, quality_scored_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sig = _sig_df(docs)
+    scored = quality_scored_docs(docs).select(
+        "doc_id", quality_score_col().alias("quality_score")
+    )
+    joined = sig.join(scored, "doc_id")
+    stack_parts = []
+    for b in range(_BANDS):
+        cols = ", ".join(
+            f"CAST({c} AS STRING)" for c in _band_bucket_cols(b)
+        )
+        stack_parts.append(f"CAST({b} AS INT), md5(concat_ws('|', {cols}))")
+    stacked = joined.selectExpr(
+        "doc_id",
+        "quality_score",
+        f"stack({_BANDS}, {', '.join(stack_parts)}) AS (band, bucket_md5)",
+    )
+    best = F.max(
+        F.struct(
+            F.col("quality_score").alias("q"),
+            (-F.col("doc_id")).alias("negid"),
+        )
+    ).alias("best")
+    return (
+        stacked.groupBy("band", "bucket_md5")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"), best)
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "band", "bucket_md5", "n_docs",
+            (-F.col("best.negid")).alias("kept_doc_id"),
+            F.col("best.q").alias("kept_quality"),
+            (F.col("n_docs") - 1).alias("n_dropped"),
+        )
+        .orderBy("band", "bucket_md5")
+    )
