@@ -72,25 +72,25 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "c07_dup_clusters", "c09_semantic_dedup",
     "c10_incremental_neardup", "c11_quantile_sketch",
     "c14_minhash_calibration", "c15_band_canonical_keep_best",
-    # similarity search (d01/d02/d03/d05/d06 rotated out green; d04
-    # covers IVF, m02 keeps the Arrow path driver-covered; d07/d08/d09
-    # new — d09 is the recall-eval harness)
+    # similarity search (d01-d03/d05/d06/d09 rotated out green; d04
+    # covers IVF, m02 keeps the Arrow path driver-covered; d10 mutual
+    # k-NN graph new)
     "d04_ivf_kmeans_ann",
     "d07_mmr_diversified_topk",
-    "d08_label_centroids", "d09_ann_recall_eval",
-    # text analysis (e01-e09 rotated out green; e11/e12/e13/e14 new)
+    "d08_label_centroids", "d10_mutual_knn_graph",
+    # text analysis (e01-e09/e13/e14 rotated out green)
     "e10_pii_scrub", "e11_dsir_importance", "e12_passage_dedup",
-    "e13_bigram_lm_scores", "e14_token_entropy",
-    # streaming extensions (f10/f11/f12 are new this round)
+    # streaming extensions (f13 streaming CMS new this round)
     "f01_streaming_dashboard", "f02_streaming_dedup", "f03_session_windows",
     "f04_stateful_user_totals", "f05_stream_stream_join",
     "f06_idle_key_eviction", "f07_stream_static_enrichment",
     "f08_stream_left_outer_join", "f09_streaming_pii_scrub",
     "f10_streaming_quantiles", "f11_lambda_unified_totals",
-    "f12_stream_full_outer_join",
-    # multimodal (m01/m03/m04 rotated out green; m06 new)
+    "f12_stream_full_outer_join", "f13_streaming_heavy_hitters",
+    # multimodal (m01/m03/m04 rotated out green; m06 re-greens after
+    # its round-5 canonicalization error; m07 audio chunking new)
     "m02_payload_features_pandas",
-    "m05_crossmodal_join", "m06_payload_dedup",
+    "m05_crossmodal_join", "m06_payload_dedup", "m07_audio_chunk_plan",
     # composed pipelines (p03/p04/p05/p07/p08 rotated out green;
     # p12 approx-profile twin, p13 curriculum, p14 skew report new)
     "p01_training_mix", "p02_streaming_ingest_funnel",

@@ -360,3 +360,67 @@ def m06_payload_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("payload_md5")
     )
+
+
+@query(
+    "m07_audio_chunk_plan",
+    oracle="""
+    WITH a AS (SELECT doc_id AS media_id,
+                      CAST(n_chars * 160 AS BIGINT) AS n_samples
+               FROM documents WHERE doc_id % 7 = 0),
+    s AS (SELECT media_id, n_samples,
+                 unnest(range(0, n_samples, 8000)) AS chunk_start
+          FROM a)
+    SELECT media_id, n_samples,
+           CAST(chunk_start / 8000 AS BIGINT) AS chunk_id,
+           chunk_start,
+           CASE WHEN n_samples - chunk_start < 16000
+                THEN n_samples - chunk_start ELSE 16000 END AS chunk_len
+    FROM s
+    ORDER BY media_id, chunk_id
+    """,
+)
+def m07_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio chunking plan: one row per overlapping analysis window
+    (1 s = 16000 samples at 16 kHz, 50% hop) over a fixture-derived
+    sample count (every 7th document stands in for an audio asset,
+    n_chars·160 samples ≈ 10 ms of audio per character) — the
+    windowing arithmetic of a speech-feature pipeline, with the PCM
+    decode itself the stubbed codec step (operators/multimodal.py).
+
+    Unlike m03's non-overlapping frame grid, chunks OVERLAP (hop <
+    window) and the tail chunk is TRUNCATED to the asset's end —
+    both properties the downstream featurizer depends on and both
+    oracle-checked. Scale: sequence+explode streams the chunk rows
+    generator-style (never materializing a per-asset list), and output
+    is bounded by total_samples/hop by construction."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 7 == 0
+    )
+    audio = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.col("n_chars") * 160).cast("long").alias("n_samples"),
+    )
+    return (
+        audio.select(
+            "media_id",
+            "n_samples",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"),
+                    F.col("n_samples") - 1,
+                    F.lit(8000).cast("long"),
+                )
+            ).alias("chunk_start"),
+        )
+        .select(
+            "media_id",
+            "n_samples",
+            (F.col("chunk_start") / 8000).cast("long").alias("chunk_id"),
+            "chunk_start",
+            F.least(
+                F.col("n_samples") - F.col("chunk_start"), F.lit(16000)
+            ).cast("long").alias("chunk_len"),
+        )
+        .orderBy("media_id", "chunk_id")
+    )

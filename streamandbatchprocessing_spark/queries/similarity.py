@@ -1245,3 +1245,84 @@ def d09_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         pround(F.col("n_hits") * 1.0 / F.col("n_truth"), 6).alias("recall"),
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# d10 — mutual k-NN graph (bucket-confined, the SemDeDup/cluster input)
+# ---------------------------------------------------------------------------
+_KNN_K = 3
+
+
+@query(
+    "d10_mutual_knn_graph",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      {_BUCKET_SQL} AS bucket
+               FROM embeddings),
+    s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
+                 list_cosine_similarity(a.v, b.v) AS cos_sim
+          FROM e a JOIN e b
+            ON b.bucket = a.bucket AND b.vec_id <> a.vec_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY src
+                                       ORDER BY cos_sim DESC, dst) AS rank
+          FROM s),
+    d AS (SELECT * FROM r WHERE rank <= {_KNN_K})
+    SELECT d1.src AS vec_a, d1.dst AS vec_b, d1.cos_sim,
+           CAST(d1.rank AS BIGINT) AS rank_ab,
+           CAST(d2.rank AS BIGINT) AS rank_ba
+    FROM d d1 JOIN d d2 ON d2.src = d1.dst AND d2.dst = d1.src
+    WHERE d1.src < d1.dst
+    ORDER BY vec_a, vec_b
+    """,
+)
+def d10_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual k-NN graph over ALL vectors: an undirected edge (a, b)
+    exists iff each vector is in the other's cosine top-k within its
+    sign bucket — the neighbor graph that seeds graph-based dedup and
+    clustering (SemDeDup's cells, HNSW bootstrap, kNN label prop).
+
+    Scale: pairing is CONFINED to the 16 sign-bucket cells (one
+    co-partitioned equi-join on bucket — never all-pairs, same
+    containment argument as c09/d02); the per-source top-k window
+    partitions by src (parallel); mutuality is a self-equi-join of the
+    k·N-bounded directed edge list on the reversed key. Fold-based
+    cosine is symmetric bit-for-bit (the zip_with product list is
+    identical either direction), so the two directions of an edge carry
+    the same double and the oracle's hash matches."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        sign_bucket(F.col("embedding"), 4).alias("bucket"),
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    scored = a.join(
+        b,
+        (F.col("b.bucket") == F.col("a.bucket"))
+        & (F.col("b.vec_id") != F.col("a.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("src"),
+        F.col("b.vec_id").alias("dst"),
+        cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
+    directed = (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _KNN_K)
+    )
+    d1, d2 = directed.alias("d1"), directed.alias("d2")
+    return (
+        d1.join(
+            d2,
+            (F.col("d2.src") == F.col("d1.dst"))
+            & (F.col("d2.dst") == F.col("d1.src")),
+        )
+        .filter(F.col("d1.src") < F.col("d1.dst"))
+        .select(
+            F.col("d1.src").alias("vec_a"),
+            F.col("d1.dst").alias("vec_b"),
+            F.col("d1.cos_sim").alias("cos_sim"),
+            F.col("d1.rank").alias("rank_ab"),
+            F.col("d2.rank").alias("rank_ba"),
+        )
+        .orderBy("vec_a", "vec_b")
+    )

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.batch import load_table
+from .dedup import _CMS_D, _CMS_MIN_FRAC, _CMS_W
 from ..streaming.pipeline import (
     dashboard_plan,
     events_stream,
@@ -715,4 +716,99 @@ def f12_stream_full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("user_id", "c_user_id").alias("user_id"),
         )
         .orderBy("purchase_id", "click_id")
+    )
+
+
+@query(
+    "f13_streaming_heavy_hitters",
+    oracle=f"""
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    tot AS (SELECT COUNT(*) AS n FROM ev),
+    depths AS (SELECT unnest(generate_series(0, {_CMS_D - 1})) AS d),
+    sk AS (SELECT d,
+                  CAST(('0x' || substr(md5('cms' || CAST(d AS VARCHAR)
+                                            || ':' || k), 1, 15)) AS BIGINT)
+                      % {_CMS_W} AS b,
+                  CAST(COUNT(*) AS BIGINT) AS c
+           FROM ev CROSS JOIN depths
+           GROUP BY 1, 2),
+    cand AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS true_n FROM ev GROUP BY k),
+    est AS (SELECT cand.k, MIN(sk.c) AS est_n
+            FROM cand CROSS JOIN depths
+            JOIN sk ON sk.d = depths.d
+                   AND sk.b = CAST(('0x' || substr(
+                           md5('cms' || CAST(depths.d AS VARCHAR)
+                               || ':' || cand.k), 1, 15)) AS BIGINT)
+                       % {_CMS_W}
+    GROUP BY cand.k)
+    SELECT CAST(cand.k AS BIGINT) AS user_id,
+           cand.true_n,
+           CAST(est.est_n AS BIGINT) AS est_n
+    FROM cand JOIN est ON est.k = cand.k CROSS JOIN tot
+    WHERE est.est_n * 1.0 >= tot.n * {_CMS_MIN_FRAC}
+    ORDER BY user_id
+    """,
+)
+def f13_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c12's count-min sketch maintained by the STREAMING engine: raw
+    events replay through a checkpointed availableNow drain that feeds
+    every row straight into the d x w counter grid (explode to d cell
+    keys → streaming groupBy count, complete mode) — the production
+    sketch build, which never shuffles the key space, only <= d*w
+    cells of state. The drained grid is then probed batch-side for the
+    heavy-hitter report exactly as c12 does.
+
+    Why this is the right streaming shape: CMS partials merge by
+    cell-wise ADDITION, so micro-batch increments are associative and
+    the drained grid equals the batch grid bit-for-bit no matter how
+    the replay was chunked — which is what lets the oracle be the
+    batch CMS definition. State is d*w counters, independent of
+    cardinality, rate, and retention."""
+    from ..functions.hashing import hash60
+    from ..sources.batch import load_table as _lt
+
+    def bucket(key: F.Column, d: F.Column) -> F.Column:
+        return F.pmod(
+            hash60(
+                F.concat(F.lit("cms"), d.cast("string"), F.lit(":"), key)
+            ),
+            F.lit(_CMS_W),
+        )
+
+    depths = F.array(*[F.lit(i) for i in range(_CMS_D)])
+    stream = events_stream(spark, sf_dir)
+    grid_plan = (
+        stream.select(F.col("user_id").cast("string").alias("k"))
+        .select("k", F.explode(depths).alias("d"))
+        .select("d", bucket(F.col("k"), F.col("d")).alias("b"))
+        .groupBy("d", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    sketch = run_to_memory(
+        grid_plan, output_mode="complete", name_prefix="f13_cms_grid"
+    )
+    cand = (
+        _lt(spark, sf_dir, "events")
+        .select(F.col("user_id").cast("string").alias("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("true_n"))
+    )
+    tot = cand.agg(F.sum("true_n").alias("n"))
+    est = (
+        cand.select("k", F.explode(depths).alias("d"))
+        .withColumn("b", bucket(F.col("k"), F.col("d")))
+        .join(F.broadcast(sketch), ["d", "b"])
+        .groupBy("k")
+        .agg(F.min("c").alias("est_n"))
+    )
+    return (
+        cand.join(est, "k")
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("est_n") * 1.0 >= F.col("n") * F.lit(_CMS_MIN_FRAC))
+        .select(
+            F.col("k").cast("long").alias("user_id"),
+            "true_n",
+            "est_n",
+        )
+        .orderBy("user_id")
     )
