@@ -110,6 +110,24 @@ EXTRA = [
     "e14_token_entropy",
     "g21_rolling_zscore_anomaly",
     "b33_dynamic_partition_prune",
+    # round 6 additions. d10_mutual_knn_graph is deliberately NOT
+    # tracked at sf0.1: its all-vector pairing inside 16 fixed sign
+    # buckets is quadratic per bucket (~156M candidate pairs at 50k
+    # vectors), the regime where a production run scales the bucket
+    # count with N (see its docstring); the gate SFs cover it.
+    "p12_column_profile_at_scale",
+    "g22_event_transitions",
+    "g23_snapshot_diff",
+    "c14_minhash_calibration",
+    "c15_band_canonical_keep_best",
+    "p13_curriculum_buckets",
+    "p14_skew_report",
+    "m07_audio_chunk_plan",
+    "f13_streaming_heavy_hitters",
+    "c16_shingle_df_spectrum",
+    "p15_source_mix_drift",
+    "m08_image_tile_plan",
+    "d11_nprobe_recall_curve",
 ]
 
 

@@ -72,17 +72,19 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "c07_dup_clusters", "c09_semantic_dedup",
     "c10_incremental_neardup", "c11_quantile_sketch",
     "c14_minhash_calibration", "c15_band_canonical_keep_best",
+    "c16_shingle_df_spectrum",
     # similarity search (d01-d03/d05/d06/d09 rotated out green; d04
     # covers IVF, m02 keeps the Arrow path driver-covered; d10 mutual
     # k-NN graph new)
     "d04_ivf_kmeans_ann",
     "d07_mmr_diversified_topk",
     "d08_label_centroids", "d10_mutual_knn_graph",
+    "d11_nprobe_recall_curve",
     # text analysis (e01-e09/e13/e14 rotated out green)
     "e10_pii_scrub", "e11_dsir_importance", "e12_passage_dedup",
-    # streaming extensions (f13 streaming CMS new this round)
+    # streaming extensions (f13 streaming CMS new this round; f04/f05
+    # rotate out green — f06/f08/f12 keep stateful + join coverage)
     "f01_streaming_dashboard", "f02_streaming_dedup", "f03_session_windows",
-    "f04_stateful_user_totals", "f05_stream_stream_join",
     "f06_idle_key_eviction", "f07_stream_static_enrichment",
     "f08_stream_left_outer_join", "f09_streaming_pii_scrub",
     "f10_streaming_quantiles", "f11_lambda_unified_totals",
@@ -91,12 +93,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # its round-5 canonicalization error; m07 audio chunking new)
     "m02_payload_features_pandas",
     "m05_crossmodal_join", "m06_payload_dedup", "m07_audio_chunk_plan",
+    "m08_image_tile_plan",
     # composed pipelines (p03/p04/p05/p07/p08 rotated out green;
     # p12 approx-profile twin, p13 curriculum, p14 skew report new)
     "p01_training_mix", "p02_streaming_ingest_funnel",
-    "p09_quality_percentile_gate", "p10_weighted_sample",
     "p11_column_profile", "p12_column_profile_at_scale",
     "p13_curriculum_buckets", "p14_skew_report",
+    "p15_source_mix_drift",
     # physical layout (b30 green r04; b31 z-order, b32 partitioned,
     # b33 dynamic partition pruning new; p06 rotated out green)
     "b30_bucketed_colocated_join", "b31_zorder_box_scan",

@@ -1380,3 +1380,65 @@ def c15_band_canonical_keep_best(
         )
         .orderBy("band", "bucket_md5")
     )
+
+
+# ---------------------------------------------------------------------------
+# c16 — shingle document-frequency spectrum (posting-list cost profile)
+# ---------------------------------------------------------------------------
+@query(
+    "c16_shingle_df_spectrum",
+    oracle="""
+    WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+               FROM documents),
+    s AS (SELECT doc_id, source,
+                 list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(range(1, len(toks) - 1),
+                                          i -> array_to_string(toks[i:i+2], ' '))
+                      END) AS sh
+          FROM t),
+    x AS (SELECT doc_id, source, unnest(sh) AS g FROM s),
+    d AS (SELECT source, g, CAST(COUNT(*) AS BIGINT) AS df
+          FROM x GROUP BY source, g)
+    SELECT source, df,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(COUNT(*) * (df * (df - 1) / 2) AS BIGINT) AS pair_cost
+    FROM d
+    GROUP BY source, df
+    ORDER BY source, df
+    """,
+)
+def c16_shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-frequency spectrum of c04's 3-shingles, per source: for
+    every DF level, how many shingles sit there and how many candidate
+    pairs a posting of that length would expand to (df·(df−1)/2 each).
+    This is the evidence table behind c04's ``_MAX_SHINGLE_DF`` cap —
+    it shows the handful of stop-shingles at high DF dominating the
+    quadratic pair cost, and is what an operator reads to re-tune the
+    cap when the corpus shifts.
+
+    Scale: the exploded shingle set shuffles once (the DF groupBy —
+    same key c04 groups on), then a |DF-levels|-bounded second
+    aggregate. Pure counting; no posting list is ever materialized."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = F.array_distinct(
+        F.expr(
+            "CASE WHEN size(split(text, ' ')) < 3 THEN array() "
+            "ELSE transform(sequence(0, size(split(text, ' ')) - 3), "
+            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) END"
+        )
+    )
+    x = docs.select("source", F.explode(sh).alias("g"))
+    d = x.groupBy("source", "g").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        d.groupBy("source", "df")
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .select(
+            "source",
+            "df",
+            "n_shingles",
+            (F.col("n_shingles") * (F.col("df") * (F.col("df") - 1) / 2))
+            .cast("long")
+            .alias("pair_cost"),
+        )
+        .orderBy("source", "df")
+    )

@@ -424,3 +424,77 @@ def m07_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id", "chunk_id")
     )
+
+
+@query(
+    "m08_image_tile_plan",
+    oracle="""
+    WITH im AS (SELECT doc_id AS media_id,
+                       CAST(64 + doc_id % 193 AS BIGINT) AS width,
+                       CAST(64 + (doc_id * 3) % 149 AS BIGINT) AS height
+                FROM documents WHERE doc_id % 4 = 1),
+    ty AS (SELECT media_id, width, height,
+                  unnest(range(0, height, 32)) AS y
+           FROM im),
+    t AS (SELECT media_id, width, height, y,
+                 unnest(range(0, width, 32)) AS x
+          FROM ty)
+    SELECT media_id, width, height,
+           CAST(y / 32 AS BIGINT) AS tile_row,
+           CAST(x / 32 AS BIGINT) AS tile_col,
+           CASE WHEN width - x < 32 THEN width - x ELSE 32 END AS tile_w,
+           CASE WHEN height - y < 32 THEN height - y ELSE 32 END AS tile_h
+    FROM t
+    ORDER BY media_id, tile_row, tile_col
+    """,
+)
+def m08_image_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D image tiling plan: one row per 32x32 patch of each image
+    (every 4th document stands in for an image asset with
+    fixture-derived dimensions), edge tiles truncated to the image
+    border — the patch grid a ViT-style featurizer consumes, with the
+    pixel decode itself the stubbed codec step
+    (operators/multimodal.py).
+
+    The 2-D grid comes from two nested sequence+explode generators
+    (rows, then columns) — still streaming, never materializing a
+    per-image patch list; output is bounded by area/32^2 per image by
+    construction. Extends m03 (1-D frame grid) and m07 (overlapping
+    1-D windows) to the 2-D truncated-tile case."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 4 == 1
+    )
+    im = docs.select(
+        F.col("doc_id").alias("media_id"),
+        (F.lit(64) + F.col("doc_id") % 193).cast("long").alias("width"),
+        (F.lit(64) + (F.col("doc_id") * 3) % 149).cast("long").alias("height"),
+    )
+    ty = im.select(
+        "media_id", "width", "height",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col("height") - 1,
+                F.lit(32).cast("long"),
+            )
+        ).alias("y"),
+    )
+    t = ty.select(
+        "media_id", "width", "height", "y",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"),
+                F.col("width") - 1,
+                F.lit(32).cast("long"),
+            )
+        ).alias("x"),
+    )
+    return t.select(
+        "media_id", "width", "height",
+        (F.col("y") / 32).cast("long").alias("tile_row"),
+        (F.col("x") / 32).cast("long").alias("tile_col"),
+        F.least(F.col("width") - F.col("x"), F.lit(32))
+        .cast("long").alias("tile_w"),
+        F.least(F.col("height") - F.col("y"), F.lit(32))
+        .cast("long").alias("tile_h"),
+    ).orderBy("media_id", "tile_row", "tile_col")

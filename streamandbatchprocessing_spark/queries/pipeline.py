@@ -1144,3 +1144,74 @@ def p14_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_rows").desc(), "user_id")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# p15 — source-mix drift (KL divergence vs a reference snapshot)
+# ---------------------------------------------------------------------------
+@query(
+    "p15_source_mix_drift",
+    oracle="""
+    WITH r AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_ref
+               FROM documents WHERE doc_id % 3 = 0 GROUP BY source),
+    c AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_cur
+          FROM documents WHERE doc_id % 3 <> 0 GROUP BY source),
+    tr AS (SELECT CAST(SUM(n_ref) AS BIGINT) AS t FROM r),
+    tc AS (SELECT CAST(SUM(n_cur) AS BIGINT) AS t FROM c)
+    SELECT r.source, r.n_ref, c.n_cur,
+           floor((c.n_cur * 1.0 / tc.t) * 1000000.0 + 0.5) / 1000000.0
+               AS p_cur,
+           floor((r.n_ref * 1.0 / tr.t) * 1000000.0 + 0.5) / 1000000.0
+               AS q_ref,
+           floor(((c.n_cur * 1.0 / tc.t)
+                  * ln((c.n_cur * 1.0 / tc.t) / (r.n_ref * 1.0 / tr.t)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS kl_term
+    FROM r JOIN c ON c.source = r.source
+    CROSS JOIN tr CROSS JOIN tc
+    ORDER BY r.source
+    """,
+)
+def p15_source_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix drift monitor: per-source KL-divergence terms between
+    the current intake's source distribution and a reference snapshot
+    (deterministic doc_id thirds stand in for the two days — mod 3,
+    COPRIME with the fixture's source = doc_id %% 20 assignment, so
+    every source appears in both snapshots and the monitor is
+    non-vacuous; a parity split would separate the sources exactly).
+    Σ kl_term is D_KL(cur ‖ ref) — the alarm a data-mix pipeline
+    watches so a crawler change can't silently reweight training data.
+
+    Scale: ONE scan builds both distributions (conditional count-if per
+    source — no second read, no join of two aggregates wider than
+    |sources|), the two totals broadcast as 1-row scalars, and ln()
+    runs once per SOURCE, never per row. Sources absent from either
+    snapshot are excluded (KL needs absolute continuity; a production
+    monitor alerts on them separately).
+
+    ln() cross-engine: same IEEE double in → same double out on this
+    libm pair (the e13 bigram-LM precedent, hash-green since r05);
+    outputs are 6dp-rounded like every scored double here."""
+    docs = load_table(spark, sf_dir, "documents")
+    per0 = docs.groupBy("source").agg(
+        F.count(F.when(F.col("doc_id") % 3 == 0, 1)).alias("n_ref"),
+        F.count(F.when(F.col("doc_id") % 3 != 0, 1)).alias("n_cur"),
+    )
+    # Totals cover EVERY source (the full distributions), not just the
+    # sources that survive the absolute-continuity filter below —
+    # matching the oracle's SUM over each half before its join.
+    tot = per0.agg(
+        F.sum("n_ref").alias("tr"), F.sum("n_cur").alias("tc")
+    )
+    per = per0.filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+    p = F.col("n_cur") * 1.0 / F.col("tc")
+    q = F.col("n_ref") * 1.0 / F.col("tr")
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_ref", "n_cur",
+            pround(p, 6).alias("p_cur"),
+            pround(q, 6).alias("q_ref"),
+            pround(p * F.log(p / q), 6).alias("kl_term"),
+        )
+        .orderBy("source")
+    )

@@ -1288,7 +1288,14 @@ def d10_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     k·N-bounded directed edge list on the reversed key. Fold-based
     cosine is symmetric bit-for-bit (the zip_with product list is
     identical either direction), so the two directions of an edge carry
-    the same double and the oracle's hash matches."""
+    the same double and the oracle's hash matches.
+
+    Sizing rule: in-bucket work is Σ|cell|², so the bucket BITS must
+    grow with log₂(N) to hold the per-cell population (and the per-cell
+    quadratic cost) constant — 4 bits fits the fixture; a 100 TB corpus
+    uses 16-20 sign bits (or k-means cells, c09's partitioner) for the
+    same containment argument. The fixed 4-bit cell count is why this
+    query is gate-SF-only in bench.py."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         as_double(F.col("embedding")).alias("v"),
@@ -1325,4 +1332,172 @@ def d10_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("d2.rank").alias("rank_ba"),
         )
         .orderBy("vec_a", "vec_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d11 — nprobe ↔ recall operating curve (multi-probe IVF evaluation)
+# ---------------------------------------------------------------------------
+_NPROBE_LEVELS = (1, 2, 4)
+_NPR_NQ = 20
+_NPR_K = 10
+
+
+@query(
+    "d11_nprobe_recall_curve",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                      {_BUCKET_SQL} AS bucket
+               FROM embeddings),
+    cells AS (SELECT bucket AS cell, CAST(COUNT(*) AS BIGINT) AS n_vecs
+              FROM e GROUP BY bucket),
+    q AS (SELECT vec_id AS qid, v AS qv, bucket AS qbucket
+          FROM e WHERE vec_id < {_NPR_NQ}),
+    np AS (SELECT CAST(unnest([{', '.join(map(str, _NPROBE_LEVELS))}]) AS INT)
+               AS nprobe),
+    pr AS (SELECT q.qid, c.cell, c.n_vecs,
+                  ROW_NUMBER() OVER (
+                      PARTITION BY q.qid
+                      ORDER BY bit_count(xor(q.qbucket, c.cell)), c.cell)
+                      AS cell_rank
+           FROM q CROSS JOIN cells c),
+    probes AS (SELECT pr.qid, np.nprobe, pr.cell, pr.n_vecs
+               FROM pr CROSS JOIN np WHERE pr.cell_rank <= np.nprobe),
+    ts AS (SELECT q.qid, e.vec_id AS nid,
+                  list_cosine_similarity(q.qv, e.v) AS cos_sim
+           FROM q JOIN e ON e.vec_id <> q.qid),
+    tr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY cos_sim DESC, nid) AS rank
+           FROM ts),
+    truth AS (SELECT qid, nid FROM tr WHERE rank <= {_NPR_K}),
+    nt AS (SELECT qid, CAST(COUNT(*) AS BIGINT) AS n_truth
+           FROM truth GROUP BY qid),
+    sc AS (SELECT p.qid, p.nprobe, e.vec_id AS nid,
+                  list_cosine_similarity(q.qv, e.v) AS cos_sim
+           FROM probes p
+           JOIN q ON q.qid = p.qid
+           JOIN e ON e.bucket = p.cell AND e.vec_id <> p.qid),
+    ar AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid, nprobe
+                                        ORDER BY cos_sim DESC, nid) AS rank
+           FROM sc),
+    ann AS (SELECT qid, nprobe, nid FROM ar WHERE rank <= {_NPR_K}),
+    h AS (SELECT a.qid, a.nprobe, CAST(COUNT(*) AS BIGINT) AS n_hits
+          FROM ann a JOIN truth t ON t.qid = a.qid AND t.nid = a.nid
+          GROUP BY a.qid, a.nprobe),
+    cc AS (SELECT qid, nprobe, CAST(SUM(n_vecs) - 1 AS BIGINT) AS n_cands
+           FROM probes GROUP BY qid, nprobe)
+    SELECT cc.qid AS query_id, CAST(cc.nprobe AS INT) AS nprobe,
+           cc.n_cands, nt.n_truth,
+           CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+           floor((COALESCE(h.n_hits, 0) * 1.0 / nt.n_truth) * 1000000.0
+                 + 0.5) / 1000000.0 AS recall
+    FROM cc
+    JOIN nt ON nt.qid = cc.qid
+    LEFT JOIN h ON h.qid = cc.qid AND h.nprobe = cc.nprobe
+    ORDER BY cc.nprobe, query_id
+    """,
+)
+def d11_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF operating curve: per query and per nprobe level
+    (1/2/4 cells probed, nearest-first by code hamming distance),
+    the candidate count actually scanned and the recall@10 against the
+    exact full-scan truth — the table that picks an ANN deployment's
+    recall/cost operating point (FAISS's nprobe sweep as a distributed
+    eval harness; extends d09's single-operating-point measurement).
+
+    Scale: cell ranking is queries x |cells| (both panel-bounded;
+    broadcast), the truth pass is the d01 broadcast scan, and each
+    probe level's candidate join stays cell-confined — the sweep costs
+    Σ nprobe/|cells| of a full scan, which is the point being measured.
+    All ranking windows partition by query (parallel); counts are
+    exact integers and recall is a 6dp-rounded ratio, so the curve is
+    engine-exact."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        as_double(F.col("embedding")).alias("v"),
+        sign_bucket(F.col("embedding"), 4).alias("bucket"),
+    )
+    cells = emb.groupBy(F.col("bucket").alias("cell")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    q = emb.filter(F.col("vec_id") < _NPR_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    wq = Window.partitionBy("qid").orderBy(
+        F.bit_count(F.expr("qbucket ^ cell")), F.col("cell")
+    )
+    pr = (
+        q.crossJoin(F.broadcast(cells))
+        .withColumn("cell_rank", F.row_number().over(wq))
+    )
+    np_col = F.explode(
+        F.array(*[F.lit(n) for n in _NPROBE_LEVELS])
+    ).alias("nprobe")
+    probes = (
+        pr.select("qid", "cell", "n_vecs", "cell_rank", np_col)
+        .filter(F.col("cell_rank") <= F.col("nprobe"))
+        .select("qid", F.col("nprobe").cast("int").alias("nprobe"),
+                "cell", "n_vecs")
+    )
+    # exact truth: d01's broadcast full scan
+    truth_scored = emb.join(
+        F.broadcast(q.select("qid", "qv")), F.col("vec_id") != F.col("qid")
+    ).select(
+        "qid", F.col("vec_id").alias("nid"),
+        cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+    )
+    wt = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    truth = (
+        truth_scored.withColumn("rank", F.row_number().over(wt))
+        .filter(F.col("rank") <= _NPR_K)
+        .select("qid", "nid")
+    )
+    nt = truth.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("long").alias("n_truth")
+    )
+    sc = (
+        probes.join(F.broadcast(q), "qid")
+        .join(
+            emb,
+            (F.col("bucket") == F.col("cell"))
+            & (F.col("vec_id") != F.col("qid")),
+        )
+        .select(
+            "qid", "nprobe", F.col("vec_id").alias("nid"),
+            cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+        )
+    )
+    wa = Window.partitionBy("qid", "nprobe").orderBy(
+        F.desc("cos_sim"), F.asc("nid")
+    )
+    ann = (
+        sc.withColumn("rank", F.row_number().over(wa))
+        .filter(F.col("rank") <= _NPR_K)
+        .select("qid", "nprobe", "nid")
+    )
+    h = ann.join(truth, ["qid", "nid"]).groupBy("qid", "nprobe").agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits")
+    )
+    cc = probes.groupBy("qid", "nprobe").agg(
+        (F.sum("n_vecs") - 1).cast("long").alias("n_cands")
+    )
+    return (
+        cc.join(nt, "qid")
+        .join(h, ["qid", "nprobe"], "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            "nprobe",
+            "n_cands",
+            "n_truth",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long")
+            .alias("n_hits"),
+            pround(
+                F.coalesce(F.col("n_hits"), F.lit(0)) * 1.0
+                / F.col("n_truth"),
+                6,
+            ).alias("recall"),
+        )
+        .orderBy("nprobe", "query_id")
     )
