@@ -72,6 +72,25 @@ PERTURBED = [
     "b32_partition_pruned_scan",
     "g21_rolling_zscore_anomaly",
     "b33_dynamic_partition_prune",
+    # round-6 additions: per-level decimal-avg calibration, max(struct)
+    # keep-best selection, DF-spectrum double aggregation, mutual-kNN
+    # window ranks + reversed-key join, multi-probe cell ranking and
+    # recall overlap, HLL sketch merges (associative by construction),
+    # value-bucket decimal means, TakeOrdered hot-key ranking, KL over
+    # broadcast scalars, per-user lag sequences, full-outer diff, and
+    # the streaming CMS drain's cell merges.
+    "c14_minhash_calibration",
+    "c15_band_canonical_keep_best",
+    "c16_shingle_df_spectrum",
+    "d10_mutual_knn_graph",
+    "d11_nprobe_recall_curve",
+    "p12_column_profile_at_scale",
+    "p13_curriculum_buckets",
+    "p14_skew_report",
+    "p15_source_mix_drift",
+    "g22_event_transitions",
+    "g23_snapshot_diff",
+    "f13_streaming_heavy_hitters",
 ]
 
 _PERTURB = {
