@@ -499,3 +499,32 @@ def test_p12_profile_no_expand(spark, sf_dir):
     )
     assert "Expand" in exact_plan
     assert "Expand" not in approx_plan, approx_plan
+
+
+def test_p14_skew_report_take_ordered(spark, sf_dir):
+    """p14's top-20 must plan as TakeOrderedAndProject (bounded per-
+    partition top-k + driver merge), never a global Sort, and its
+    scalar totals must arrive by broadcast."""
+    plan = executed_plan(QUERIES["p14_skew_report"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
+
+
+def test_d10_knn_join_is_equi_not_bnlj(spark, sf_dir):
+    """d10's pairing must hash/sort-merge on the bucket key with the
+    vec_id inequality as a residual condition — a BroadcastNestedLoop
+    join here would mean the bucket confinement never reached the
+    planner and the join is all-pairs."""
+    plan = executed_plan(QUERIES["d10_mutual_knn_graph"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), plan
+
+
+def test_g22_totals_join_broadcasts(spark, sf_dir):
+    """g22's per-prev totals join is |event types|-sized and must
+    broadcast — the transition matrix never shuffles on prev_type for
+    the probability division."""
+    plan = executed_plan(QUERIES["g22_event_transitions"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
