@@ -267,6 +267,59 @@ ANNOTATED = {
         "PartitionFilters — 23 of 30 date partitions skipped before "
         "any I/O."
     ),
+    "p12_column_profile_at_scale": (
+        "Approx profile: p11's exact multi-countDistinct Expand is "
+        "GONE — each HLL++ sketch accumulates map-side in one "
+        "aggregate, so |columns| fixed-size sketches shuffle instead "
+        "of |columns| x rows."
+    ),
+    "p14_skew_report": (
+        "Hot-key report: per-key counts map-side combine; the "
+        "(total, n_keys) scalar broadcasts; top-20 fuses to "
+        "TakeOrderedAndProject — no global sort ever materializes."
+    ),
+    "d10_mutual_knn_graph": (
+        "Mutual k-NN: the pairing is an equi-join on the sign bucket "
+        "(vec inequality as residual condition — never BNLJ), per-src "
+        "window, then a reversed-key self-join of the k*N directed "
+        "edge list."
+    ),
+    "d11_nprobe_recall_curve": (
+        "nprobe sweep: cell ranking is panel x 16 cells (broadcast); "
+        "truth is the d01 broadcast scan; each probe level's candidate "
+        "join stays cell-confined — cost scales with nprobe/|cells| "
+        "of a full scan."
+    ),
+    "g22_event_transitions": (
+        "Transition matrix: one per-user lag window (parallel), two "
+        "map-side aggregates over a |types|^2 key space, per-prev "
+        "totals arrive by BroadcastHashJoin."
+    ),
+    "g23_snapshot_diff": (
+        "Snapshot diff: ONE co-partitioned full-outer join on the "
+        "primary key; both snapshot scans share pruned ReadSchema; "
+        "output bounded by churn."
+    ),
+    "c14_minhash_calibration": (
+        "Calibration: c08's join shape (exact jaccard confined to LSH "
+        "candidates) plus a <=17-group map-side-combinable aggregate "
+        "with decimal-sum averages."
+    ),
+    "c15_band_canonical_keep_best": (
+        "Keep-best canonical: signatures stack to (band, bucket_md5) "
+        "rows, ONE hash aggregate carries count + max(struct(quality, "
+        "-doc_id)) — no window, no per-bucket sort."
+    ),
+    "c16_shingle_df_spectrum": (
+        "DF spectrum: explode -> (source, shingle) count -> "
+        "(source, df) count; two linear map-side-combinable shuffles, "
+        "no posting list materialized."
+    ),
+    "p15_source_mix_drift": (
+        "Mix drift: both distributions from one conditional-count "
+        "scan; the two totals broadcast as a 1-row scalar; ln() runs "
+        "once per source."
+    ),
 }
 
 
