@@ -239,6 +239,9 @@ _BOUNDED_BROADCAST_OK = {
     # d09 broadcasts the literal-bounded query panel (vec_id < 20), the
     # same set d01-d03 broadcast.
     "d09_ann_recall_eval",
+    # d11 broadcasts that same vec_id < 20 panel (its cells side is a
+    # 16-row Aggregate the generic check already accepts).
+    "d11_nprobe_recall_curve",
     # c13 broadcasts the Bloom set-bit relation — a Deduplicate node
     # bounded by the filter geometry (<= m = 65536 rows) rather than by
     # data volume (the generic check only recognizes Aggregate/Limit
