@@ -1181,16 +1181,31 @@ def c13_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # c14 — MinHash estimator calibration (per-level error profile)
 # ---------------------------------------------------------------------------
+#: Pair-sampling modulus for the calibration measure: only candidate
+#: pairs whose 60-bit md5 pair hash ≡ 0 (mod 16) get the exact-jaccard
+#: treatment. Calibration is a STATISTICAL report — a 1/16 deterministic
+#: sample bounds the expensive token-set joins at any corpus size while
+#: every estimate level keeps a representative population; the modulus
+#: is the accuracy/cost knob a production run tunes.
+_CAL_SAMPLE_MOD = 16
+
+
 def _calibration_oracle() -> str:
+    pair_hash = (
+        "CAST(('0x' || substr(md5(CAST(e.da AS VARCHAR) || ':' "
+        "|| CAST(e.db AS VARCHAR)), 1, 15)) AS BIGINT)"
+    )
     return f"""
     {_sig_cte()},
     {_cand_cte()},
-    est AS (
+    est0 AS (
         SELECT c.da, c.db, ({_AGREE}) / 16.0 AS est_jaccard
         FROM cand c
         JOIN sig sa ON sa.doc_id = c.da
         JOIN sig sb ON sb.doc_id = c.db
     ),
+    est AS (SELECT * FROM est0 e
+            WHERE {pair_hash} % {_CAL_SAMPLE_MOD} = 0),
     toksets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
                 FROM documents),
     iu AS (SELECT e.est_jaccard,
@@ -1233,8 +1248,12 @@ def c14_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     output, how far the truth sits on average and at worst.
 
     Scale: identical join shape to c08 (exact measure confined to the
-    LSH candidate set; two doc_id equi-joins) followed by one map-side-
-    combinable aggregate over at most 17 groups. Per-pair values are
+    LSH candidate set; two doc_id equi-joins) but applied only to a
+    DETERMINISTIC 1/16 pair sample (md5 pair hash — the filter runs
+    on columns the band join already holds, BEFORE the token-set joins,
+    so the expensive stage is sample-bounded at any corpus size; the
+    modulus is the cost/precision knob). The final aggregate is
+    map-side-combinable over at most 17 groups, and per-pair values are
     6dp-rounded BEFORE the decimal-sum average, so the report is
     bit-identical under any partitioning — mergeable across a 1000-
     executor fleet by construction."""
@@ -1245,6 +1264,18 @@ def c14_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda pa, pb, band: [
             (_agree_col(pa, pb, band) / 16.0).alias("est_jaccard")
         ],
+    ).filter(
+        F.pmod(
+            hash60(
+                F.concat(
+                    F.col("da").cast("string"),
+                    F.lit(":"),
+                    F.col("db").cast("string"),
+                )
+            ),
+            F.lit(_CAL_SAMPLE_MOD),
+        )
+        == 0
     )
     toksets = docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")

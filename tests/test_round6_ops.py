@@ -222,9 +222,21 @@ def test_c15_kept_doc_has_max_quality_in_bucket(spark, sf_dir):
 
 def test_c14_calibration_aggregates_c08(spark, sf_dir):
     """The calibration table must be exactly the per-level aggregation
-    of c08's per-pair report: same pair totals per estimate level and
-    max error never below any pair's error."""
-    pairs = QUERIES["c08_candidate_verify"](spark, sf_dir).collect()
+    of c08's per-pair report RESTRICTED to c14's deterministic 1/16
+    pair sample: same pair totals per estimate level and max error
+    never below any sampled pair's error."""
+    import hashlib
+
+    from streamandbatchprocessing_spark.queries.dedup import _CAL_SAMPLE_MOD
+
+    def sampled(da: int, db: int) -> bool:
+        h = int(hashlib.md5(f"{da}:{db}".encode()).hexdigest()[:15], 16)
+        return h % _CAL_SAMPLE_MOD == 0
+
+    pairs = [
+        p for p in QUERIES["c08_candidate_verify"](spark, sf_dir).collect()
+        if sampled(p["doc_a"], p["doc_b"])
+    ]
     calib = QUERIES["c14_minhash_calibration"](spark, sf_dir).collect()
     assert calib
     n_by_level: dict[float, int] = {}
