@@ -128,6 +128,7 @@ EXTRA = [
     "p15_source_mix_drift",
     "m08_image_tile_plan",
     "d11_nprobe_recall_curve",
+    "e16_zipf_head_profile",
 ]
 
 

@@ -80,8 +80,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "d07_mmr_diversified_topk",
     "d08_label_centroids", "d10_mutual_knn_graph",
     "d11_nprobe_recall_curve",
-    # text analysis (e01-e09/e13/e14 rotated out green)
+    # text analysis (e01-e09/e13/e14 rotated out green; e16 Zipf head
+    # new)
     "e10_pii_scrub", "e11_dsir_importance", "e12_passage_dedup",
+    "e16_zipf_head_profile",
     # streaming extensions (f13 streaming CMS new this round; f04/f05
     # rotate out green — f06/f08/f12 keep stateful + join coverage)
     "f01_streaming_dashboard", "f02_streaming_dedup", "f03_session_windows",
@@ -104,10 +106,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # b33 dynamic partition pruning new; p06 rotated out green)
     "b30_bucketed_colocated_join", "b31_zorder_box_scan",
     "b32_partition_pruned_scan", "b33_dynamic_partition_prune",
-    # cross-series analytics (g17-g21 rotated out green; g22 Markov
+    # cross-series analytics (g16-g21 rotated out green; g22 Markov
     # transitions + g23 snapshot diff new)
     "g13_value_correlation", "g14_conversion_funnel",
-    "g15_cohort_retention", "g16_range_click_attribution",
+    "g15_cohort_retention",
     "g22_event_transitions", "g23_snapshot_diff",
 )
 

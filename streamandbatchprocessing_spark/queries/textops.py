@@ -12,7 +12,7 @@ column (plus multilingual unit tests in tests/test_textops.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, md5_prefix
@@ -1095,3 +1095,77 @@ def e14_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("entropy"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# e16 — vocabulary head profile (Zipf top-k with cumulative mass)
+# ---------------------------------------------------------------------------
+_ZIPF_TOPK = 50
+
+
+@query(
+    "e16_zipf_head_profile",
+    oracle=f"""
+    WITH x AS (SELECT unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    c AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM x GROUP BY tok),
+    t AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM c),
+    r AS (SELECT tok, freq,
+                 ROW_NUMBER() OVER (ORDER BY freq DESC, tok) AS rank
+          FROM c),
+    h AS (SELECT * FROM r WHERE rank <= {_ZIPF_TOPK}),
+    cum AS (SELECT rank, tok, freq,
+                   SUM(freq) OVER (ORDER BY rank
+                                   ROWS UNBOUNDED PRECEDING) AS cum_freq
+            FROM h)
+    SELECT CAST(cum.rank AS BIGINT) AS rank, cum.tok AS token, cum.freq,
+           floor((cum.freq * 1.0 / t.total) * 1000000.0 + 0.5) / 1000000.0
+               AS share,
+           floor((cum.cum_freq * 1.0 / t.total) * 1000000.0 + 0.5)
+               / 1000000.0 AS cum_share
+    FROM cum CROSS JOIN t
+    ORDER BY rank
+    """,
+)
+def e16_zipf_head_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary head profile: the top-50 corpus tokens with their
+    frequency, corpus share, and cumulative mass — the Zipf head a
+    pipeline inspects to pick stopword lists, tokenizer merges, and
+    DF caps (c16's spectrum aggregated by level; this names the actual
+    offenders).
+
+    Scale: token counts are one map-side-combinable aggregate; the
+    top-k plans as TakeOrderedAndProject (per-partition heads, driver
+    merge — no global sort); rank/cum-share windows run AFTER the
+    LIMIT on a 50-row relation (the b33/d03 bounded-panel pattern, so
+    the unpartitioned window is provably metadata-sized); the grand
+    total arrives as a broadcast scalar. Cumulative mass accumulates
+    exact integers before one rounded division."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    total = counts.agg(F.sum("freq").cast("long").alias("total"))
+    head = counts.orderBy(F.desc("freq"), F.asc("token")).limit(_ZIPF_TOPK)
+    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    return (
+        head.withColumn("rank", F.row_number().over(w).cast("long"))
+        .withColumn(
+            "cum_freq",
+            F.sum("freq").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "token",
+            "freq",
+            pround(F.col("freq") * 1.0 / F.col("total"), 6).alias("share"),
+            pround(F.col("cum_freq") * 1.0 / F.col("total"), 6)
+            .alias("cum_share"),
+        )
+        .orderBy("rank")
+    )

@@ -91,6 +91,9 @@ PERTURBED = [
     "g22_event_transitions",
     "g23_snapshot_diff",
     "f13_streaming_heavy_hitters",
+    # Zipf head: TakeOrdered boundary + bounded-panel windows + integer
+    # cumulative mass.
+    "e16_zipf_head_profile",
 ]
 
 _PERTURB = {
