@@ -129,6 +129,8 @@ EXTRA = [
     "m08_image_tile_plan",
     "d11_nprobe_recall_curve",
     "e16_zipf_head_profile",
+    "g24_interval_coalesce",
+    "p16_budget_apportionment",
 ]
 
 

@@ -101,16 +101,16 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "p01_training_mix", "p02_streaming_ingest_funnel",
     "p11_column_profile", "p12_column_profile_at_scale",
     "p13_curriculum_buckets", "p14_skew_report",
-    "p15_source_mix_drift",
-    # physical layout (b30 green r04; b31 z-order, b32 partitioned,
-    # b33 dynamic partition pruning new; p06 rotated out green)
-    "b30_bucketed_colocated_join", "b31_zorder_box_scan",
-    "b32_partition_pruned_scan", "b33_dynamic_partition_prune",
+    "p15_source_mix_drift", "p16_budget_apportionment",
+    # physical layout (b31/b32 rotated out green; b30 bucketed + b33
+    # DPP keep the layout family driver-covered)
+    "b30_bucketed_colocated_join", "b33_dynamic_partition_prune",
     # cross-series analytics (g16-g21 rotated out green; g22 Markov
     # transitions + g23 snapshot diff new)
     "g13_value_correlation", "g14_conversion_funnel",
     "g15_cohort_retention",
     "g22_event_transitions", "g23_snapshot_diff",
+    "g24_interval_coalesce",
 )
 
 

@@ -1215,3 +1215,88 @@ def p15_source_mix_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# p16 — token-budget apportionment (largest-remainder allocation)
+# ---------------------------------------------------------------------------
+#: Total token budget to apportion across sources, in tokens.
+_APPORTION_BUDGET = 1_000_000
+
+
+@query(
+    "p16_budget_apportionment",
+    oracle=f"""
+    WITH tk AS (SELECT source,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                           AS n_tokens
+                FROM documents GROUP BY source),
+    t AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM tk),
+    q AS (SELECT tk.source, tk.n_tokens,
+                 ({_APPORTION_BUDGET} * tk.n_tokens) // t.total
+                     AS floor_alloc,
+                 ({_APPORTION_BUDGET} * tk.n_tokens) % t.total
+                     AS remainder
+          FROM tk CROSS JOIN t),
+    rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, source)
+                         AS rem_rank,
+                 SUM(floor_alloc) OVER () AS floor_total
+           FROM q)
+    SELECT source, n_tokens,
+           CAST(floor_alloc AS BIGINT) AS floor_alloc,
+           CAST(remainder AS BIGINT) AS remainder,
+           CAST(rem_rank AS BIGINT) AS rem_rank,
+           CAST(floor_alloc + CASE WHEN rem_rank <=
+                    {_APPORTION_BUDGET} - floor_total THEN 1 ELSE 0 END
+                AS BIGINT) AS alloc
+    FROM rk
+    ORDER BY source
+    """,
+)
+def p16_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-remainder (Hamilton) apportionment of a fixed token
+    budget across sources: exact proportional quotas floored, then the
+    leftover units handed out by remainder rank — the allocation rule
+    that makes per-source token budgets sum EXACTLY to the target with
+    no fractional tokens and no drift (p05's water-level solves a
+    different problem: capacity-capped fair shares).
+
+    Scale: per-source token counts are one map-side-combinable
+    aggregate; everything after operates on the |sources|-row table —
+    the corpus total broadcasts, quota arithmetic is exact int64
+    (budget·tokens ≤ 1e6·1e12 < 2^63), and the remainder-rank window
+    runs on the bounded source panel (b33's metadata-sized-window
+    argument). Σ alloc == budget by construction on both engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_tokens")
+    )
+    tot = tk.agg(F.sum("n_tokens").cast("long").alias("total"))
+    q = tk.crossJoin(F.broadcast(tot)).select(
+        "source", "n_tokens",
+        F.expr(f"({_APPORTION_BUDGET} * n_tokens) div total")
+        .alias("floor_alloc"),
+        (F.lit(_APPORTION_BUDGET) * F.col("n_tokens") % F.col("total"))
+        .alias("remainder"),
+    )
+    w = Window.orderBy(F.desc("remainder"), F.asc("source"))
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ranked = q.withColumn(
+        "rem_rank", F.row_number().over(w).cast("long")
+    ).withColumn("floor_total", F.sum("floor_alloc").over(wall))
+    return ranked.select(
+        "source", "n_tokens",
+        F.col("floor_alloc").cast("long").alias("floor_alloc"),
+        F.col("remainder").cast("long").alias("remainder"),
+        "rem_rank",
+        (
+            F.col("floor_alloc")
+            + F.when(
+                F.col("rem_rank")
+                <= F.lit(_APPORTION_BUDGET) - F.col("floor_total"),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("alloc"),
+    ).orderBy("source")

@@ -1548,3 +1548,85 @@ def g23_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# g24 — interval coalesce (merge overlapping validity ranges)
+# ---------------------------------------------------------------------------
+@query(
+    "g24_interval_coalesce",
+    oracle="""
+    WITH iv AS (SELECT o_custkey, o_orderkey,
+                       o_orderdate AS ivl_start,
+                       o_orderdate + INTERVAL 7 DAY AS ivl_end
+                FROM orders),
+    m AS (SELECT *, MAX(ivl_end) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY ivl_start, o_orderkey
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    AS prev_max_end
+          FROM iv),
+    f AS (SELECT *, CASE WHEN prev_max_end IS NULL
+                           OR ivl_start > prev_max_end
+                         THEN 1 ELSE 0 END AS is_new
+          FROM m),
+    g AS (SELECT *, SUM(is_new) OVER (
+                        PARTITION BY o_custkey
+                        ORDER BY ivl_start, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS island
+          FROM f)
+    SELECT o_custkey, CAST(island AS BIGINT) AS island,
+           MIN(ivl_start) AS merged_start,
+           MAX(ivl_end) AS merged_end,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals
+    FROM g
+    GROUP BY o_custkey, island
+    ORDER BY o_custkey, island
+    """,
+)
+def g24_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval coalescing (gaps-and-islands over RANGES): each order
+    opens a 7-day validity window per customer; overlapping windows
+    merge into maximal islands — the range-merge primitive behind
+    entitlement periods, maintenance windows, and contiguous-coverage
+    audits. Complements g18, which islands POINT events by gap; here
+    intervals themselves carry extent, so a row can be swallowed by a
+    predecessor that ends later (the running-max comparison, not lag).
+
+    Scale: both window passes (running max-end, then running island
+    sum) and the final aggregate share ONE o_custkey exchange —
+    per-customer sequences sort in parallel, and the ordering
+    (ivl_start, o_orderkey) is total so island numbering is
+    engine-deterministic. Touching intervals (start == prev end)
+    merge; only a strict gap starts a new island."""
+    orders = load_table(spark, sf_dir, "orders")
+    iv = orders.select(
+        "o_custkey", "o_orderkey",
+        F.col("o_orderdate").alias("ivl_start"),
+        F.expr("o_orderdate + INTERVAL 7 DAYS").alias("ivl_end"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("ivl_start", "o_orderkey")
+    prev_max = F.max("ivl_end").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.withColumn(
+        "is_new",
+        F.when(
+            prev_max.isNull() | (F.col("ivl_start") > prev_max), 1
+        ).otherwise(0),
+    )
+    islanded = flagged.withColumn(
+        "island",
+        F.sum("is_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    return (
+        islanded.groupBy("o_custkey", "island")
+        .agg(
+            F.min("ivl_start").alias("merged_start"),
+            F.max("ivl_end").alias("merged_end"),
+            F.count(F.lit(1)).cast("long").alias("n_intervals"),
+        )
+        .orderBy("o_custkey", "island")
+    )

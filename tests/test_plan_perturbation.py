@@ -94,6 +94,10 @@ PERTURBED = [
     # Zipf head: TakeOrdered boundary + bounded-panel windows + integer
     # cumulative mass.
     "e16_zipf_head_profile",
+    # interval islands share one exchange; apportionment's bounded
+    # remainder-rank window and broadcast total.
+    "g24_interval_coalesce",
+    "p16_budget_apportionment",
 ]
 
 _PERTURB = {

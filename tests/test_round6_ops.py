@@ -249,3 +249,48 @@ def test_c14_calibration_aggregates_c08(spark, sf_dir):
     for r in calib:
         assert abs(r["max_abs_err"] - max_by_level[r["est_jaccard"]]) < 1e-9
         assert r["avg_abs_err"] <= r["max_abs_err"] + 1e-9
+
+
+def test_g24_islands_disjoint_and_ordered(spark, sf_dir):
+    """Merged islands per customer must be strictly separated (next
+    start > previous end — touching would have merged), non-empty, and
+    account for every source interval."""
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = QUERIES["g24_interval_coalesce"](spark, sf_dir).collect()
+    assert rows
+    by_cust: dict[int, list] = {}
+    total_intervals = 0
+    for r in rows:
+        by_cust.setdefault(r["o_custkey"], []).append(r)
+        total_intervals += r["n_intervals"]
+        assert r["merged_start"] < r["merged_end"]
+        assert r["n_intervals"] >= 1
+    for cust, rs in by_cust.items():
+        rs.sort(key=lambda r: r["island"])
+        for a, b in zip(rs, rs[1:]):
+            assert b["merged_start"] > a["merged_end"], (
+                f"cust {cust}: islands {a['island']} and {b['island']} touch"
+            )
+    n_orders = load_table(spark, sf_dir, "orders").count()
+    assert total_intervals == n_orders
+
+
+def test_p16_allocation_sums_exactly_to_budget(spark, sf_dir):
+    """Hamilton apportionment: Σ alloc == the budget EXACTLY, every
+    source gets floor or floor+1, and the +1s go to the largest
+    remainders first."""
+    from streamandbatchprocessing_spark.queries.pipeline import (
+        _APPORTION_BUDGET,
+    )
+
+    rows = QUERIES["p16_budget_apportionment"](spark, sf_dir).collect()
+    assert rows
+    assert sum(r["alloc"] for r in rows) == _APPORTION_BUDGET
+    bumped = sorted(
+        r["rem_rank"] for r in rows if r["alloc"] == r["floor_alloc"] + 1
+    )
+    for r in rows:
+        assert r["alloc"] in (r["floor_alloc"], r["floor_alloc"] + 1)
+    # the bumped set is exactly ranks 1..R
+    assert bumped == list(range(1, len(bumped) + 1))
