@@ -3,18 +3,15 @@ of ``queries()`` (observed in CORRECTNESS_r01/r02/r03: each scored
 exactly slots 1–50). These tests pin the scoring window so a refactor
 can't silently push a query family out of driver verification again.
 
-Round-5 window policy: rounds 1–2 greened a01–a09 + b01–b29 + g01–g12;
-round 4 greened c01–c10, d01–d06, e01–e10, f01–f09, m01–m05, p01–p08
-and b30 (48 hash-green + c06/m02 rows-only). The window now holds every
-query without a driver verdict: c11 (upgraded to a quantile_disc/cont
-oracle, exact at the driver's sf0.01), g13 (added post-rotation in
-round 4), round 5's fifteen early operators
-e11/e12/f10/f11/g14/g15/g16/g17/g18/p09/p10/b31/d07/d08/m06, and the
-mid-round-5 additions c12/c13/e13/e14/f12/p11/b32/b33/g19/g20/g21/d09
-(which swapped in for r04-greened c03-c06, d05, d06, e03, e06-e09,
-p06). Rotated-out entries (p03-p08, e01-e09, m01, m03, m04, d01, d02,
-d03, d05, d06, c01, c03-c06, c08) each keep their r04 verdict and
-local strict-oracle test.
+Round-6 window policy: rounds 1-2 greened a01-a09 + b01-b29 + g01-g12;
+round 4 greened c01-c10, d01-d06, e01-e10, f01-f09, m01-m05, p01-p08,
+b30; round 5 greened everything then registered EXCEPT m06 (a driver-
+canonicalization error on its array output column, fixed this round).
+The window now holds every query without a driver verdict: m06 plus
+the round-6 operators g22/g23/g24/c14/c15/c16/p12-p16/d10/d11/m07/m08/
+f13/e16 — alongside re-confirming green entries. Rotated out this
+round (each r05-green, each keeping its local strict-oracle test):
+g16-g21, c12, c13, e13, e14, d09, f04, f05, p09, p10, b31, b32.
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES
