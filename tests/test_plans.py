@@ -531,3 +531,11 @@ def test_g22_totals_join_broadcasts(spark, sf_dir):
     the probability division."""
     plan = executed_plan(QUERIES["g22_event_transitions"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_e16_head_take_ordered(spark, sf_dir):
+    """e16's top-50 head must fuse to TakeOrderedAndProject; the
+    rank/cumulative windows run after the LIMIT on the 50-row panel,
+    never on the full vocabulary."""
+    plan = executed_plan(QUERIES["e16_zipf_head_profile"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan
