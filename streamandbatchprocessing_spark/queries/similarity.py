@@ -1312,7 +1312,12 @@ def d10_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
     )
     w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
-    directed = (
+    # Persist the k*N directed edge list: both sides of the mutuality
+    # self-join reference it, and without materialization each side
+    # recomputes the full pairing join + top-k chain (observed doubled
+    # subtree in the captured plan) — the edge list is tiny next to
+    # the pairing work it memoizes.
+    directed = persist_tracked(
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= _KNN_K)
     )
