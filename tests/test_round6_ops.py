@@ -294,3 +294,19 @@ def test_p16_allocation_sums_exactly_to_budget(spark, sf_dir):
         assert r["alloc"] in (r["floor_alloc"], r["floor_alloc"] + 1)
     # the bumped set is exactly ranks 1..R
     assert bumped == list(range(1, len(bumped) + 1))
+
+
+def test_e16_head_is_sorted_and_mass_consistent(spark, sf_dir):
+    """The head must be in non-increasing frequency order with strictly
+    increasing cumulative mass, cum_share must track the running share
+    sum, and the head's total mass can't exceed 1."""
+    rows = QUERIES["e16_zipf_head_profile"](spark, sf_dir).collect()
+    assert rows and rows[0]["rank"] == 1
+    freqs = [r["freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+    cums = [r["cum_share"] for r in rows]
+    assert cums == sorted(cums) and cums[-1] <= 1.0
+    running = 0.0
+    for r in rows:
+        running += r["share"]
+        assert abs(r["cum_share"] - running) < 1e-4, r["rank"]
