@@ -65,14 +65,14 @@ from .registry import ORACLES, QUERIES
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
-    # dedup + sketches (c01/c03-c06/c12/c13 rotated out green; c02+c07
-    # keep MinHash-LSH and canonicalization driver-covered; c14
-    # calibration + c15 keep-best canonical new)
+    # dedup + sketches (c01/c03-c06/c11/c12/c13 rotated out green;
+    # c02+c07 keep MinHash-LSH and canonicalization driver-covered;
+    # c14 calibration + c15/c17 keep-best canonicals + c16 spectrum new)
     "c02_minhash_lsh_pairs",
     "c07_dup_clusters", "c09_semantic_dedup",
-    "c10_incremental_neardup", "c11_quantile_sketch",
+    "c10_incremental_neardup",
     "c14_minhash_calibration", "c15_band_canonical_keep_best",
-    "c16_shingle_df_spectrum",
+    "c16_shingle_df_spectrum", "c17_cluster_canonical_keep_best",
     # similarity search (d01-d03/d05/d06/d09 rotated out green; d04
     # covers IVF, m02 keeps the Arrow path driver-covered; d10 mutual
     # k-NN graph new)

@@ -1473,3 +1473,92 @@ def c16_shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "df")
     )
+
+
+# ---------------------------------------------------------------------------
+# c17 — cluster-level canonical selection (keep best quality per component)
+# ---------------------------------------------------------------------------
+def _cluster_canonical_oracle() -> str:
+    from .textops import QUALITY_SCORE_CTE
+
+    sig = _sig_cte().replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    return f"""
+    {sig},
+    {_cand_cte()},
+    near AS (
+        SELECT c.da, c.db
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.da
+        JOIN sig sb ON sb.doc_id = c.db
+        WHERE ({_AGREE}) >= {_CC_MIN_AGREE}
+    ),
+    edges AS (SELECT da AS s, db AS d FROM near
+              UNION ALL SELECT db, da FROM near),
+    lab AS (
+        SELECT doc_id AS node, doc_id AS lab FROM t
+        UNION
+        SELECT e.d, l.lab FROM lab l JOIN edges e ON e.s = l.node
+        WHERE l.lab < e.d
+    ),
+    cl AS (SELECT node AS doc_id, MIN(lab) AS cluster_id
+           FROM lab GROUP BY node),
+    {QUALITY_SCORE_CTE.strip()},
+    j AS (SELECT cl.doc_id, cl.cluster_id, s.quality_score
+          FROM cl JOIN scored s ON s.doc_id = cl.doc_id),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                       ORDER BY quality_score DESC, doc_id)
+                        AS rn,
+                 COUNT(*) OVER (PARTITION BY cluster_id) AS n_members
+          FROM j)
+    SELECT cluster_id,
+           CAST(n_members AS BIGINT) AS n_members,
+           doc_id AS kept_doc_id,
+           quality_score AS kept_quality,
+           CAST(n_members - 1 AS BIGINT) AS n_dropped
+    FROM r WHERE rn = 1 AND n_members >= 2
+    ORDER BY cluster_id
+    """
+
+
+@query("c17_cluster_canonical_keep_best", oracle=_cluster_canonical_oracle())
+def c17_cluster_canonical_keep_best(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cluster-level canonical selection: within every TRANSITIVE
+    near-duplicate component (c07's connected components), keep the
+    highest-quality member — the policy-complete dedup step. c15 is
+    the cheap bucket-granular first pass; this is the exact final pass
+    after the component fixpoint, so a chain a~b~c collapses to ONE
+    survivor even when a and c never collided directly.
+
+    Scale: the component labels come from c07's min-label propagation
+    (one shuffle per round, diameter-bounded rounds); the keep-best is
+    then a single max(struct(quality, -doc_id)) aggregate over the
+    (doc, cluster) table — no window, no per-cluster sort. Output is
+    bounded by the number of multi-member components."""
+    from .textops import quality_score_col, quality_scored_docs
+
+    clusters = c07_dup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_scored_docs(docs).select(
+        "doc_id", quality_score_col().alias("quality_score")
+    )
+    best = F.max(
+        F.struct(
+            F.col("quality_score").alias("q"),
+            (-F.col("doc_id")).alias("negid"),
+        )
+    ).alias("best")
+    return (
+        clusters.join(scored, "doc_id")
+        .groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"), best)
+        .filter(F.col("n_members") >= 2)
+        .select(
+            "cluster_id", "n_members",
+            (-F.col("best.negid")).alias("kept_doc_id"),
+            F.col("best.q").alias("kept_quality"),
+            (F.col("n_members") - 1).alias("n_dropped"),
+        )
+        .orderBy("cluster_id")
+    )

@@ -98,6 +98,8 @@ PERTURBED = [
     # remainder-rank window and broadcast total.
     "g24_interval_coalesce",
     "p16_budget_apportionment",
+    # cluster keep-best: the c07 fixpoint feeding a max(struct) argmax.
+    "c17_cluster_canonical_keep_best",
 ]
 
 _PERTURB = {

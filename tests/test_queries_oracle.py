@@ -15,7 +15,9 @@ from .oracle_harness import assert_flat_output_schema, compare
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(spark, sf_dir, name):
     fn = QUERIES[name]
-    if name == "c07_dup_clusters" and sf_dir.rstrip("/").endswith("sf0.1"):
+    if name in (
+        "c07_dup_clusters", "c17_cluster_canonical_keep_best"
+    ) and sf_dir.rstrip("/").endswith("sf0.1"):
         # The Spark side scales (26 s at sf0.1: iterative label
         # propagation); the DuckDB *oracle* does not — its recursive-CTE
         # transitive closure is quadratic in cluster size and the sf0.1

@@ -310,3 +310,31 @@ def test_e16_head_is_sorted_and_mass_consistent(spark, sf_dir):
     for r in rows:
         running += r["share"]
         assert abs(r["cum_share"] - running) < 1e-4, r["rank"]
+
+
+def test_c17_keeps_best_member_of_each_component(spark, sf_dir):
+    """Cross-check c17 against c07 + e02 independently: every reported
+    cluster must match c07's multi-member components exactly, and the
+    kept doc must be that component's (quality DESC, doc_id ASC)
+    argmax."""
+    clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in QUERIES["c07_dup_clusters"](spark, sf_dir).collect()
+    }
+    quality = {
+        r["doc_id"]: r["quality_score"]
+        for r in QUERIES["e02_quality_score"](spark, sf_dir).collect()
+    }
+    members: dict[int, list] = {}
+    for doc, cl in clusters.items():
+        members.setdefault(cl, []).append(doc)
+    expected = {
+        cl: sorted(ms, key=lambda d: (-quality[d], d))[0]
+        for cl, ms in members.items()
+        if len(ms) >= 2
+    }
+    got = QUERIES["c17_cluster_canonical_keep_best"](spark, sf_dir).collect()
+    assert {r["cluster_id"]: r["kept_doc_id"] for r in got} == expected
+    for r in got:
+        assert r["n_members"] == len(members[r["cluster_id"]])
+        assert r["n_dropped"] == r["n_members"] - 1
