@@ -460,3 +460,90 @@ def test_checkpoint_recovery_after_midstream_crash(spark, sf_dir, tmp_path):
         ).collect()
     )
     assert got == want
+
+
+def test_cms_grid_survives_midstream_crash(spark, sf_dir, tmp_path):
+    """f13's count-min grid through a crash-restart: fault-inject at
+    micro-batch 2, resume from the SAME checkpoint, and the drained
+    d x w grid must equal the batch-built grid CELL-FOR-CELL. This is
+    the sketch-specific exactly-once property — a replayed increment
+    would silently inflate cells (est >= true still holds, so only
+    bit-equality with the batch grid catches it)."""
+    import glob as _glob
+    import os as _os
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from streamandbatchprocessing_spark.functions.hashing import hash60
+    from streamandbatchprocessing_spark.queries.dedup import _CMS_D, _CMS_W
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "src")
+    _os.makedirs(src)
+    base = _time.time() - 100
+    for i in range(4):
+        pdir = str(tmp_path / f"part{i}")
+        ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.parquet(pdir)
+        pfile = _glob.glob(f"{pdir}/part-*.parquet")[0]
+        dst = f"{src}/{i:02d}.parquet"
+        _os.rename(pfile, dst)
+        _os.utime(dst, (base + 10 * i, base + 10 * i))
+
+    def bucket(key, d):
+        return F.pmod(
+            hash60(F.concat(F.lit("cms"), d.cast("string"), F.lit(":"), key)),
+            F.lit(_CMS_W),
+        )
+
+    depths = F.array(*[F.lit(i) for i in range(_CMS_D)])
+
+    def grid(df):
+        return (
+            df.select(F.col("user_id").cast("string").alias("k"))
+            .select("k", F.explode(depths).alias("d"))
+            .select("d", bucket(F.col("k"), F.col("d")).alias("b"))
+            .groupBy("d", "b")
+            .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        )
+
+    schema = spark.read.parquet(src).schema
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+
+    def run(fail_at):
+        def sink(batch_df, batch_id: int) -> None:
+            if fail_at is not None and batch_id == fail_at:
+                raise RuntimeError("injected crash")
+            batch_df.write.mode("overwrite").parquet(out)
+
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            grid(stream).writeStream.outputMode("complete")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .queryName(f"cms_recovery_{fail_at}")
+            .start()
+        )
+        try:
+            q.awaitTermination()
+        except Exception:
+            pass
+        finally:
+            if q.isActive:
+                q.stop()
+
+    run(fail_at=2)
+    run(fail_at=None)
+
+    got = sorted(
+        (r["d"], r["b"], r["c"]) for r in spark.read.parquet(out).collect()
+    )
+    want = sorted((r["d"], r["b"], r["c"]) for r in grid(ev).collect())
+    assert got == want
