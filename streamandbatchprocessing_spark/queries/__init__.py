@@ -73,12 +73,13 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "c10_incremental_neardup",
     "c14_minhash_calibration", "c15_band_canonical_keep_best",
     "c16_shingle_df_spectrum", "c17_cluster_canonical_keep_best",
+    "c18_blocked_fuzzy_match",
     # similarity search (d01-d03/d05/d06/d09 rotated out green; d04
     # covers IVF, m02 keeps the Arrow path driver-covered; d10 mutual
     # k-NN graph new)
     "d04_ivf_kmeans_ann",
     "d07_mmr_diversified_topk",
-    "d08_label_centroids", "d10_mutual_knn_graph",
+    "d10_mutual_knn_graph",
     "d11_nprobe_recall_curve",
     # text analysis (e01-e09/e13/e14 rotated out green; e16 Zipf head
     # new)

@@ -100,6 +100,8 @@ PERTURBED = [
     "p16_budget_apportionment",
     # cluster keep-best: the c07 fixpoint feeding a max(struct) argmax.
     "c17_cluster_canonical_keep_best",
+    # blocked fuzzy join: codegen'd Levenshtein on block-co-located pairs.
+    "c18_blocked_fuzzy_match",
 ]
 
 _PERTURB = {

@@ -338,3 +338,28 @@ def test_c17_keeps_best_member_of_each_component(spark, sf_dir):
     for r in got:
         assert r["n_members"] == len(members[r["cluster_id"]])
         assert r["n_dropped"] == r["n_members"] - 1
+
+
+def test_c18_pairs_share_block_and_respect_threshold(spark, sf_dir):
+    """Every emitted candidate pair must share its blocking token, be
+    canonically oriented, and sit within the edit threshold — and the
+    exact distance must match an independent Python Levenshtein."""
+    from streamandbatchprocessing_spark.queries.dedup import _FUZZY_MAX_EDIT
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = QUERIES["c18_blocked_fuzzy_match"](spark, sf_dir).collect()
+    assert rows, "no fuzzy candidates found"
+    for r in rows[:200]:
+        assert r["part_a"] < r["part_b"]
+        assert r["name_a"].split(" ")[0] == r["name_b"].split(" ")[0]
+        assert 0 <= r["edit_dist"] <= _FUZZY_MAX_EDIT
+        assert r["edit_dist"] == lev(r["name_a"], r["name_b"])
