@@ -81,9 +81,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "d07_mmr_diversified_topk",
     "d10_mutual_knn_graph",
     "d11_nprobe_recall_curve",
-    # text analysis (e01-e09/e13/e14 rotated out green; e16 Zipf head
-    # new)
-    "e10_pii_scrub", "e11_dsir_importance", "e12_passage_dedup",
+    # text analysis (e01-e09/e11/e13/e14 rotated out green; e16 Zipf
+    # head new)
+    "e10_pii_scrub", "e12_passage_dedup",
     "e16_zipf_head_profile",
     # streaming extensions (f13 streaming CMS new this round; f04/f05
     # rotate out green — f06/f08/f12 keep stateful + join coverage)
@@ -96,7 +96,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # its round-5 canonicalization error; m07 audio chunking new)
     "m02_payload_features_pandas",
     "m05_crossmodal_join", "m06_payload_dedup", "m07_audio_chunk_plan",
-    "m08_image_tile_plan",
+    "m08_image_tile_plan", "m09_modality_manifest",
     # composed pipelines (p03/p04/p05/p07/p08 rotated out green;
     # p12 approx-profile twin, p13 curriculum, p14 skew report new)
     "p01_training_mix", "p02_streaming_ingest_funnel",

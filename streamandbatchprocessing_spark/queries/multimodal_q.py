@@ -498,3 +498,69 @@ def m08_image_tile_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("height") - F.col("y"), F.lit(32))
         .cast("long").alias("tile_h"),
     ).orderBy("media_id", "tile_row", "tile_col")
+
+
+@query(
+    "m09_modality_manifest",
+    oracle="""
+    SELECT * FROM (
+        SELECT 'audio' AS modality,
+               CAST(COUNT(*) AS BIGINT) AS n_assets,
+               CAST(SUM((n_chars * 160 + 7999) // 8000) AS BIGINT)
+                   AS total_units
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT 'image',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(((64 + doc_id % 193 + 31) // 32)
+                        * ((64 + (doc_id * 3) % 149 + 31) // 32))
+                    AS BIGINT)
+        FROM documents WHERE doc_id % 4 = 1
+        UNION ALL
+        SELECT 'video',
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(n_chars // 100 + 1) AS BIGINT)
+        FROM documents WHERE doc_id % 5 = 0
+    )
+    ORDER BY modality
+    """,
+)
+def m09_modality_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal catalog manifest: per modality, the asset count and
+    the TOTAL planned work units (video frames / audio chunks / image
+    tiles) computed in CLOSED FORM from each asset's metadata — the
+    capacity-planning rollup a pipeline runs before scheduling decode
+    fleets, without generating a single per-unit row.
+
+    The closed forms are the algebraic twins of the generator plans:
+    frames = duration/100 + 1 (m03's inclusive grid), chunks =
+    ceil(samples/8000) (m07's hop count), tiles = ceil(w/32)*ceil(h/32)
+    (m08's grid) — and tests/test_round6_ops.py cross-checks each sum
+    against the actual exploded row counts, so the manifest can never
+    drift from the plans it budgets for.
+
+    Scale: three scans of metadata columns (or one with a modality
+    CASE), integer-only arithmetic, 3 output rows — no explode, no
+    shuffle beyond the final 3-group aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    audio = docs.filter(F.col("doc_id") % 7 == 0).agg(
+        F.lit("audio").alias("modality"),
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum(F.expr("(n_chars * 160 + 7999) div 8000")).cast("long")
+        .alias("total_units"),
+    )
+    image = docs.filter(F.col("doc_id") % 4 == 1).agg(
+        F.lit("image").alias("modality"),
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum(
+            F.expr("((64 + doc_id % 193 + 31) div 32)"
+                   " * ((64 + (doc_id * 3) % 149 + 31) div 32)")
+        ).cast("long").alias("total_units"),
+    )
+    video = docs.filter(F.col("doc_id") % 5 == 0).agg(
+        F.lit("video").alias("modality"),
+        F.count(F.lit(1)).cast("long").alias("n_assets"),
+        F.sum(F.expr("n_chars div 100 + 1")).cast("long")
+        .alias("total_units"),
+    )
+    return audio.union(image).union(video).orderBy("modality")

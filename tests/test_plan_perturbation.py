@@ -102,6 +102,7 @@ PERTURBED = [
     "c17_cluster_canonical_keep_best",
     # blocked fuzzy join: codegen'd Levenshtein on block-co-located pairs.
     "c18_blocked_fuzzy_match",
+    "m09_modality_manifest",
 ]
 
 _PERTURB = {

@@ -363,3 +363,21 @@ def test_c18_pairs_share_block_and_respect_threshold(spark, sf_dir):
         assert r["name_a"].split(" ")[0] == r["name_b"].split(" ")[0]
         assert 0 <= r["edit_dist"] <= _FUZZY_MAX_EDIT
         assert r["edit_dist"] == lev(r["name_a"], r["name_b"])
+
+
+def test_m09_manifest_matches_exploded_plans(spark, sf_dir):
+    """The closed-form manifest must equal the exploded plans' actual
+    row counts per modality — the algebraic consistency that lets the
+    scheduler trust the budget without generating unit rows."""
+    manifest = {
+        r["modality"]: r
+        for r in QUERIES["m09_modality_manifest"](spark, sf_dir).collect()
+    }
+    assert set(manifest) == {"audio", "image", "video"}
+    exploded = {
+        "video": QUERIES["m03_frame_sample_plan"](spark, sf_dir).count(),
+        "audio": QUERIES["m07_audio_chunk_plan"](spark, sf_dir).count(),
+        "image": QUERIES["m08_image_tile_plan"](spark, sf_dir).count(),
+    }
+    for modality, n_rows in exploded.items():
+        assert manifest[modality]["total_units"] == n_rows, modality
