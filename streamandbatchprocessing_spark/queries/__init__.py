@@ -56,12 +56,14 @@ from .registry import ORACLES, QUERIES
 #: keeps in-window siblings and every rotated-out query keeps its
 #: local strict-oracle test; c06's rows-only verdict and e09's hash
 #: verdict both stand from r04).
-#: Round-6 rotation: the never-scored round-6 operators (g22, g23, c14,
-#: c15, p12, p13, p14) swap in for seven r05-greened entries (g17–g21,
-#: c12, c13 — every family keeps stronger in-window siblings and every
-#: rotated-out query keeps its local strict-oracle test). m06 stays in:
-#: its r05 row was a driver-canonicalization ERROR, fixed this round,
-#: and needs a hash verdict.
+#: Round-6 rotation (final): the twenty never-scored round-6 operators
+#: (g22-g24, c14-c18, p12-p16, d10, d11, m07-m09, f13, e16) swap in for
+#: eighteen r05-greened entries (g16-g21, c11-c13, e11, e13, e14, d08,
+#: d09, f04, f05, p09, p10, b31, b32 — every family keeps stronger
+#: in-window siblings and every rotated-out query keeps its local
+#: strict-oracle test). m06 stays in: its r05 row was a
+#: driver-canonicalization ERROR, fixed this round, and needs a hash
+#: verdict.
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",

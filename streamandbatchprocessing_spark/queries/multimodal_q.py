@@ -397,10 +397,13 @@ def m07_audio_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 7 == 0
     )
+    # Zero-length guard: an empty asset (n_samples = 0) must yield no
+    # chunks — the oracle's range(0, 0, 8000) is naturally empty, but
+    # Spark's sequence(0, -1, 8000) would throw, so filter first.
     audio = docs.select(
         F.col("doc_id").alias("media_id"),
         (F.col("n_chars") * 160).cast("long").alias("n_samples"),
-    )
+    ).filter(F.col("n_samples") > 0)
     return (
         audio.select(
             "media_id",

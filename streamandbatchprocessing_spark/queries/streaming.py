@@ -444,8 +444,9 @@ def f08_stream_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     arrive, and emission happens in a batch AFTER the watermark advance.
     On finite input that means the tail would be withheld forever, so
     the source is staged with sentinel files (see
-    ``events_stream_staged``): batch 2 advances both branch watermarks
-    past all real events, batch 3 flushes every expired left row. State
+    ``events_stream_staged``): the first micro-batch carries the real
+    events plus the first sentinel (advancing both branch watermarks
+    past them), and the second flushes every expired left row. State
     stays bounded by rate × (watermark + interval) exactly as in f05 —
     the outer variant adds no state, only deferred emission. Sentinel
     rows carry ``user_id = -1`` and are dropped from the result."""
