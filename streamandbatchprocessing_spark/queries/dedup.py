@@ -396,6 +396,20 @@ def c03_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
 _MAX_SHINGLE_DF = 64
 
 
+def shingles_col():
+    """Per-document distinct 3-shingle array — THE single definition
+    shared by c04 (the pair join), c16 (the DF spectrum that justifies
+    c04's cap), and the c16 accounting test, so the spectrum can never
+    drift from the cost model it describes."""
+    return F.array_distinct(
+        F.expr(
+            "CASE WHEN size(split(text, ' ')) < 3 THEN array() "
+            "ELSE transform(sequence(0, size(split(text, ' ')) - 3), "
+            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) END"
+        )
+    )
+
+
 @query(
     "c04_ngram_jaccard_pairs",
     oracle=f"""
@@ -437,13 +451,7 @@ def c04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs either way). Union sizes come from per-doc set sizes, so no
     pairwise set materialization."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = F.array_distinct(
-        F.expr(
-            "CASE WHEN size(split(text, ' ')) < 3 THEN array() "
-            "ELSE transform(sequence(0, size(split(text, ' ')) - 3), "
-            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) END"
-        )
-    )
+    sh = shingles_col()
     s = docs.select("doc_id", "source", sh.alias("sh"))
     sz = s.select("doc_id", F.size("sh").alias("n"))
     x = s.select("doc_id", "source", F.explode("sh").alias("g"))
@@ -939,6 +947,17 @@ _CMS_W = 512
 _CMS_MIN_FRAC = 0.005
 
 
+def cms_bucket(key, d):
+    """The CMS cell hash — THE single definition shared by c12's batch
+    sketch, f13's streaming sketch, and the crash-recovery proof
+    (tests/test_streaming_pipeline.py), so a retune of the grid width
+    or hash seed can never desynchronize them."""
+    return F.pmod(
+        hash60(F.concat(F.lit("cms"), d.cast("string"), F.lit(":"), key)),
+        F.lit(_CMS_W),
+    )
+
+
 @query(
     "c12_heavy_hitters_cms",
     oracle=f"""
@@ -1001,14 +1020,7 @@ def c12_heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     keyed = ev.select(F.col("user_id").cast("string").alias("k"))
     depths = F.array(*[F.lit(i) for i in range(_CMS_D)])
-
-    def bucket(key: F.Column, d: F.Column) -> F.Column:
-        return F.pmod(
-            hash60(
-                F.concat(F.lit("cms"), d.cast("string"), F.lit(":"), key)
-            ),
-            F.lit(_CMS_W),
-        )
+    bucket = cms_bucket
 
     cand = persist_tracked(
         keyed.groupBy("k").agg(F.count(F.lit(1)).alias("true_n"))
@@ -1451,14 +1463,7 @@ def c16_shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     same key c04 groups on), then a |DF-levels|-bounded second
     aggregate. Pure counting; no posting list is ever materialized."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = F.array_distinct(
-        F.expr(
-            "CASE WHEN size(split(text, ' ')) < 3 THEN array() "
-            "ELSE transform(sequence(0, size(split(text, ' ')) - 3), "
-            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) END"
-        )
-    )
-    x = docs.select("source", F.explode(sh).alias("g"))
+    x = docs.select("source", F.explode(shingles_col()).alias("g"))
     d = x.groupBy("source", "g").agg(F.count(F.lit(1)).alias("df"))
     return (
         d.groupBy("source", "df")

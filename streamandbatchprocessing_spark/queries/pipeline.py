@@ -878,6 +878,50 @@ def _profile_render_sql(col: str, kind: str, agg: str) -> str:
     return x
 
 
+def _profile_frame(orders: DataFrame, distinct_agg, distinct_name: str) -> DataFrame:
+    """Shared one-pass profile scaffold for p11/p12: the wide aggregate
+    (row/null counts, canonically-rendered min/max) plus the stack
+    unpivot, parameterized ONLY by the distinct aggregate (exact vs
+    HLL++) and its output column name — so the exact profile and its
+    100-TB twin can never drift in rendering or shape."""
+
+    def render(col: str, kind: str, agg) -> F.Column:
+        x = agg(col)
+        if kind == "int":
+            return x.cast("string")
+        if kind == "money":
+            return pround(x, 2).cast("decimal(18,2)").cast("string")
+        if kind == "ts":
+            return F.date_format(x, "yyyy-MM-dd HH:mm:ss")
+        return x
+
+    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
+    for col, kind in _PROFILE_COLS:
+        aggs += [
+            (F.count(F.lit(1)) - F.count(col)).cast("long").alias(f"nn_{col}"),
+            distinct_agg(col).cast("long").alias(f"nd_{col}"),
+            render(col, kind, F.min).alias(f"mn_{col}"),
+            render(col, kind, F.max).alias(f"mx_{col}"),
+        ]
+    wide = orders.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{col}', nn_{col}, nd_{col}, mn_{col}, mx_{col}"
+        for col, _ in _PROFILE_COLS
+    )
+    return (
+        wide.selectExpr(
+            "n_rows",
+            f"stack({len(_PROFILE_COLS)}, {stack_args})"
+            f" AS (column_name, n_null, {distinct_name}, min_s, max_s)",
+        )
+        .select(
+            "column_name", "n_rows", "n_null", distinct_name,
+            "min_s", "max_s",
+        )
+        .orderBy("column_name")
+    )
+
+
 @query(
     "p11_column_profile",
     oracle="""
@@ -918,41 +962,7 @@ def p11_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     casts of doubles/timestamps.
     """
     orders = load_table(spark, sf_dir, "orders")
-
-    def render(col: str, kind: str, agg) -> F.Column:
-        x = agg(col)
-        if kind == "int":
-            return x.cast("string")
-        if kind == "money":
-            return pround(x, 2).cast("decimal(18,2)").cast("string")
-        if kind == "ts":
-            return F.date_format(x, "yyyy-MM-dd HH:mm:ss")
-        return x
-
-    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
-    for col, kind in _PROFILE_COLS:
-        aggs += [
-            (F.count(F.lit(1)) - F.count(col)).cast("long").alias(f"nn_{col}"),
-            F.countDistinct(col).cast("long").alias(f"nd_{col}"),
-            render(col, kind, F.min).alias(f"mn_{col}"),
-            render(col, kind, F.max).alias(f"mx_{col}"),
-        ]
-    wide = orders.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{col}', nn_{col}, nd_{col}, mn_{col}, mx_{col}"
-        for col, _ in _PROFILE_COLS
-    )
-    return (
-        wide.selectExpr(
-            "n_rows",
-            f"stack({len(_PROFILE_COLS)}, {stack_args})"
-            " AS (column_name, n_null, n_distinct, min_s, max_s)",
-        )
-        .select(
-            "column_name", "n_rows", "n_null", "n_distinct", "min_s", "max_s"
-        )
-        .orderBy("column_name")
-    )
+    return _profile_frame(orders, F.countDistinct, "n_distinct")
 
 
 @query("p12_column_profile_at_scale")
@@ -978,42 +988,10 @@ def p12_column_profile_at_scale(
     p11's exact counts is asserted locally instead
     (tests/test_round6_ops.py::test_p12_approx_within_tolerance)."""
     orders = load_table(spark, sf_dir, "orders")
-
-    def render(col: str, kind: str, agg) -> F.Column:
-        x = agg(col)
-        if kind == "int":
-            return x.cast("string")
-        if kind == "money":
-            return pround(x, 2).cast("decimal(18,2)").cast("string")
-        if kind == "ts":
-            return F.date_format(x, "yyyy-MM-dd HH:mm:ss")
-        return x
-
-    aggs = [F.count(F.lit(1)).cast("long").alias("n_rows")]
-    for col, kind in _PROFILE_COLS:
-        aggs += [
-            (F.count(F.lit(1)) - F.count(col)).cast("long").alias(f"nn_{col}"),
-            F.approx_count_distinct(col, rsd=0.02).cast("long")
-            .alias(f"nd_{col}"),
-            render(col, kind, F.min).alias(f"mn_{col}"),
-            render(col, kind, F.max).alias(f"mx_{col}"),
-        ]
-    wide = orders.agg(*aggs)
-    stack_args = ", ".join(
-        f"'{col}', nn_{col}, nd_{col}, mn_{col}, mx_{col}"
-        for col, _ in _PROFILE_COLS
-    )
-    return (
-        wide.selectExpr(
-            "n_rows",
-            f"stack({len(_PROFILE_COLS)}, {stack_args})"
-            " AS (column_name, n_null, approx_distinct, min_s, max_s)",
-        )
-        .select(
-            "column_name", "n_rows", "n_null", "approx_distinct",
-            "min_s", "max_s",
-        )
-        .orderBy("column_name")
+    return _profile_frame(
+        orders,
+        lambda c: F.approx_count_distinct(c, rsd=0.02),
+        "approx_distinct",
     )
 
 

@@ -765,16 +765,8 @@ def f13_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     the replay was chunked — which is what lets the oracle be the
     batch CMS definition. State is d*w counters, independent of
     cardinality, rate, and retention."""
-    from ..functions.hashing import hash60
     from ..sources.batch import load_table as _lt
-
-    def bucket(key: F.Column, d: F.Column) -> F.Column:
-        return F.pmod(
-            hash60(
-                F.concat(F.lit("cms"), d.cast("string"), F.lit(":"), key)
-            ),
-            F.lit(_CMS_W),
-        )
+    from .dedup import cms_bucket as bucket
 
     depths = F.array(*[F.lit(i) for i in range(_CMS_D)])
     stream = events_stream(spark, sf_dir)

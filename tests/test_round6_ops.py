@@ -82,18 +82,13 @@ def test_c16_spectrum_accounts_for_every_posting(spark, sf_dir):
     c04's cost model."""
     from streamandbatchprocessing_spark.sources.batch import load_table
 
+    from streamandbatchprocessing_spark.queries.dedup import shingles_col
+
     spec = QUERIES["c16_shingle_df_spectrum"](spark, sf_dir).collect()
     assert spec
     total_postings = sum(r["df"] * r["n_shingles"] for r in spec)
     docs = load_table(spark, sf_dir, "documents")
-    sh = F.array_distinct(
-        F.expr(
-            "CASE WHEN size(split(text, ' ')) < 3 THEN array() "
-            "ELSE transform(sequence(0, size(split(text, ' ')) - 3), "
-            "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) END"
-        )
-    )
-    expected = docs.select(F.explode(sh).alias("g")).count()
+    expected = docs.select(F.explode(shingles_col()).alias("g")).count()
     assert total_postings == expected
     for r in spec:
         assert r["pair_cost"] == r["n_shingles"] * r["df"] * (r["df"] - 1) // 2

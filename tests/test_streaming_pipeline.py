@@ -475,8 +475,9 @@ def test_cms_grid_survives_midstream_crash(spark, sf_dir, tmp_path):
 
     from pyspark.sql import functions as F
 
-    from streamandbatchprocessing_spark.functions.hashing import hash60
-    from streamandbatchprocessing_spark.queries.dedup import _CMS_D, _CMS_W
+    from streamandbatchprocessing_spark.queries.dedup import (
+        _CMS_D, cms_bucket,
+    )
     from streamandbatchprocessing_spark.sources.batch import load_table
 
     ev = load_table(spark, sf_dir, "events")
@@ -491,12 +492,7 @@ def test_cms_grid_survives_midstream_crash(spark, sf_dir, tmp_path):
         _os.rename(pfile, dst)
         _os.utime(dst, (base + 10 * i, base + 10 * i))
 
-    def bucket(key, d):
-        return F.pmod(
-            hash60(F.concat(F.lit("cms"), d.cast("string"), F.lit(":"), key)),
-            F.lit(_CMS_W),
-        )
-
+    bucket = cms_bucket
     depths = F.array(*[F.lit(i) for i in range(_CMS_D)])
 
     def grid(df):
