@@ -128,15 +128,26 @@ def assert_flat_output_schema(name: str, sdf) -> None:
     )
 
 
+#: Row cap for the canonicalization-survival probe. Whether pandas
+#: ``sort_values`` throws is a property of the cell TYPES (unhashable
+#: list/dict cells — the round-5 m06 failure came from a typed array
+#: column, present in every row), and ``assert_flat_output_schema``
+#: already rejects nested schema types outright — so sorting a bounded
+#: prefix proves survival without a full O(n log n) pandas sort of
+#: multi-million-row results (c02 at sf0.1 is ~7.7M pairs).
+_CANON_SAMPLE_ROWS = 10_000
+
+
 def _driver_canon(name: str, side: str, cols, raw_rows):
-    """Replicate the external driver's canonicalization EXACTLY: a
-    pandas frame, columns reordered by name, then a full-frame
-    ``sort_values``. Run on the RAW (un-normalized) values so anything
-    the driver's compare would choke on — unhashable list/dict cells —
-    fails HERE, in the local harness, before a round ships."""
+    """Replicate the external driver's canonicalization: a pandas
+    frame, columns reordered by name, then ``sort_values`` — on the
+    RAW (un-normalized) values so anything the driver's compare would
+    choke on (unhashable list/dict cells) fails HERE, in the local
+    harness, before a round ships. Bounded to a row-sample; see
+    ``_CANON_SAMPLE_ROWS``."""
     import pandas as pd
 
-    df = pd.DataFrame(raw_rows, columns=cols)
+    df = pd.DataFrame(raw_rows[:_CANON_SAMPLE_ROWS], columns=cols)
     df = df[sorted(df.columns)]
     try:
         return df.sort_values(list(df.columns)).reset_index(drop=True)
