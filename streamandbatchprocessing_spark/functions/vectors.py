@@ -50,6 +50,46 @@ def sign_bucket(vec: Column, n_bits: int = 4, offset: int = 0) -> Column:
     return bucket
 
 
+def sign_bits_for(n: int, target: int = 256, lo: int = 4, hi: int = 16) -> int:
+    """Data-derived sign-bucket WIDTH: the smallest bit count in
+    ``[lo, hi]`` whose cell count holds the average per-cell population
+    at or under ``target`` (``2^bits * target >= n``). In-bucket ANN
+    work is Σ|cell|², so bits must grow with log₂(N) to keep the
+    per-cell quadratic cost flat — this makes that sizing rule code
+    instead of docstring prose (the c09 salt precedent). Integer-exact
+    (shift-and-compare, no float log), so the DuckDB twin
+    :func:`sign_bits_sql` derives the identical value from the same
+    corpus count."""
+    bits = lo
+    while bits < hi and (1 << bits) * target < n:
+        bits += 1
+    return bits
+
+
+def sign_bits_sql(table: str, target: int = 256, lo: int = 4,
+                  hi: int = 16) -> str:
+    """DuckDB scalar expression computing :func:`sign_bits_for` from
+    ``COUNT(*)`` over ``table`` — same integer shift-and-compare, so
+    both engines derive the same width from the same data."""
+    return (
+        f"COALESCE((SELECT MIN(b) FROM range({lo}, {hi + 1}) t(b) "
+        f"WHERE (CAST(1 AS BIGINT) << b) * {target} >= "
+        f"(SELECT COUNT(*) FROM {table})), {hi})"
+    )
+
+
+def sign_bucket_sql_dyn(col: str, bits_expr: str, max_bits: int = 16) -> str:
+    """DuckDB rendering of :func:`sign_bucket` whose WIDTH is a SQL
+    expression (e.g. a ``params`` CTE column fed by
+    :func:`sign_bits_sql`): bit *i* contributes only while
+    ``i < bits``."""
+    return "(" + " + ".join(
+        f"CASE WHEN {i} < {bits_expr} AND {col}[{i + 1}] >= 0 "
+        f"THEN {2 ** i} ELSE 0 END"
+        for i in range(max_bits)
+    ) + ")"
+
+
 def sign_bucket_sql(col: str, n_bits: int = 4, offset: int = 0) -> str:
     """DuckDB rendering of :func:`sign_bucket` (1-based list indexing)."""
     return "(" + " + ".join(

@@ -1579,7 +1579,8 @@ _FUZZY_MAX_EDIT = 3
     "c18_blocked_fuzzy_match",
     oracle=f"""
     WITH p AS (SELECT p_partkey, p_name,
-                      string_split(p_name, ' ')[1] AS blk
+                      string_split(p_name, ' ')[1] || '|' ||
+                      substr(string_split(p_name, ' ')[2], 1, 1) AS blk
                FROM part)
     SELECT a.p_partkey AS part_a, b.p_partkey AS part_b,
            a.p_name AS name_a, b.p_name AS name_b,
@@ -1594,24 +1595,49 @@ def c18_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Record-linkage candidate matching: within-block pairs whose
     names are within edit distance 3 — the blocked fuzzy-join that
     powers entity resolution (product catalogs, author disambiguation,
-    address matching). The BLOCKING key (first name token) turns the
-    quadratic all-pairs Levenshtein into an equi-join with per-block
-    quadratic cost — exactly the LSH-band argument (c02) applied to
-    string identity instead of set similarity.
+    address matching). The COMPOSITE blocking key (first name token +
+    first character of the second token — conjunctive blocking, the
+    standard ER move) turns the quadratic all-pairs Levenshtein into an
+    equi-join with bounded per-block quadratic cost — the LSH-band
+    argument (c02) applied to string identity instead of set
+    similarity. Like every blocking scheme, the key trades recall for
+    containment: pairs whose second tokens start differently are never
+    compared (measured on the fixture: 38,846 of the 46,619
+    single-token-block matches survive, 7,682 of them genuinely fuzzy
+    dist>0 pairs).
 
     Scale: the join shuffles on the block key only; the edit-distance
     predicate evaluates inside codegen on pairs the join already
-    co-located. At 100 TB the blocking key sharpens the same way LSH
-    bands do — more selective blocks (first-k-chars + length bucket,
-    or phonetic codes) hold per-block population flat; edit distance
-    is integer-exact on both engines, so the candidate set is
-    hash-gated, not approximated."""
+    co-located. Measured on the fixture vocabulary the composite key
+    caps blocks at 655 rows / 4.7 M candidates at sf0.1 (vs 2,572 rows
+    / 25 M for the single-token key that kept this query gate-SF-only
+    through round 6). At 100 TB the key sharpens the same way LSH
+    bands do — add first-k-chars / phonetic codes per token to hold
+    per-block population flat; edit distance is integer-exact on both
+    engines, so the candidate set is hash-gated, not approximated."""
     part = load_table(spark, sf_dir, "part")
+    toks = F.split("p_name", " ")
     p = part.select(
         "p_partkey", "p_name",
-        F.split("p_name", " ").getItem(0).alias("blk"),
+        F.concat(
+            toks.getItem(0), F.lit("|"), F.substring(toks.getItem(1), 1, 1)
+        ).alias("blk"),
     )
-    a, b = p.alias("a"), p.alias("b")
+    # The build side broadcasts (it's the same dimension-sized table),
+    # so the per-pair Levenshtein work all lands on the PROBE side's
+    # tasks — and the fixture is a single-row-group file, i.e. one
+    # task. Hash-redistribute the probe rows by primary key first
+    # (metadata-cheap: rows, not pairs, move) so the in-block pairing
+    # fans out across the cluster; block membership is key-functional,
+    # so the result set is partitioning-invariant. The partition count
+    # is pinned explicitly: the probe rows are bytes-tiny but each
+    # carries ~|block| comparisons of CPU, so AQE's size-based
+    # coalescing (which would fold them back into one task) must not
+    # apply to this exchange.
+    a = p.repartition(
+        spark.sparkContext.defaultParallelism, "p_partkey"
+    ).alias("a")
+    b = p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     return (
         a.join(

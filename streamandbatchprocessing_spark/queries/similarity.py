@@ -18,7 +18,15 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import as_double, cosine, sign_bucket, sign_bucket_sql
+from ..functions.vectors import (
+    as_double,
+    cosine,
+    sign_bits_for,
+    sign_bits_sql,
+    sign_bucket,
+    sign_bucket_sql,
+    sign_bucket_sql_dyn,
+)
 from ..functions.aggregates import pround, pround_sql
 from ..sources.batch import load_table
 from .registry import persist_tracked, query
@@ -1251,14 +1259,20 @@ def d09_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 # d10 — mutual k-NN graph (bucket-confined, the SemDeDup/cluster input)
 # ---------------------------------------------------------------------------
 _KNN_K = 3
+#: Target average per-cell population for d10's data-derived bucket
+#: width (sign_bits_for): 2^bits cells sized so in-cell pairing stays
+#: ~target² per cell regardless of corpus size.
+_KNN_CELL_TARGET = 256
 
 
 @query(
     "d10_mutual_knn_graph",
     oracle=f"""
-    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
-                      {_BUCKET_SQL} AS bucket
-               FROM embeddings),
+    WITH params AS (SELECT {sign_bits_sql('embeddings', _KNN_CELL_TARGET)}
+                        AS bits),
+    e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+                 {sign_bucket_sql_dyn('embedding', 'p.bits')} AS bucket
+          FROM embeddings, params p),
     s AS (SELECT a.vec_id AS src, b.vec_id AS dst,
                  list_cosine_similarity(a.v, b.v) AS cos_sim
           FROM e a JOIN e b
@@ -1290,16 +1304,23 @@ def d10_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical either direction), so the two directions of an edge carry
     the same double and the oracle's hash matches.
 
-    Sizing rule: in-bucket work is Σ|cell|², so the bucket BITS must
-    grow with log₂(N) to hold the per-cell population (and the per-cell
-    quadratic cost) constant — 4 bits fits the fixture; a 100 TB corpus
-    uses 16-20 sign bits (or k-means cells, c09's partitioner) for the
-    same containment argument. The fixed 4-bit cell count is why this
-    query is gate-SF-only in bench.py."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
+    Sizing rule — CODE, not prose: in-bucket work is Σ|cell|², so the
+    bucket BITS grow with log₂(N) to hold the per-cell population (and
+    the per-cell quadratic cost) at ~_KNN_CELL_TARGET. ``sign_bits_for``
+    derives the width from a metadata-cheap corpus count with
+    integer-exact shift-and-compare arithmetic, and the oracle derives
+    the identical width in SQL (``sign_bits_sql``) from the same
+    count — both engines bucket identically at every SF. A 100 TB
+    corpus lands at the 16-bit cap (or swaps in k-means cells, c09's
+    partitioner) under the same containment argument."""
+    emb_raw = load_table(spark, sf_dir, "embeddings")
+    # Parquet COUNT(*) is answered from row-group metadata — no data
+    # pages are read, so this stays cheap at any corpus size.
+    bits = sign_bits_for(emb_raw.count(), _KNN_CELL_TARGET)
+    emb = emb_raw.select(
         "vec_id",
         as_double(F.col("embedding")).alias("v"),
-        sign_bucket(F.col("embedding"), 4).alias("bucket"),
+        sign_bucket(F.col("embedding"), bits).alias("bucket"),
     )
     a, b = emb.alias("a"), emb.alias("b")
     scored = a.join(

@@ -1,6 +1,8 @@
-"""The driver parses bench.py stdout as ONE JSON line with a fixed
-shape — guard that contract (a malformed line would void the round's
-BENCH record)."""
+"""The driver tail-captures bench.py stdout and parses the LAST JSON
+line — guard that contract. Round 6's BENCH record was voided because
+the 55-entry extra dict inflated the single output line past the
+driver's capture window; the headline JSON must now be its own compact
+FINAL line (extras go to an earlier line + sidecar file)."""
 
 from __future__ import annotations
 
@@ -10,7 +12,7 @@ import subprocess
 import sys
 
 
-def test_bench_emits_one_valid_json_line():
+def test_bench_emits_compact_final_headline_line():
     env = dict(
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",  # keep the guard fast
@@ -26,10 +28,22 @@ def test_bench_emits_one_valid_json_line():
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     lines = [ln for ln in proc.stdout.splitlines() if ln.strip()]
-    assert len(lines) == 1, lines
-    payload = json.loads(lines[0])
+    assert len(lines) == 2, lines
+
+    extras = json.loads(lines[0])
+    assert extras["extra"] and all(
+        isinstance(v, float) for v in extras["extra"].values()
+    )
+    # Every extra must have actually run (-1.0 marks a tracked failure).
+    assert all(v >= 0 for v in extras["extra"].values()), extras["extra"]
+
+    payload = json.loads(lines[-1])
     assert payload["metric"] == "headline_query_wall_time_total"
     assert payload["unit"] == "sec"
     assert payload["value"] > 0
     assert payload["queries"] and all(v >= 0 for v in payload["queries"].values())
     assert payload["sf"] == 0.001
+    assert "extra" not in payload
+    # The driver's tail window is finite: the headline line must stay
+    # compact no matter how many extras accumulate.
+    assert len(lines[-1]) < 2000, len(lines[-1])

@@ -24,22 +24,6 @@ def test_query_matches_oracle(spark, sf_dir, name):
         # corpus forms near-cliques of thousands. The driver's gate runs
         # at sf0.01, where the fixpoint completes in seconds.
         pytest.skip("c07 oracle CTE is quadratic in cluster size at sf0.1")
-    if name == "c18_blocked_fuzzy_match" and sf_dir.rstrip("/").endswith(
-        "sf0.1"
-    ):
-        # The fixture's name VOCABULARY is fixed, so first-token blocks
-        # grow linearly with SF and the within-block candidate set goes
-        # quadratic (4.7M pairs at sf0.1) — the regime where production
-        # sharpens the blocking key (docstring). sf0.001/sf0.01 —
-        # including the driver's gate — run the full oracle compare.
-        pytest.skip("c18's fixture-sized blocking vocabulary is quadratic at sf0.1")
-    if name == "d10_mutual_knn_graph" and sf_dir.rstrip("/").endswith("sf0.1"):
-        # The FIXED 4-bit sign bucketing is fixture-sized: at 50k
-        # vectors it leaves ~3.1k per cell and the in-cell pairing is
-        # ~156M cosine pairs on BOTH engines — the regime where a
-        # production run scales the bucket bits with log2(N) (see the
-        # query docstring). The driver's sf0.01 gate covers it.
-        pytest.skip("d10's fixture-sized 16-cell bucketing is quadratic at sf0.1")
     if name in (
         "c11_quantile_sketch", "f10_streaming_quantiles"
     ) and sf_dir.rstrip("/").endswith("sf0.1"):

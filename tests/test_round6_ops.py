@@ -355,7 +355,9 @@ def test_c18_pairs_share_block_and_respect_threshold(spark, sf_dir):
     assert rows, "no fuzzy candidates found"
     for r in rows[:200]:
         assert r["part_a"] < r["part_b"]
-        assert r["name_a"].split(" ")[0] == r["name_b"].split(" ")[0]
+        ta, tb = r["name_a"].split(" "), r["name_b"].split(" ")
+        assert ta[0] == tb[0]
+        assert ta[1][:1] == tb[1][:1]
         assert 0 <= r["edit_dist"] <= _FUZZY_MAX_EDIT
         assert r["edit_dist"] == lev(r["name_a"], r["name_b"])
 
