@@ -807,9 +807,12 @@ def c08_candidate_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
         sig,
         lambda pa, pb, band: [(_agree_col(pa, pb, band) / 16.0).alias("est_jaccard")],
     )
-    toksets = docs.select(
+    # Both sides of the pair join read the same doc_id -> token-set
+    # projection; persist it once so the split/distinct scan (linear
+    # in the corpus) isn't recomputed per alias.
+    toksets = persist_tracked(docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
-    )
+    ))
     ta, tb = toksets.alias("ta"), toksets.alias("tb")
     inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
     union = F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
@@ -1289,9 +1292,12 @@ def c14_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         == 0
     )
-    toksets = docs.select(
+    # Both sides of the sampled pair join read the same doc_id ->
+    # token-set projection; persist it once so the split/distinct scan
+    # (linear in the corpus) isn't recomputed per alias.
+    toksets = persist_tracked(docs.select(
         "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
-    )
+    ))
     ta, tb = toksets.alias("ta"), toksets.alias("tb")
     inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
     union = F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import hash60
 from ..functions.text import LANG_STOPWORDS
 from ..functions.aggregates import pround
+from ..functions.windows import panel_window, panel_window_all
 from ..sources.batch import load_table
 from .dedup import _agree_col, _band_pairs, _CC_MIN_AGREE, _sig_df
 from .registry import persist_tracked, query
@@ -1257,10 +1258,11 @@ def p16_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(_APPORTION_BUDGET) * F.col("n_tokens") % F.col("total"))
         .alias("remainder"),
     )
-    w = Window.orderBy(F.desc("remainder"), F.asc("source"))
-    wall = Window.rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
+    # Both windows run on the |sources| panel (tens of rows);
+    # panel_window makes the single-bucket choice explicit so the
+    # "No Partition Defined for Window" warning class stays grep-clean.
+    w = panel_window("source", F.desc("remainder"), F.asc("source"))
+    wall = panel_window_all("source")
     ranked = q.withColumn(
         "rem_rank", F.row_number().over(w).cast("long")
     ).withColumn("floor_total", F.sum("floor_alloc").over(wall))

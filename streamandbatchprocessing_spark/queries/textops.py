@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import hash60, md5_prefix
 from ..functions.text import LANG_STOPWORDS, langid_from_tokens, langid_scores
 from ..functions.aggregates import pround, pround_sql
+from ..functions.windows import panel_window
 from ..sources.batch import load_table
 from .registry import query
 
@@ -1149,7 +1150,10 @@ def e16_zipf_head_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = counts.agg(F.sum("freq").cast("long").alias("total"))
     head = counts.orderBy(F.desc("freq"), F.asc("token")).limit(_ZIPF_TOPK)
-    w = Window.orderBy(F.desc("freq"), F.asc("token"))
+    # The rank/cumulative windows run on the LIMIT-capped head only;
+    # panel_window makes that single-bucket choice explicit so the
+    # "No Partition Defined for Window" warning class stays grep-clean.
+    w = panel_window("token", F.desc("freq"), F.asc("token"))
     return (
         head.withColumn("rank", F.row_number().over(w).cast("long"))
         .withColumn(

@@ -144,7 +144,16 @@ def events_stream_staged(
     'purchase' AND one 'click' row (``user_id = -1``) because
     watermarks are tracked per branch and the GLOBAL watermark is
     their minimum — a click-only sentinel would stall the purchase
-    branch. Callers must drop ``user_id < 0`` rows from the result."""
+    branch. Callers must drop ``user_id < 0`` rows from the result.
+
+    ``n_sentinels`` must be >= 2: with ``maxFilesPerTrigger=2`` the
+    data file and the FIRST sentinel share batch 1, so a lone sentinel
+    would leave no later batch for expired state to flush into and
+    outer-join/expiry rows would be withheld forever. The batch
+    arithmetic above also assumes the fixture is a single parquet
+    FILE (a multi-part ``events.parquet/`` directory would shift batch
+    composition and watermark timing) — asserted below; directory
+    fixtures take the unstaged :func:`events_stream` path."""
     import shutil
     import time as _time
 
@@ -152,8 +161,22 @@ def events_stream_staged(
     import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
+    if n_sentinels < 2:
+        raise ValueError(
+            "events_stream_staged needs n_sentinels >= 2: batch 1 "
+            "consumes the data file plus the first sentinel "
+            "(maxFilesPerTrigger=2), so a later sentinel-only batch "
+            f"must exist for expired state to flush (got {n_sentinels})"
+        )
     stage = tempfile.mkdtemp(prefix="sbp-staged-events-")
     src = os.path.join(sf_dir, "events.parquet")
+    if not os.path.isfile(src):
+        raise ValueError(
+            f"events_stream_staged stages a single-file fixture; {src} "
+            "is not a plain file — stream a multi-part directory via "
+            "events_stream (staged batch accounting assumes one data "
+            "file per the docstring)"
+        )
     dst = os.path.join(stage, "00-events.parquet")
     shutil.copyfile(src, dst)
     unit = _events_ts_unit(sf_dir) or "ns"

@@ -103,6 +103,10 @@ PERTURBED = [
     # blocked fuzzy join: codegen'd Levenshtein on block-co-located pairs.
     "c18_blocked_fuzzy_match",
     "m09_modality_manifest",
+    # audio-chunk / image-tile generators: sequence+explode plans whose
+    # truncated tails must be partition-invariant.
+    "m07_audio_chunk_plan",
+    "m08_image_tile_plan",
 ]
 
 _PERTURB = {
