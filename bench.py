@@ -137,6 +137,18 @@ EXTRA = [
     # vocabulary) and d10 with data-derived sign-bucket bits.
     "c18_blocked_fuzzy_match",
     "d10_mutual_knn_graph",
+    # round 7 additions
+    "c19_cross_source_dup_matrix",
+    "c20_containment_pairs",
+    "d12_filtered_ann",
+    "d13_embedding_norm_profile",
+    "d14_ivf_cell_balance",
+    "e17_trigram_novelty",
+    "e18_quality_rules",
+    "f14_stream_semi_join",
+    "p17_dedup_adjusted_mix",
+    "p18_token_length_histogram",
+    "g25_hour_of_week_profile",
 ]
 
 

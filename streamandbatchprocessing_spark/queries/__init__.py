@@ -56,64 +56,69 @@ from .registry import ORACLES, QUERIES
 #: keeps in-window siblings and every rotated-out query keeps its
 #: local strict-oracle test; c06's rows-only verdict and e09's hash
 #: verdict both stand from r04).
-#: Round-6 rotation (final): the twenty never-scored round-6 operators
-#: (g22-g24, c14-c18, p12-p16, d10, d11, m07-m09, f13, e16) swap in for
-#: eighteen r05-greened entries (g16-g21, c11-c13, e11, e13, e14, d08,
-#: d09, f04, f05, p09, p10, b31, b32 — every family keeps stronger
-#: in-window siblings and every rotated-out query keeps its local
-#: strict-oracle test). m06 stays in: its r05 row was a
-#: driver-canonicalization ERROR, fixed this round, and needs a hash
-#: verdict.
+#: Round-7 rotation: the eleven never-scored round-7 operators (c19
+#: cross-source dup matrix, c20 containment pairs, d12 filtered ANN,
+#: d13 norm profile, d14 cell balance, e17 trigram novelty, e18
+#: quality rules, f14 stream semi join, p17 dedup-adjusted mix, p18
+#: length histogram, g25 hour-of-week profile) swap in for eleven
+#: r06-greened entries (c15, c16, d04, d07, e12, e16, f02, f03, m05,
+#: p11, g13 — every family keeps in-window siblings and every
+#: rotated-out query keeps its local strict-oracle test). c18 stays
+#: in: its blocking key changed this round (composite key), so its
+#: output differs from the r06-scored rows and needs a fresh verdict.
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
-    # dedup + sketches (c01/c03-c06/c11/c12/c13 rotated out green;
-    # c02+c07 keep MinHash-LSH and canonicalization driver-covered;
-    # c14 calibration + c15/c17 keep-best canonicals + c16 spectrum new)
+    # dedup + sketches (c15/c16 rotate out green; c02+c07 keep
+    # MinHash-LSH and canonicalization driver-covered; c18 re-scores
+    # its new composite blocking key; c19 source matrix + c20
+    # containment new)
     "c02_minhash_lsh_pairs",
     "c07_dup_clusters", "c09_semantic_dedup",
     "c10_incremental_neardup",
-    "c14_minhash_calibration", "c15_band_canonical_keep_best",
-    "c16_shingle_df_spectrum", "c17_cluster_canonical_keep_best",
+    "c14_minhash_calibration", "c17_cluster_canonical_keep_best",
     "c18_blocked_fuzzy_match",
-    # similarity search (d01-d03/d05/d06/d09 rotated out green; d04
-    # covers IVF, m02 keeps the Arrow path driver-covered; d10 mutual
-    # k-NN graph new)
-    "d04_ivf_kmeans_ann",
-    "d07_mmr_diversified_topk",
+    "c19_cross_source_dup_matrix", "c20_containment_pairs",
+    # similarity search (d04/d07 rotated out green; d10/d11 keep the
+    # bucketed family covered; d12 filtered ANN + d13 norm profile +
+    # d14 cell balance new)
     "d10_mutual_knn_graph",
     "d11_nprobe_recall_curve",
-    # text analysis (e01-e09/e11/e13/e14 rotated out green; e16 Zipf
-    # head new)
-    "e10_pii_scrub", "e12_passage_dedup",
-    "e16_zipf_head_profile",
-    # streaming extensions (f13 streaming CMS new this round; f04/f05
-    # rotate out green — f06/f08/f12 keep stateful + join coverage)
-    "f01_streaming_dashboard", "f02_streaming_dedup", "f03_session_windows",
+    "d12_filtered_ann", "d13_embedding_norm_profile",
+    "d14_ivf_cell_balance",
+    # text analysis (e12/e16 rotated out green; e17 novelty + e18
+    # quality rules new)
+    "e10_pii_scrub",
+    "e17_trigram_novelty", "e18_quality_rules",
+    # streaming extensions (f02/f03 rotate out green; f14 semi join
+    # completes the stream-stream join matrix)
+    "f01_streaming_dashboard",
     "f06_idle_key_eviction", "f07_stream_static_enrichment",
     "f08_stream_left_outer_join", "f09_streaming_pii_scrub",
     "f10_streaming_quantiles", "f11_lambda_unified_totals",
     "f12_stream_full_outer_join", "f13_streaming_heavy_hitters",
-    # multimodal (m01/m03/m04 rotated out green; m06 re-greens after
-    # its round-5 canonicalization error; m07 audio chunking new)
+    "f14_stream_semi_join",
+    # multimodal (m05 rotated out green)
     "m02_payload_features_pandas",
-    "m05_crossmodal_join", "m06_payload_dedup", "m07_audio_chunk_plan",
+    "m06_payload_dedup", "m07_audio_chunk_plan",
     "m08_image_tile_plan", "m09_modality_manifest",
-    # composed pipelines (p03/p04/p05/p07/p08 rotated out green;
-    # p12 approx-profile twin, p13 curriculum, p14 skew report new)
+    # composed pipelines (p11 rotated out green; p17 dedup-adjusted
+    # mix + p18 length histogram new)
     "p01_training_mix", "p02_streaming_ingest_funnel",
-    "p11_column_profile", "p12_column_profile_at_scale",
+    "p12_column_profile_at_scale",
     "p13_curriculum_buckets", "p14_skew_report",
     "p15_source_mix_drift", "p16_budget_apportionment",
-    # physical layout (b31/b32 rotated out green; b30 bucketed + b33
-    # DPP keep the layout family driver-covered)
+    "p17_dedup_adjusted_mix", "p18_token_length_histogram",
+    # physical layout (b30 bucketed + b33 DPP keep the layout family
+    # driver-covered)
     "b30_bucketed_colocated_join", "b33_dynamic_partition_prune",
-    # cross-series analytics (g16-g21 rotated out green; g22 Markov
-    # transitions + g23 snapshot diff new)
-    "g13_value_correlation", "g14_conversion_funnel",
+    # cross-series analytics (g13 rotated out green; g25 hour-of-week
+    # profile new)
+    "g14_conversion_funnel",
     "g15_cohort_retention",
     "g22_event_transitions", "g23_snapshot_diff",
     "g24_interval_coalesce",
+    "g25_hour_of_week_profile",
 )
 
 

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, minhash_hashes
-from ..functions.aggregates import pround
+from ..functions.aggregates import pround, pround_sql
 from ..sources.batch import load_table
 from .registry import persist_tracked, query
 
@@ -1660,4 +1660,167 @@ def c18_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("long").alias("edit_dist"),
         )
         .orderBy("part_a", "part_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c19 — cross-source duplicate matrix (which corpora overlap, and how much)
+# ---------------------------------------------------------------------------
+#: Minimum MinHash estimate for a candidate pair to count as a
+#: duplicate in the matrix — 0.5 = 8 of 16 hashes agree.
+_XSRC_EST_MIN = 0.5
+
+
+def _xsrc_oracle() -> str:
+    return f"""
+    {_sig_cte()},
+    {_cand_cte()},
+    est AS (SELECT c.da, c.db, ({_AGREE}) / 16.0 AS est
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.da
+            JOIN sig sb ON sb.doc_id = c.db),
+    pe AS (SELECT LEAST(a.source, b.source) AS source_lo,
+                  GREATEST(a.source, b.source) AS source_hi,
+                  e.est
+           FROM est e
+           JOIN documents a ON a.doc_id = e.da
+           JOIN documents b ON b.doc_id = e.db
+           WHERE e.est >= {_XSRC_EST_MIN})
+    SELECT source_lo, source_hi,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {pround_sql('SUM(est) / COUNT(*)', 6)} AS avg_est
+    FROM pe
+    GROUP BY source_lo, source_hi
+    ORDER BY source_lo, source_hi
+    """
+
+
+@query("c19_cross_source_dup_matrix", oracle=_xsrc_oracle())
+def c19_cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-overlap matrix: for every (unordered) pair of corpus
+    sources, how many LSH candidate pairs estimate jaccard >= 0.5 and
+    their mean estimate — the table that decides WHICH corpora need
+    cross-deduplication before a training run (a src_a x src_b cell
+    with thousands of pairs means those two crawls overlap; the
+    diagonal measures within-source redundancy).
+
+    Scale: the pair stream is c02's banded equi-join (never all
+    pairs); the estimate threshold filters it to duplicate-grade pairs
+    BEFORE the two doc_id->source equi-joins, and the final aggregate
+    is bounded by |sources|² groups — map-side combinable. The mean
+    estimate sums dyadic rationals (k/16 doubles, exactly
+    representable), so it is order-exact under any partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = persist_tracked(_sig_df(docs))
+    est = _band_pairs(
+        sig,
+        lambda pa, pb, band: [
+            (_agree_col(pa, pb, band) / 16.0).alias("est")
+        ],
+    ).filter(F.col("est") >= _XSRC_EST_MIN)
+    src = docs.select("doc_id", "source")
+    pe = (
+        est.join(src.alias("qa"), F.col("da") == F.col("qa.doc_id"))
+        .join(src.alias("qb"), F.col("db") == F.col("qb.doc_id"))
+        .select(
+            F.least(F.col("qa.source"), F.col("qb.source")).alias("source_lo"),
+            F.greatest(F.col("qa.source"), F.col("qb.source")).alias("source_hi"),
+            "est",
+        )
+    )
+    return (
+        pe.groupBy("source_lo", "source_hi")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            pround(F.sum("est") / F.count(F.lit(1)), 6).alias("avg_est"),
+        )
+        .orderBy("source_lo", "source_hi")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c20 — containment pairs (subset-style duplicates jaccard under-scores)
+# ---------------------------------------------------------------------------
+#: Minimum one-sided containment |A∩B|/|A| for a candidate pair to be
+#: reported — catches copy-paste-plus-expansion duplicates whose
+#: symmetric jaccard is diluted by the longer document.
+_CONT_MIN = 0.8
+
+
+def _containment_oracle() -> str:
+    return f"""
+    {_sig_cte()},
+    {_cand_cte()},
+    toksets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                FROM documents),
+    iu AS (SELECT c.da, c.db,
+                  len(list_intersect(ta.toks, tb.toks)) AS i,
+                  len(ta.toks) AS na, len(tb.toks) AS nb
+           FROM cand c
+           JOIN toksets ta ON ta.doc_id = c.da
+           JOIN toksets tb ON tb.doc_id = c.db)
+    SELECT da AS doc_a, db AS doc_b,
+           CAST(na AS BIGINT) AS size_a, CAST(nb AS BIGINT) AS size_b,
+           CAST(i AS BIGINT) AS n_common,
+           {pround_sql('i * 1.0 / na', 6)} AS containment_ab,
+           {pround_sql('i * 1.0 / nb', 6)} AS containment_ba
+    FROM iu
+    WHERE GREATEST(i * 1.0 / na, i * 1.0 / nb) >= {_CONT_MIN}
+    """
+
+
+@query("c20_containment_pairs", oracle=_containment_oracle())
+def c20_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric token-set containment for LSH candidate pairs:
+    |A∩B|/|A| and |A∩B|/|B|, reported when either side is >= 0.8 —
+    the measure that catches SUBSET duplication (document B embeds all
+    of document A plus new material), which symmetric jaccard
+    under-scores in proportion to the length gap. A dedup pipeline
+    suppresses the contained side; c08's jaccard verify would let these
+    pairs through.
+
+    Scale: identical containment argument to c08 — the exact set
+    measure runs ONLY on the banded candidate set (output-bound, never
+    all pairs), token sets arrive via two doc_id equi-joins against a
+    persisted projection, and the intersect/size arithmetic is per-row
+    codegen. Ratios are 6dp-rounded on both engines. No ORDER BY
+    (c08's precedent): the output feeds a suppression decision, the
+    gate's value hash is order-insensitive, and a global sort of the
+    O(candidates) pair stream would dwarf the measure itself on
+    duplicate-heavy corpora."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = persist_tracked(_sig_df(docs))
+    cand = _band_pairs(sig, lambda pa, pb, band: [])
+    toksets = persist_tracked(docs.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("toks")
+    ))
+    ta, tb = toksets.alias("ta"), toksets.alias("tb")
+    # Project the intersection size ONCE per pair before the filter:
+    # array_intersect over ~60-token sets is the per-pair unit cost,
+    # and referencing it from both ratios plus the threshold predicate
+    # across a filter/project boundary would evaluate it three times.
+    iu = (
+        cand.join(ta, F.col("da") == F.col("ta.doc_id"))
+        .join(tb, F.col("db") == F.col("tb.doc_id"))
+        .select(
+            "da", "db",
+            F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+            .alias("i"),
+            F.size(F.col("ta.toks")).alias("na"),
+            F.size(F.col("tb.toks")).alias("nb"),
+        )
+    )
+    c_ab = F.col("i") * 1.0 / F.col("na")
+    c_ba = F.col("i") * 1.0 / F.col("nb")
+    return (
+        iu.filter(F.greatest(c_ab, c_ba) >= _CONT_MIN)
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.col("na").cast("long").alias("size_a"),
+            F.col("nb").cast("long").alias("size_b"),
+            F.col("i").cast("long").alias("n_common"),
+            pround(c_ab, 6).alias("containment_ab"),
+            pround(c_ba, 6).alias("containment_ba"),
+        )
     )

@@ -1280,3 +1280,147 @@ def p16_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).otherwise(0)
         ).cast("long").alias("alloc"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# p17 — dedup-adjusted training mix (what dedup does to the source shares)
+# ---------------------------------------------------------------------------
+@query(
+    "p17_dedup_adjusted_mix",
+    oracle="""
+    WITH d AS (SELECT doc_id, source, text,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+               FROM documents),
+    canon AS (SELECT text, MIN(doc_id) AS kid FROM d GROUP BY text),
+    k AS (SELECT d.* FROM d JOIN canon c
+            ON c.text = d.text AND c.kid = d.doc_id),
+    raw AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_raw,
+                   CAST(SUM(n_toks) AS BIGINT) AS tokens_raw
+            FROM d GROUP BY source),
+    ded AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_kept,
+                   CAST(SUM(n_toks) AS BIGINT) AS tokens_kept
+            FROM k GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS t_raw FROM d),
+    tok AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS t_kept FROM k)
+    SELECT raw.source, raw.n_docs_raw, raw.tokens_raw,
+           CAST(COALESCE(ded.n_docs_kept, 0) AS BIGINT) AS n_docs_kept,
+           CAST(COALESCE(ded.tokens_kept, 0) AS BIGINT) AS tokens_kept,
+           floor((1.0 - COALESCE(ded.n_docs_kept, 0) * 1.0 / raw.n_docs_raw)
+                 * 1000000.0 + 0.5) / 1000000.0 AS dup_rate,
+           floor((raw.tokens_raw * 1.0 / tot.t_raw) * 1000000.0 + 0.5)
+               / 1000000.0 AS share_raw,
+           floor((COALESCE(ded.tokens_kept, 0) * 1.0 / tok.t_kept)
+                 * 1000000.0 + 0.5) / 1000000.0 AS share_dedup
+    FROM raw LEFT JOIN ded ON ded.source = raw.source
+    CROSS JOIN tot CROSS JOIN tok
+    ORDER BY raw.source
+    """,
+)
+def p17_dedup_adjusted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix shares BEFORE vs AFTER exact dedup: per source, the
+    raw doc/token counts, the post-canonicalization counts (c01's
+    min-doc_id keep rule — a duplicate shared across sources is
+    attributed to the keeper's source), the duplicate rate, and the
+    token share under each regime. This is the table that shows a mix
+    designer how much of a source's claimed weight is actually
+    redundant mass — p01/p05 budgets computed on raw shares overtrain
+    on whatever the crawler saw twice.
+
+    Scale: one content-hash groupBy (c01's shuffle — in production on
+    a 128-bit digest, not raw text), one doc-level semi-join to the
+    keep set, two bounded per-source aggregates, and two broadcast
+    scalar totals — all linear, no pairwise stage anywhere."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "source",
+        F.col("text").alias("text"),
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+    )
+    canon = d.groupBy("text").agg(F.min("doc_id").alias("kid"))
+    k = d.join(canon, (d["text"] == canon["text"]) & (d["doc_id"] == canon["kid"])) \
+        .select(d["source"], d["n_toks"])
+    raw = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_raw"),
+        F.sum("n_toks").cast("long").alias("tokens_raw"),
+    )
+    ded = k.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs_kept"),
+        F.sum("n_toks").cast("long").alias("tokens_kept"),
+    )
+    tot = d.agg(F.sum("n_toks").cast("long").alias("t_raw"))
+    tok = k.agg(F.sum("n_toks").cast("long").alias("t_kept"))
+    joined = (
+        raw.join(ded, "source", "left")
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tok))
+        .select(
+            "source", "n_docs_raw", "tokens_raw",
+            F.coalesce("n_docs_kept", F.lit(0)).cast("long")
+            .alias("n_docs_kept"),
+            F.coalesce("tokens_kept", F.lit(0)).cast("long")
+            .alias("tokens_kept"),
+            pround(
+                1.0 - F.coalesce("n_docs_kept", F.lit(0)) * 1.0
+                / F.col("n_docs_raw"), 6,
+            ).alias("dup_rate"),
+            pround(F.col("tokens_raw") * 1.0 / F.col("t_raw"), 6)
+            .alias("share_raw"),
+            pround(
+                F.coalesce("tokens_kept", F.lit(0)) * 1.0 / F.col("t_kept"), 6
+            ).alias("share_dedup"),
+        )
+    )
+    return joined.orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# p18 — token-length histogram (power-of-two buckets, dataset-card staple)
+# ---------------------------------------------------------------------------
+@query(
+    "p18_token_length_histogram",
+    oracle="""
+    WITH d AS (SELECT source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+               FROM documents),
+    b AS (SELECT source, n, CAST(length(bin(n)) AS INT) AS log2_bucket
+          FROM d)
+    SELECT source, log2_bucket,
+           CAST(1 AS BIGINT) << (log2_bucket - 1) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n) AS BIGINT) AS total_tokens
+    FROM b
+    GROUP BY source, log2_bucket
+    ORDER BY source, log2_bucket
+    """,
+)
+def p18_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length histogram on power-of-two token
+    buckets (bucket b holds docs with 2^(b-1) <= tokens < 2^b) — the
+    dataset-card staple that drives sequence-packing efficiency
+    estimates (p03) and truncation-loss accounting. The bucket index
+    is the BINARY LENGTH of the token count — pure integer arithmetic,
+    identical on both engines, no float log2 whose boundary rounding
+    could disagree.
+
+    Scale: one linear scan into a |sources| x ~17-bucket aggregate —
+    map-side combinable, bounded output, zero joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " ")).cast("long")
+    b = docs.select(
+        "source", n.alias("n"),
+        F.length(F.bin(n)).cast("int").alias("log2_bucket"),
+    )
+    return (
+        b.groupBy("source", "log2_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+        )
+        .select(
+            "source", "log2_bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), log2_bucket - 1)")
+            .cast("long").alias("bucket_lo"),
+            "n_docs", "total_tokens",
+        )
+        .orderBy("source", "log2_bucket")
+    )

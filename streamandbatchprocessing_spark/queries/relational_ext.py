@@ -1630,3 +1630,66 @@ def g24_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey", "island")
     )
+
+
+# ---------------------------------------------------------------------------
+# g25 — hour-of-week seasonality profile
+# ---------------------------------------------------------------------------
+@query(
+    "g25_hour_of_week_profile",
+    oracle="""
+    WITH e AS (SELECT CAST(dayofweek(CAST(ts AS TIMESTAMP)) AS INT) AS dow,
+                      CAST(hour(CAST(ts AS TIMESTAMP)) AS INT) AS hod,
+                      event_type, value
+               FROM events),
+    g AS (SELECT dow, hod,
+                 CAST(COUNT(*) AS BIGINT) AS n_events,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_purchases
+          FROM e GROUP BY dow, hod),
+    t AS (SELECT CAST(SUM(n_events) AS BIGINT) AS total FROM g)
+    SELECT g.dow, g.hod, g.n_events, g.n_purchases,
+           floor((g.n_events * 1.0 / t.total) * 1000000.0 + 0.5) / 1000000.0
+               AS share
+    FROM g CROSS JOIN t
+    ORDER BY g.dow, g.hod
+    """,
+)
+def g25_hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-week seasonality: event and purchase counts per
+    (day-of-week, hour-of-day) cell plus each cell's share of total
+    traffic — the 168-row profile behind capacity planning, anomaly
+    baselines (g21's z-scores per cell instead of globally), and
+    send-time optimization. Day-of-week is Sunday=0 on both engines
+    (Spark's ``dayofweek`` is 1-based Sunday-first; shifted by one to
+    match DuckDB's 0-based).
+
+    Scale: one linear scan into a 168-cell aggregate (map-side
+    combinable), one broadcast scalar total — no window, no join, no
+    skew exposure; the profile merges trivially across any
+    partitioning or date range."""
+    ev = load_table(spark, sf_dir, "events")
+    g = (
+        ev.select(
+            (F.dayofweek("ts") - 1).cast("int").alias("dow"),
+            F.hour("ts").cast("int").alias("hod"),
+            "event_type",
+        )
+        .groupBy("dow", "hod")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).cast("long").alias("n_purchases"),
+        )
+    )
+    t = g.agg(F.sum("n_events").cast("long").alias("total"))
+    return (
+        g.crossJoin(F.broadcast(t))
+        .select(
+            "dow", "hod", "n_events", "n_purchases",
+            pround(F.col("n_events") * 1.0 / F.col("total"), 6)
+            .alias("share"),
+        )
+        .orderBy("dow", "hod")
+    )

@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from ..functions.vectors import (
     as_double,
     cosine,
+    norm,
     sign_bits_for,
     sign_bits_sql,
     sign_bucket,
@@ -1526,4 +1527,190 @@ def d11_nprobe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
         .orderBy("nprobe", "query_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d12 — metadata-filtered ANN (filter-then-score, label-confined)
+# ---------------------------------------------------------------------------
+_FANN_NQ = 20
+_FANN_K = 5
+
+
+@query(
+    "d12_filtered_ann",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label
+               FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv, label AS qlabel FROM e
+          WHERE vec_id < {_FANN_NQ}),
+    s AS (SELECT q.qid, q.qlabel, e.vec_id AS nid,
+                 list_cosine_similarity(q.qv, e.v) AS cos_sim
+          FROM q JOIN e ON e.label = q.qlabel AND e.vec_id <> q.qid),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, nid) AS rnk
+          FROM s)
+    SELECT qid AS query_id, CAST(qlabel AS INT) AS label,
+           nid AS neighbor_id, cos_sim, CAST(rnk AS BIGINT) AS rank
+    FROM r WHERE rnk <= {_FANN_K}
+    ORDER BY query_id, rank
+    """,
+)
+def d12_filtered_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered top-k: each query vector retrieves its k
+    nearest cosine neighbors AMONG VECTORS SHARING ITS LABEL — the
+    filtered-search pattern every production vector store needs
+    (tenant isolation, language-restricted retrieval, in-class
+    nearest examples). Filter-then-score: the predicate becomes the
+    pairing key, so filtering HELPS instead of post-hoc discarding
+    scored candidates.
+
+    Scale: the metadata filter is an EQUI-join on label — pairing is
+    confined to same-label cells exactly like d02's sign buckets
+    (co-partitioned, never all-pairs), the query panel is bounded
+    (_FANN_NQ rows), and the per-query ranking window partitions by
+    query id. With a selective filter the scan cost drops in
+    proportion to the label's share of the corpus — the whole point of
+    filter-aware ANN."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v"),
+        F.col("label").cast("int").alias("label"),
+    )
+    q = emb.filter(F.col("vec_id") < _FANN_NQ).select(
+        F.col("vec_id").alias("qid"),
+        F.col("v").alias("qv"),
+        F.col("label").alias("qlabel"),
+    ).alias("q")
+    e = emb.alias("e")
+    scored = q.join(
+        e,
+        (F.col("e.label") == F.col("q.qlabel"))
+        & (F.col("e.vec_id") != F.col("q.qid")),
+    ).select(
+        "qid", "qlabel",
+        F.col("e.vec_id").alias("nid"),
+        cosine(F.col("q.qv"), F.col("e.v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= _FANN_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("qlabel").alias("label"),
+            F.col("nid").alias("neighbor_id"),
+            "cos_sim",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d13 — embedding norm profile (vector-quality QA per label)
+# ---------------------------------------------------------------------------
+@query(
+    "d13_embedding_norm_profile",
+    oracle=f"""
+    WITH e AS (SELECT label,
+                      sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                              CAST(embedding AS DOUBLE[])))
+                          AS nrm
+               FROM embeddings),
+    r AS (SELECT label, {pround_sql('nrm', 6)} AS nrm6 FROM e)
+    SELECT CAST(label AS INT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           {pround_sql("CAST(SUM(CAST(nrm6 AS DECIMAL(25,6))) AS DOUBLE)"
+                       " / COUNT(*)", 6)} AS avg_norm,
+           MIN(nrm6) AS min_norm,
+           MAX(nrm6) AS max_norm
+    FROM r GROUP BY label ORDER BY label
+    """,
+)
+def d13_embedding_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-quality QA: per label, the count and the mean/min/max
+    L2 norm of the vectors — the first-line health check on an
+    embedding column (a label whose norms collapse toward 0 or blow up
+    signals a broken encoder batch; norm spread predicts whether
+    cosine and dot-product rankings will disagree).
+
+    Scale: one linear scan, one bounded-cardinality aggregate — the
+    norm folds inside codegen (same left-to-right double fold DuckDB's
+    list_inner_product applies, bit-identical), each norm is
+    6dp-rounded BEFORE the decimal-sum mean, so the profile is
+    mergeable across any partitioning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm6 = pround(norm(as_double(F.col("embedding"))), 6)
+    dec = "decimal(25,6)"
+    return (
+        emb.select(F.col("label").cast("int").alias("label"),
+                   nrm6.alias("nrm6"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            pround(
+                F.sum(F.col("nrm6").cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("avg_norm"),
+            F.min("nrm6").alias("min_norm"),
+            F.max("nrm6").alias("max_norm"),
+        )
+        .orderBy("label")
+    )
+
+
+# ---------------------------------------------------------------------------
+# d14 — IVF cell-balance report (index QA for the bucketed ANN family)
+# ---------------------------------------------------------------------------
+@query(
+    "d14_ivf_cell_balance",
+    oracle=f"""
+    WITH params AS (SELECT {sign_bits_sql('embeddings', _KNN_CELL_TARGET)}
+                        AS bits),
+    e AS (SELECT {sign_bucket_sql_dyn('embedding', 'p.bits')} AS bucket
+          FROM embeddings, params p),
+    c AS (SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY bucket)
+    SELECT (SELECT CAST(bits AS INT) FROM params) AS bits,
+           CAST(COUNT(*) AS BIGINT) AS n_cells_used,
+           CAST(SUM(n) AS BIGINT) AS n_vecs,
+           CAST(MIN(n) AS BIGINT) AS min_cell,
+           CAST(MAX(n) AS BIGINT) AS max_cell,
+           {pround_sql('SUM(n) * 1.0 / COUNT(*)', 6)} AS avg_cell,
+           {pround_sql('MAX(n) * COUNT(*) * 1.0 / SUM(n)', 6)} AS imbalance,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS pair_work
+    FROM c
+    """,
+)
+def d14_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-health report for the sign-bucket partitioner the
+    bucketed ANN family (d02/d10/d11) probes: occupied cells, min/max/
+    mean population, the max/mean imbalance ratio, and the total
+    in-cell pair work Σ n·(n−1)/2 — the number that says whether the
+    data-derived bit width (sign_bits_for) is actually holding the
+    quadratic stage flat. A skewed matrix (imbalance >> 1) is the cue
+    to switch from sign bits to learned k-means cells (c09/d04).
+
+    Scale: one linear bucketing pass, a bounded-cardinality (<= 2^16
+    cells) count, then a single summary row — every aggregate is
+    map-side combinable integer arithmetic; the bit width itself is
+    derived from a metadata-cheap count on BOTH engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    bits = sign_bits_for(emb.count(), _KNN_CELL_TARGET)
+    cells = (
+        emb.select(sign_bucket(F.col("embedding"), bits).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return cells.agg(
+        F.lit(bits).cast("int").alias("bits"),
+        F.count(F.lit(1)).cast("long").alias("n_cells_used"),
+        F.sum("n").cast("long").alias("n_vecs"),
+        F.min("n").cast("long").alias("min_cell"),
+        F.max("n").cast("long").alias("max_cell"),
+        pround(F.sum("n") * 1.0 / F.count(F.lit(1)), 6).alias("avg_cell"),
+        pround(
+            F.max("n") * F.count(F.lit(1)) * 1.0 / F.sum("n"), 6
+        ).alias("imbalance"),
+        F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("pair_work"),
     )

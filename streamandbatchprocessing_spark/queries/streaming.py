@@ -805,3 +805,71 @@ def f13_streaming_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# f14 — stream-stream LEFT SEMI join (attribution without duplication)
+# ---------------------------------------------------------------------------
+@query(
+    "f14_stream_semi_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, p.user_id
+    FROM events p
+    WHERE p.event_type = 'purchase'
+      AND EXISTS (
+        SELECT 1 FROM events c
+        WHERE c.event_type = 'click'
+          AND c.user_id = p.user_id
+          AND CAST(c.ts AS TIMESTAMP)
+              >= CAST(p.ts AS TIMESTAMP) - INTERVAL '5 minutes'
+          AND CAST(c.ts AS TIMESTAMP) <= CAST(p.ts AS TIMESTAMP))
+    ORDER BY purchase_id
+    """,
+)
+def f14_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join: purchases preceded by at least one
+    same-user click in the trailing 5 minutes, each emitted ONCE —
+    attribution as an existence test. This completes the stream-stream
+    join matrix (inner f05, left-outer f08, full-outer f12, semi here):
+    the semi form is what funnels actually want, because the inner join
+    duplicates a purchase once per matching click and forces a
+    downstream dedup that semi avoids entirely.
+
+    Scale: same watermark + time-bound state containment as f05 —
+    Spark holds ~(watermark + interval) of each side and, for a semi
+    join, drops a left row's state the moment it matches (it can never
+    emit again), so steady-state memory is bounded by rate x window on
+    both sides. Emission is eager (existence is monotone — no
+    watermark wait), so the availableNow drain surfaces every match
+    without sentinel staging."""
+    from ..streaming.pipeline import events_stream, run_to_memory
+
+    purchases = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    clicks = (
+        events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .withWatermark("ts", "10 minutes")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user_id"),
+            F.col("ts").alias("c_ts"),
+        )
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("c_user_id"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 5 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_semi",
+    )
+    result = run_to_memory(joined, output_mode="append", name_prefix="f14_semi")
+    return result.select("purchase_id", "user_id").orderBy("purchase_id")

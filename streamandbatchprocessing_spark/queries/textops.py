@@ -20,7 +20,7 @@ from ..functions.text import LANG_STOPWORDS, langid_from_tokens, langid_scores
 from ..functions.aggregates import pround, pround_sql
 from ..functions.windows import panel_window
 from ..sources.batch import load_table
-from .registry import query
+from .registry import persist_tracked, query
 
 _STOPWORDS = ("the", "a")
 #: SQL IN-list of the stopwords — interpolated into every oracle that
@@ -1173,3 +1173,172 @@ def e16_zipf_head_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# e17 — trigram novelty (how much of each doc is unique to it)
+# ---------------------------------------------------------------------------
+@query(
+    "e17_trigram_novelty",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    s AS (SELECT doc_id,
+                 list_distinct(CASE WHEN len(toks) < 3 THEN CAST([] AS VARCHAR[])
+                      ELSE list_transform(range(1, len(toks) - 1),
+                                          i -> array_to_string(toks[i:i+2], ' '))
+                      END) AS sh
+          FROM t),
+    sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles FROM s),
+    x AS (SELECT doc_id, unnest(sh) AS g FROM s),
+    d AS (SELECT g, COUNT(*) AS df FROM x GROUP BY g),
+    nov AS (SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
+            FROM x JOIN d ON d.g = x.g WHERE d.df = 1 GROUP BY x.doc_id)
+    SELECT sz.doc_id, sz.n_shingles,
+           CAST(COALESCE(nov.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN sz.n_shingles = 0 THEN 0.0
+                ELSE {pround_sql('COALESCE(nov.n_novel, 0) * 1.0'
+                                 ' / sz.n_shingles', 6)} END AS novelty
+    FROM sz LEFT JOIN nov ON nov.doc_id = sz.doc_id
+    ORDER BY sz.doc_id
+    """,
+)
+def e17_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document novelty: the share of a document's distinct word
+    trigrams that occur in NO other document (corpus df = 1) — the
+    inverse of boilerplate. Training-mix curation upweights high-
+    novelty documents and drops near-zero ones (pure template text);
+    the same table is the corpus-level "how much unique content did
+    this crawl add" measure.
+
+    Scale: two linear shuffles of the exploded shingle stream (the
+    global df count, then the df=1 join back) plus one per-doc
+    aggregate — no pairwise anything; df counting is map-side
+    combinable and the df=1 filter prunes the join's probe output to
+    the novel tail. Same shingle definition as c04/c16 (shared
+    expression), so the novelty report and the dedup cost model
+    describe the same objects."""
+    from .dedup import shingles_col
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Shingle GENERATION (higher-order transform/slice/concat — Catalyst
+    # interprets these, ~8 s/pass at sf0.1) dominates everything
+    # downstream, and three consumers need the exploded stream (per-doc
+    # sizes, the global df count, the df=1 join back). Materialize it
+    # once; each consumer is then a linear aggregate of hash-sized rows.
+    x = persist_tracked(
+        docs.select("doc_id", F.explode(shingles_col()).alias("g"))
+    )
+    # shingles_col is array_distinct'd, so per-doc rows of x ARE the
+    # distinct shingles — size == count. Docs under 3 tokens emit no
+    # rows; the left join from the doc panel restores them with 0.
+    sz = docs.select("doc_id").join(
+        x.groupBy("doc_id").agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles")
+        ),
+        "doc_id", "left",
+    ).select(
+        "doc_id",
+        F.coalesce("n_shingles", F.lit(0)).cast("long").alias("n_shingles"),
+    )
+    df = x.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+    nov = (
+        x.join(df.filter(F.col("df") == 1), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_novel"))
+    )
+    joined = sz.join(nov, "doc_id", "left").select(
+        "doc_id", "n_shingles",
+        F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+    )
+    return joined.select(
+        "doc_id", "n_shingles", "n_novel",
+        F.when(F.col("n_shingles") == 0, F.lit(0.0))
+        .otherwise(pround(F.col("n_novel") * 1.0 / F.col("n_shingles"), 6))
+        .alias("novelty"),
+    ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# e18 — rules-based quality gate (Gopher-style boolean filter report)
+# ---------------------------------------------------------------------------
+_RULE_MIN_WORDS = 20
+_RULE_MAX_WORDS = 100_000
+_RULE_MIN_MWL = 3.0
+_RULE_MAX_MWL = 10.0
+_RULE_MIN_STOPWORDS = 2
+_EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+@query(
+    "e18_quality_rules",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    m AS (SELECT doc_id,
+                 CAST(len(toks) AS BIGINT) AS n_words,
+                 list_aggregate(list_transform(toks, w -> length(w)), 'sum')
+                     AS sum_len,
+                 CAST(list_aggregate(list_transform(toks, w -> length(w)),
+                                     'max') AS BIGINT) AS max_word_len,
+                 CAST(len(list_filter(toks, w -> w IN
+                     ({', '.join("'" + w + "'" for w in _EN_STOPWORDS)})))
+                     AS BIGINT) AS n_stopwords
+          FROM t),
+    r AS (SELECT doc_id, n_words,
+                 {pround_sql('sum_len * 1.0 / n_words', 6)} AS mean_word_len,
+                 max_word_len, n_stopwords
+          FROM m)
+    SELECT doc_id, n_words, mean_word_len, max_word_len, n_stopwords,
+           (n_words BETWEEN {_RULE_MIN_WORDS} AND {_RULE_MAX_WORDS})
+               AS ok_words,
+           (mean_word_len BETWEEN {_RULE_MIN_MWL} AND {_RULE_MAX_MWL})
+               AS ok_word_len,
+           (n_stopwords >= {_RULE_MIN_STOPWORDS}) AS ok_stopwords,
+           ((n_words BETWEEN {_RULE_MIN_WORDS} AND {_RULE_MAX_WORDS})
+            AND (mean_word_len BETWEEN {_RULE_MIN_MWL} AND {_RULE_MAX_MWL})
+            AND n_stopwords >= {_RULE_MIN_STOPWORDS}) AS keep
+    FROM r
+    ORDER BY doc_id
+    """,
+)
+def e18_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rules-based quality gate (the Gopher/C4 filter family as a
+    REPORT, complementing e02's scalar score): per document, the raw
+    measurements (word count, mean/max word length, English-stopword
+    hits) plus each rule's boolean outcome and the conjunctive keep
+    flag. Shipping the per-rule booleans — not just the verdict — is
+    what lets a curation run answer "which rule is rejecting my
+    corpus" without recomputing anything.
+
+    Scale: one linear scan; every measurement is a codegen'd
+    higher-order fold over the token array (no explode, no shuffle at
+    all until the final sort), integers and one 6dp-rounded division,
+    so the gate runs at scan speed on any corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    lens = F.transform(toks, lambda w: F.length(w))
+    n_words = F.size(toks).cast("long")
+    sum_len = F.aggregate(lens, F.lit(0), lambda a, x: a + x)
+    mwl = pround(sum_len * 1.0 / n_words, 6)
+    max_wl = F.array_max(lens).cast("long")
+    n_stop = F.size(
+        F.filter(toks, lambda w: w.isin(*_EN_STOPWORDS))
+    ).cast("long")
+    m = docs.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mwl.alias("mean_word_len"),
+        max_wl.alias("max_word_len"),
+        n_stop.alias("n_stopwords"),
+    )
+    ok_words = F.col("n_words").between(_RULE_MIN_WORDS, _RULE_MAX_WORDS)
+    ok_mwl = F.col("mean_word_len").between(_RULE_MIN_MWL, _RULE_MAX_MWL)
+    ok_stop = F.col("n_stopwords") >= _RULE_MIN_STOPWORDS
+    return m.select(
+        "doc_id", "n_words", "mean_word_len", "max_word_len", "n_stopwords",
+        ok_words.alias("ok_words"),
+        ok_mwl.alias("ok_word_len"),
+        ok_stop.alias("ok_stopwords"),
+        (ok_words & ok_mwl & ok_stop).alias("keep"),
+    ).orderBy("doc_id")

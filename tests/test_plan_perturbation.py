@@ -107,6 +107,23 @@ PERTURBED = [
     # truncated tails must be partition-invariant.
     "m07_audio_chunk_plan",
     "m08_image_tile_plan",
+    # round-7 additions: exact-dyadic-mean source matrix, candidate-
+    # confined containment, label-confined filtered ANN + per-query
+    # windows, decimal-mean norm profile, data-derived cell balance,
+    # df=1 join-back novelty, higher-order-fold rules gate, stream-
+    # stream semi join, dedup-adjusted shares with broadcast totals,
+    # binary-length buckets, and the 168-cell seasonality profile.
+    "c19_cross_source_dup_matrix",
+    "c20_containment_pairs",
+    "d12_filtered_ann",
+    "d13_embedding_norm_profile",
+    "d14_ivf_cell_balance",
+    "e17_trigram_novelty",
+    "e18_quality_rules",
+    "f14_stream_semi_join",
+    "p17_dedup_adjusted_mix",
+    "p18_token_length_histogram",
+    "g25_hour_of_week_profile",
 ]
 
 _PERTURB = {

