@@ -149,6 +149,9 @@ EXTRA = [
     "p17_dedup_adjusted_mix",
     "p18_token_length_histogram",
     "g25_hour_of_week_profile",
+    "d15_pq_rerank_topk",
+    "m10_chunk_dedup_profile",
+    "b34_compaction_plan",
 ]
 
 

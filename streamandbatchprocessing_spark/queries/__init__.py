@@ -56,13 +56,14 @@ from .registry import ORACLES, QUERIES
 #: keeps in-window siblings and every rotated-out query keeps its
 #: local strict-oracle test; c06's rows-only verdict and e09's hash
 #: verdict both stand from r04).
-#: Round-7 rotation: the eleven never-scored round-7 operators (c19
+#: Round-7 rotation: the fourteen never-scored round-7 operators (c19
 #: cross-source dup matrix, c20 containment pairs, d12 filtered ANN,
-#: d13 norm profile, d14 cell balance, e17 trigram novelty, e18
-#: quality rules, f14 stream semi join, p17 dedup-adjusted mix, p18
-#: length histogram, g25 hour-of-week profile) swap in for eleven
-#: r06-greened entries (c15, c16, d04, d07, e12, e16, f02, f03, m05,
-#: p11, g13 — every family keeps in-window siblings and every
+#: d13 norm profile, d14 cell balance, d15 PQ rerank, e17 trigram
+#: novelty, e18 quality rules, f14 stream semi join, m10 chunk dedup,
+#: p17 dedup-adjusted mix, p18 length histogram, g25 hour-of-week
+#: profile, b34 compaction plan) swap in for fourteen r06-greened
+#: entries (c09, c10, c15, c16, d04, d07, e12, e16, f02, f03, m02,
+#: m05, p11, g13 — every family keeps in-window siblings and every
 #: rotated-out query keeps its local strict-oracle test). c18 stays
 #: in: its blocking key changed this round (composite key), so its
 #: output differs from the r06-scored rows and needs a fresh verdict.
@@ -74,18 +75,17 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # its new composite blocking key; c19 source matrix + c20
     # containment new)
     "c02_minhash_lsh_pairs",
-    "c07_dup_clusters", "c09_semantic_dedup",
-    "c10_incremental_neardup",
+    "c07_dup_clusters",
     "c14_minhash_calibration", "c17_cluster_canonical_keep_best",
     "c18_blocked_fuzzy_match",
     "c19_cross_source_dup_matrix", "c20_containment_pairs",
     # similarity search (d04/d07 rotated out green; d10/d11 keep the
     # bucketed family covered; d12 filtered ANN + d13 norm profile +
-    # d14 cell balance new)
+    # d14 cell balance + d15 PQ rerank new)
     "d10_mutual_knn_graph",
     "d11_nprobe_recall_curve",
     "d12_filtered_ann", "d13_embedding_norm_profile",
-    "d14_ivf_cell_balance",
+    "d14_ivf_cell_balance", "d15_pq_rerank_topk",
     # text analysis (e12/e16 rotated out green; e17 novelty + e18
     # quality rules new)
     "e10_pii_scrub",
@@ -98,10 +98,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "f10_streaming_quantiles", "f11_lambda_unified_totals",
     "f12_stream_full_outer_join", "f13_streaming_heavy_hitters",
     "f14_stream_semi_join",
-    # multimodal (m05 rotated out green)
-    "m02_payload_features_pandas",
+    # multimodal (m02/m05 rotated out green; m10 chunk dedup new —
+    # d15/d03 keep the Arrow mapInPandas path in-window)
     "m06_payload_dedup", "m07_audio_chunk_plan",
     "m08_image_tile_plan", "m09_modality_manifest",
+    "m10_chunk_dedup_profile",
     # composed pipelines (p11 rotated out green; p17 dedup-adjusted
     # mix + p18 length histogram new)
     "p01_training_mix", "p02_streaming_ingest_funnel",
@@ -110,8 +111,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "p15_source_mix_drift", "p16_budget_apportionment",
     "p17_dedup_adjusted_mix", "p18_token_length_histogram",
     # physical layout (b30 bucketed + b33 DPP keep the layout family
-    # driver-covered)
+    # driver-covered; b34 compaction plan new)
     "b30_bucketed_colocated_join", "b33_dynamic_partition_prune",
+    "b34_compaction_plan",
     # cross-series analytics (g13 rotated out green; g25 hour-of-week
     # profile new)
     "g14_conversion_funnel",

@@ -318,3 +318,76 @@ def b33_dynamic_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_date", "event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# b34 — statistics-driven compaction plan (small-files remediation)
+# ---------------------------------------------------------------------------
+#: Target bytes per output file. Fixture-sized so the plan is
+#: non-degenerate at the gate SFs; a production lake uses 128-512 MB —
+#: the arithmetic below is scale-free (exact integer ceil-div).
+_COMPACT_TARGET_BYTES = 16_384
+
+
+@query(
+    "b34_compaction_plan",
+    oracle=f"""
+    WITH e AS (SELECT CAST(CAST(ts AS TIMESTAMP) AS DATE) AS event_date,
+                      CAST(32 + length(event_type) + length(props) AS BIGINT)
+                          AS row_bytes
+               FROM events),
+    p AS (SELECT event_date,
+                 CAST(COUNT(*) AS BIGINT) AS n_rows,
+                 CAST(SUM(row_bytes) AS BIGINT) AS est_bytes
+          FROM e GROUP BY event_date)
+    SELECT event_date, n_rows, est_bytes,
+           CAST((est_bytes + {_COMPACT_TARGET_BYTES - 1})
+                // {_COMPACT_TARGET_BYTES} AS BIGINT) AS planned_files,
+           CAST((n_rows + ((est_bytes + {_COMPACT_TARGET_BYTES - 1})
+                           // {_COMPACT_TARGET_BYTES}) - 1)
+                // ((est_bytes + {_COMPACT_TARGET_BYTES - 1})
+                    // {_COMPACT_TARGET_BYTES}) AS BIGINT) AS rows_per_file
+    FROM p
+    ORDER BY event_date
+    """,
+)
+def b34_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistics-driven compaction plan for the date-partitioned
+    events layout (b32): per partition, the row count, the estimated
+    uncompressed bytes (fixed-width columns + measured string widths),
+    and the target file layout — how many files a compactor should
+    write and the rows per file. This is the planner half of OPTIMIZE /
+    small-files remediation: the decision runs on aggregated
+    STATISTICS (one linear scan, |partitions|-bounded output), never on
+    file listings of the data lake, so planning a 3-year 100 TB table
+    costs one metadata-light aggregate. All sizing is exact integer
+    ceil-division — no float boundary for engines to disagree on.
+
+    The byte estimate prices int64/double/timestamp columns at 8 bytes
+    each (4 x 8 = 32) plus the two measured strings; a production
+    planner calibrates with observed compression ratios, which scales
+    every partition identically and cannot change the file-count
+    ordering."""
+    ev = load_table(spark, sf_dir, "events")
+    t = _COMPACT_TARGET_BYTES
+    p = (
+        ev.select(
+            F.to_date("ts").alias("event_date"),
+            (F.lit(32) + F.length("event_type") + F.length("props"))
+            .cast("long").alias("row_bytes"),
+        )
+        .groupBy("event_date")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum("row_bytes").cast("long").alias("est_bytes"),
+        )
+    )
+    planned = F.expr(f"(est_bytes + {t - 1}) div {t}")
+    return p.select(
+        "event_date", "n_rows", "est_bytes",
+        planned.cast("long").alias("planned_files"),
+        F.expr(
+            f"(n_rows + ((est_bytes + {t - 1}) div {t}) - 1) "
+            f"div ((est_bytes + {t - 1}) div {t})"
+        ).cast("long").alias("rows_per_file"),
+    ).orderBy("event_date")

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.aggregates import pround
 from ..sources.batch import load_table
 from .registry import query
 
@@ -567,3 +568,107 @@ def m09_modality_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_units"),
     )
     return audio.union(image).union(video).orderBy("modality")
+
+
+# ---------------------------------------------------------------------------
+# m10 — chunk-level payload dedup profile (CDC-lite storage analysis)
+# ---------------------------------------------------------------------------
+#: Fixed chunk width in bytes. Production content-defined chunking
+#: (rolling-hash boundaries) resists insert-shift; the fixed-width
+#: variant keeps the entire analysis in codegen'd SQL on both engines
+#: while exercising the identical census/join dataflow.
+_CHUNK_BYTES = 64
+
+
+@query(
+    "m10_chunk_dedup_profile",
+    oracle=f"""
+    WITH p AS (SELECT doc_id, text,
+                      CAST(length(text) AS BIGINT) AS n_bytes,
+                      CAST(CEIL(length(text) * 1.0 / {_CHUNK_BYTES}) AS BIGINT)
+                          AS n_chunks
+               FROM documents),
+    ch AS (SELECT doc_id,
+                  md5(substr(text, CAST(i * {_CHUNK_BYTES} + 1 AS INT),
+                             {_CHUNK_BYTES})) AS digest
+           FROM p, LATERAL unnest(range(0, n_chunks)) t(i)),
+    census AS (SELECT digest, COUNT(DISTINCT doc_id) AS n_docs
+               FROM ch GROUP BY digest),
+    sh AS (SELECT ch.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+           FROM ch JOIN census ON census.digest = ch.digest
+           WHERE census.n_docs > 1
+           GROUP BY ch.doc_id)
+    SELECT p.doc_id, p.n_bytes, p.n_chunks,
+           CAST(COALESCE(sh.n_shared, 0) AS BIGINT) AS n_shared_chunks,
+           floor((COALESCE(sh.n_shared, 0) * 1.0 / p.n_chunks)
+                 * 1000000.0 + 0.5) / 1000000.0 AS shared_ratio
+    FROM p LEFT JOIN sh ON sh.doc_id = p.doc_id
+    ORDER BY p.doc_id
+    """,
+)
+def m10_chunk_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level storage dedup profile over opaque payloads: each
+    payload split into fixed 64-byte chunks, each chunk digested, and
+    per asset the count and share of chunks whose digest also occurs in
+    ANOTHER asset — the content-addressable-store analysis (backup
+    dedup, artifact registries, multimodal lakes) that m06's
+    whole-payload catalog cannot see: two assets differing in one frame
+    share every other chunk, and only chunk granularity reclaims them.
+
+    Scale: payload bytes never pairwise-compare — the m07-style
+    sequence+explode generator streams (asset, chunk-digest) rows, the
+    digest census is one map-side-combinable aggregate, and sharing
+    flows back through a digest-keyed equi-join bounded by the chunk
+    stream, so cost is linear in corpus bytes / chunk width. The text
+    column stands in for the binary payload exactly as in m06 (ASCII
+    fixture: chars == bytes; production uses substring on the binary
+    column with the same plan shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "doc_id", "text",
+        F.length("text").cast("long").alias("n_bytes"),
+        F.ceil(F.length("text") * 1.0 / _CHUNK_BYTES).cast("long")
+        .alias("n_chunks"),
+    )
+    ch = (
+        p.select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("n_chunks") - 1)
+            ).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.encode(
+                    F.expr(
+                        f"substring(text, CAST(i * {_CHUNK_BYTES} + 1 AS INT), "
+                        f"{_CHUNK_BYTES})"
+                    ),
+                    "UTF-8",
+                )
+            ).alias("digest"),
+        )
+    )
+    census = ch.groupBy("digest").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    sh = (
+        ch.join(census.filter(F.col("n_docs") > 1), "digest")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    return (
+        p.select("doc_id", "n_bytes", "n_chunks")
+        .join(sh, "doc_id", "left")
+        .select(
+            "doc_id", "n_bytes", "n_chunks",
+            F.coalesce("n_shared", F.lit(0)).cast("long")
+            .alias("n_shared_chunks"),
+            pround(
+                F.coalesce("n_shared", F.lit(0)) * 1.0 / F.col("n_chunks"), 6
+            ).alias("shared_ratio"),
+        )
+        .orderBy("doc_id")
+    )

@@ -793,12 +793,20 @@ _PQ_NQ = 5
 _PQ_TOPK = 10
 
 
-def _pq_oracle() -> str:
+#: DuckDB integer-L2 between two BIGINT lists (shared by the PQ
+#: oracles' codeword distances and d15's exact rerank).
+_L2_SQL = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (p[1]-p[2])*(p[1]-p[2])))"
+)
+
+
+def _pq_cte_prefix() -> str:
+    """CTE chain through ``adc`` (qid, nid, adc_dist) — the shared
+    quantize→subspace→codebook→encode→LUT→ADC pipeline both d06's
+    ranking and d15's shortlist build on."""
     sd = f"(64 // {_PQ_M})"
-    dist = (
-        "list_sum(list_transform(list_zip({a}, {b}), "
-        "p -> (p[1]-p[2])*(p[1]-p[2])))"
-    )
+    dist = _L2_SQL
     return f"""
     WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
                FROM embeddings),
@@ -824,7 +832,12 @@ def _pq_oracle() -> str:
                    CAST(SUM(l.d) AS BIGINT) AS adc_dist
             FROM codes co JOIN lut l ON l.m = co.m AND l.code = co.code
             WHERE co.vec_id != l.qid
-            GROUP BY l.qid, co.vec_id)
+            GROUP BY l.qid, co.vec_id)"""
+
+
+def _pq_oracle() -> str:
+    return f"""
+    {_pq_cte_prefix()}
     SELECT qid AS query_id, nid AS neighbor_id, adc_dist,
            CAST(rank AS BIGINT) AS rank
     FROM (SELECT qid, nid, adc_dist,
@@ -836,21 +849,13 @@ def _pq_oracle() -> str:
     """
 
 
-@query("d06_pq_adc_topk", oracle=_pq_oracle())
-def d06_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PQ-encoded ANN with ADC scoring (see the module comment above
-    ``_PQ_M``).
-
-    Scale design: encoding is ONE vectorized Arrow pass over the corpus
-    (numpy computes all M argmins per batch against the broadcast
-    codebook tensor); the corpus thereafter exists as M small codes per
-    row. Scoring never touches vectors again — each query contributes an
-    M×ks integer LUT (built on the driver from the BOUNDED query panel,
-    like d04's probe table) that compiles into literal arrays, so the
-    scan does M codegen'd array lookups + adds per (candidate, query)
-    and the top-k window does the rest. All arithmetic is int64 —
-    argmin ties break to the lowest code on both engines (numpy
-    first-min over code-ascending rows; SQL ROW_NUMBER code tiebreak)."""
+def _pq_adc_scores(spark: SparkSession, sf_dir: str):
+    """Shared PQ(M=8, ks=16) + ADC scoring dataflow (see the module
+    comment above ``_PQ_M``): returns ``(ei, scored)`` where ``ei`` is
+    the integer-quantized vector table and ``scored`` the
+    (qid, nid, adc_dist) relation for the bounded query panel. d06
+    ranks it directly; d15 shortlists it and reranks with exact
+    distances."""
     base, ei = _quantized_vectors(spark, sf_dir)
     cb_rows = sorted(
         ei.filter(F.col("vec_id") < _PQ_KS).collect(),
@@ -929,6 +934,25 @@ def d06_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("s.qid").alias("qid"), "nid", F.col("s.adc_dist").alias("adc_dist")
     ).filter(F.col("nid") != F.col("qid"))
+    return ei, scored
+
+
+@query("d06_pq_adc_topk", oracle=_pq_oracle())
+def d06_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-encoded ANN with ADC scoring (see the module comment above
+    ``_PQ_M``).
+
+    Scale design: encoding is ONE vectorized Arrow pass over the corpus
+    (numpy computes all M argmins per batch against the broadcast
+    codebook tensor); the corpus thereafter exists as M small codes per
+    row. Scoring never touches vectors again — each query contributes an
+    M×ks integer LUT (built on the driver from the BOUNDED query panel,
+    like d04's probe table) that compiles into literal arrays, so the
+    scan does M codegen'd array lookups + adds per (candidate, query)
+    and the top-k window does the rest. All arithmetic is int64 —
+    argmin ties break to the lowest code on both engines (numpy
+    first-min over code-ascending rows; SQL ROW_NUMBER code tiebreak)."""
+    _, scored = _pq_adc_scores(spark, sf_dir)
     w = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("long"))
@@ -1713,4 +1737,85 @@ def d14_ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n") * F.count(F.lit(1)) * 1.0 / F.sum("n"), 6
         ).alias("imbalance"),
         F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("pair_work"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# d15 — two-stage retrieval: PQ-ADC shortlist, exact rerank
+# ---------------------------------------------------------------------------
+_RERANK_SHORTLIST = 30
+_RERANK_K = 10
+
+
+@query(
+    "d15_pq_rerank_topk",
+    oracle=f"""
+    {_pq_cte_prefix()},
+    short AS (SELECT qid, nid, adc_dist,
+                     ROW_NUMBER() OVER (PARTITION BY qid
+                                        ORDER BY adc_dist, nid) AS adc_rank
+              FROM adc),
+    sl AS (SELECT * FROM short WHERE adc_rank <= {_RERANK_SHORTLIST}),
+    ex AS (SELECT s.qid, s.nid, s.adc_rank,
+                  {_L2_SQL.format(a='a.iv', b='b.iv')} AS exact_l2
+           FROM sl s
+           JOIN ei a ON a.vec_id = s.qid
+           JOIN ei b ON b.vec_id = s.nid)
+    SELECT qid AS query_id, nid AS neighbor_id,
+           CAST(adc_rank AS BIGINT) AS adc_rank,
+           CAST(exact_l2 AS BIGINT) AS exact_l2,
+           CAST(rr AS BIGINT) AS rank
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY exact_l2, nid) AS rr
+          FROM ex)
+    WHERE rr <= {_RERANK_K}
+    ORDER BY query_id, rank
+    """,
+)
+def d15_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage retrieval, the production ANN serving shape: the PQ-ADC
+    scan (d06's compressed-domain scoring) shortlists the top-30
+    candidates per query, then ONLY those 30 are re-scored with the
+    exact integer L2 distance and re-ranked to the final top-10. The
+    output carries both ranks, so the table directly shows where the
+    compressed approximation mis-ordered candidates and the exact pass
+    corrected it — the quality argument for rerank stages.
+
+    Scale: stage 1 never touches vectors (M table lookups + adds per
+    candidate — linear scan of 8-byte codes); stage 2's exact
+    arithmetic runs on shortlist-bounded rows only
+    (queries x 30), joined to the vector table by TWO vec_id
+    equi-joins — so full-precision vectors are fetched for a constant
+    number of rows per query regardless of corpus size. This is
+    exactly how FAISS IndexPQ + refine / a vector DB's rerank tier
+    splits the work. All arithmetic int64; ties break on id."""
+    ei, scored = _pq_adc_scores(spark, sf_dir)
+    w_adc = Window.partitionBy("qid").orderBy(F.asc("adc_dist"), F.asc("nid"))
+    short = (
+        scored.withColumn("adc_rank", F.row_number().over(w_adc).cast("long"))
+        .filter(F.col("adc_rank") <= _RERANK_SHORTLIST)
+    )
+    a, b = ei.alias("a"), ei.alias("b")
+    l2 = F.aggregate(
+        F.zip_with(F.col("a.iv"), F.col("b.iv"), lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    ex = (
+        short.join(a, F.col("qid") == F.col("a.vec_id"))
+        .join(b, F.col("nid") == F.col("b.vec_id"))
+        .select("qid", "nid", "adc_rank", l2.alias("exact_l2"))
+    )
+    w_ex = Window.partitionBy("qid").orderBy(F.asc("exact_l2"), F.asc("nid"))
+    return (
+        ex.withColumn("rank", F.row_number().over(w_ex).cast("long"))
+        .filter(F.col("rank") <= _RERANK_K)
+        .select(
+            F.col("qid").alias("query_id"),
+            F.col("nid").alias("neighbor_id"),
+            "adc_rank",
+            "exact_l2",
+            "rank",
+        )
+        .orderBy("query_id", "rank")
     )

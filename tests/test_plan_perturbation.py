@@ -124,6 +124,11 @@ PERTURBED = [
     "p17_dedup_adjusted_mix",
     "p18_token_length_histogram",
     "g25_hour_of_week_profile",
+    # second round-7 batch: shortlist-bounded exact rerank, chunk-digest
+    # census + join-back, and integer ceil-div compaction sizing.
+    "d15_pq_rerank_topk",
+    "m10_chunk_dedup_profile",
+    "b34_compaction_plan",
 ]
 
 _PERTURB = {

@@ -202,3 +202,55 @@ def test_f14_semi_emits_each_purchase_once(spark, sf_dir):
     assert rows
     ids = [r["purchase_id"] for r in rows]
     assert len(ids) == len(set(ids)), "semi join must not duplicate"
+
+
+def test_m10_chunk_accounting(spark, sf_dir):
+    """Chunk counts must tile the byte length (ceil-div), shared counts
+    bounded by chunk counts, ratios in [0, 1]."""
+    import math
+
+    rows = _q("m10_chunk_dedup_profile")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_chunks"] == math.ceil(r["n_bytes"] / 64)
+        assert 0 <= r["n_shared_chunks"] <= r["n_chunks"]
+        assert 0.0 <= r["shared_ratio"] <= 1.0
+
+
+def test_b34_plan_sizing_invariants(spark, sf_dir):
+    """planned_files is the exact ceil of bytes/target; rows_per_file
+    times planned_files covers the partition without over-shooting by
+    more than one file's rows."""
+    from streamandbatchprocessing_spark.queries.layout import (
+        _COMPACT_TARGET_BYTES as T,
+    )
+
+    rows = _q("b34_compaction_plan")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["planned_files"] == -(-r["est_bytes"] // T)
+        assert r["rows_per_file"] * r["planned_files"] >= r["n_rows"]
+        assert (r["rows_per_file"] - 1) * r["planned_files"] < r["n_rows"]
+
+
+def test_d15_rerank_improves_or_preserves_order(spark, sf_dir):
+    """Every reranked neighbor must come from the ADC shortlist, final
+    ranks are dense 1..k, and exact distances are non-decreasing in
+    final rank (the definition of the rerank)."""
+    from collections import defaultdict
+
+    from streamandbatchprocessing_spark.queries.similarity import (
+        _RERANK_SHORTLIST,
+    )
+
+    rows = _q("d15_pq_rerank_topk")(spark, sf_dir).collect()
+    assert rows
+    per_q = defaultdict(list)
+    for r in rows:
+        assert 1 <= r["adc_rank"] <= _RERANK_SHORTLIST
+        per_q[r["query_id"]].append((r["rank"], r["exact_l2"]))
+    for q, rs in per_q.items():
+        rs.sort()
+        assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
+        dists = [x[1] for x in rs]
+        assert dists == sorted(dists)
