@@ -1348,6 +1348,12 @@ def d10_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         sign_bucket(F.col("embedding"), bits).alias("bucket"),
     )
     a, b = emb.alias("a"), emb.alias("b")
+    # Fold-based cosine, deliberately: the dot_fixed/norm_fixed scalar
+    # expansion (the c09 move) was measured SLOWER here — 9.5 s vs
+    # 4.3 s at sf0.1 — because the 64-term chain is evaluated inside
+    # the join projection where its generated code defeats the JIT,
+    # while c09 amortizes it through a persisted projection + Arrow
+    # pass. Measured, not assumed.
     scored = a.join(
         b,
         (F.col("b.bucket") == F.col("a.bucket"))
