@@ -539,3 +539,41 @@ def test_e16_head_take_ordered(spark, sf_dir):
     never on the full vocabulary."""
     plan = executed_plan(QUERIES["e16_zipf_head_profile"](spark, sf_dir))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_d12_filter_is_pairing_key_with_rank_pushdown(spark, sf_dir):
+    """d12's metadata filter must BE the equi-join key (label pairing,
+    never a BNLJ post-filter), and the per-query top-k must plan with
+    WindowGroupLimit so only k rows per query survive each partition
+    before the final window."""
+    plan = executed_plan(QUERIES["d12_filtered_ann"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_c18_probe_side_fans_out(spark, sf_dir):
+    """c18's Levenshtein work rides the probe side of a broadcast join;
+    the probe rows must be hash-redistributed (explicit repartition on
+    the primary key) so the per-pair work is not confined to the
+    fixture file's single scan task. AQE must NOT have coalesced the
+    user-pinned exchange back to one partition."""
+    plan = executed_plan(QUERIES["c18_blocked_fuzzy_match"](spark, sf_dir))
+    assert "Exchange hashpartitioning(p_partkey" in plan, plan
+    assert "REPARTITION_BY_NUM" in plan, plan
+
+
+def test_d15_rerank_joins_are_equi(spark, sf_dir):
+    """d15's exact-rerank stage fetches full-precision vectors through
+    vec_id equi-joins on the shortlist — a nested-loop join would mean
+    the shortlist bound never reached the planner."""
+    plan = executed_plan(QUERIES["d15_pq_rerank_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_b34_plan_is_single_linear_aggregate(spark, sf_dir):
+    """b34 must plan as scan -> partial agg -> exchange -> final agg —
+    no join anywhere: the compaction decision runs on statistics, not
+    on file listings or pairwise anything."""
+    plan = executed_plan(QUERIES["b34_compaction_plan"](spark, sf_dir))
+    assert "Join" not in plan, plan
+    assert "HashAggregate" in plan, plan
