@@ -152,6 +152,9 @@ EXTRA = [
     "d15_pq_rerank_topk",
     "m10_chunk_dedup_profile",
     "b34_compaction_plan",
+    "e19_collocation_lift",
+    "p19_dataset_card",
+    "g26_rfm_segments",
 ]
 
 

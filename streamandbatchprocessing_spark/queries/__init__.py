@@ -56,17 +56,19 @@ from .registry import ORACLES, QUERIES
 #: keeps in-window siblings and every rotated-out query keeps its
 #: local strict-oracle test; c06's rows-only verdict and e09's hash
 #: verdict both stand from r04).
-#: Round-7 rotation: the fourteen never-scored round-7 operators (c19
+#: Round-7 rotation: the seventeen never-scored round-7 operators (c19
 #: cross-source dup matrix, c20 containment pairs, d12 filtered ANN,
 #: d13 norm profile, d14 cell balance, d15 PQ rerank, e17 trigram
-#: novelty, e18 quality rules, f14 stream semi join, m10 chunk dedup,
-#: p17 dedup-adjusted mix, p18 length histogram, g25 hour-of-week
-#: profile, b34 compaction plan) swap in for fourteen r06-greened
-#: entries (c09, c10, c15, c16, d04, d07, e12, e16, f02, f03, m02,
-#: m05, p11, g13 — every family keeps in-window siblings and every
-#: rotated-out query keeps its local strict-oracle test). c18 stays
-#: in: its blocking key changed this round (composite key), so its
-#: output differs from the r06-scored rows and needs a fresh verdict.
+#: novelty, e18 quality rules, e19 collocation lift, f14 stream semi
+#: join, m10 chunk dedup, p17 dedup-adjusted mix, p18 length
+#: histogram, p19 dataset card, g25 hour-of-week profile, g26 RFM
+#: segments, b34 compaction plan) swap in for seventeen r06-greened
+#: entries (c09, c10, c15, c16, d04, d07, e12, e16, f02, f03, f06,
+#: f07, f09, m02, m05, p11, g13 — every family keeps in-window
+#: siblings and every rotated-out query keeps its local strict-oracle
+#: test). c18 stays in: its blocking key changed this round (composite
+#: key), so its output differs from the r06-scored rows and needs a
+#: fresh verdict.
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -87,14 +89,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "d12_filtered_ann", "d13_embedding_norm_profile",
     "d14_ivf_cell_balance", "d15_pq_rerank_topk",
     # text analysis (e12/e16 rotated out green; e17 novelty + e18
-    # quality rules new)
+    # quality rules + e19 collocation lift new)
     "e10_pii_scrub",
-    "e17_trigram_novelty", "e18_quality_rules",
-    # streaming extensions (f02/f03 rotate out green; f14 semi join
-    # completes the stream-stream join matrix)
+    "e17_trigram_novelty", "e18_quality_rules", "e19_collocation_lift",
+    # streaming extensions (f02/f03/f06/f07/f09 rotate out green —
+    # f08/f12/f14 keep the join matrix and f04-style state covered;
+    # f14 semi join completes the stream-stream join matrix)
     "f01_streaming_dashboard",
-    "f06_idle_key_eviction", "f07_stream_static_enrichment",
-    "f08_stream_left_outer_join", "f09_streaming_pii_scrub",
+    "f08_stream_left_outer_join",
     "f10_streaming_quantiles", "f11_lambda_unified_totals",
     "f12_stream_full_outer_join", "f13_streaming_heavy_hitters",
     "f14_stream_semi_join",
@@ -110,6 +112,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "p13_curriculum_buckets", "p14_skew_report",
     "p15_source_mix_drift", "p16_budget_apportionment",
     "p17_dedup_adjusted_mix", "p18_token_length_histogram",
+    "p19_dataset_card",
     # physical layout (b30 bucketed + b33 DPP keep the layout family
     # driver-covered; b34 compaction plan new)
     "b30_bucketed_colocated_join", "b33_dynamic_partition_prune",
@@ -120,7 +123,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "g15_cohort_retention",
     "g22_event_transitions", "g23_snapshot_diff",
     "g24_interval_coalesce",
-    "g25_hour_of_week_profile",
+    "g25_hour_of_week_profile", "g26_rfm_segments",
 )
 
 

@@ -1424,3 +1424,86 @@ def p18_token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "log2_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# p19 — dataset card (the one-row corpus summary a release ships with)
+# ---------------------------------------------------------------------------
+@query(
+    "p19_dataset_card",
+    oracle=f"""
+    WITH {QUALITY_SCORE_CTE.strip().lstrip()},
+    d AS (SELECT doc_id, text, lang, source,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                 CAST(length(text) AS BIGINT) AS n_chars
+          FROM documents),
+    base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+                    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                    CAST(COUNT(DISTINCT text) AS BIGINT) AS distinct_texts,
+                    CAST(SUM(n_toks) AS BIGINT) AS total_tokens,
+                    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+             FROM d),
+    q AS (SELECT CAST(SUM(CAST(quality_score AS DECIMAL(25,6))) AS DOUBLE)
+                     AS qsum,
+                 COUNT(*) AS qn
+          FROM scored)
+    SELECT base.n_docs, base.n_sources, base.n_langs, base.total_tokens,
+           base.total_chars, base.distinct_texts,
+           floor((1.0 - base.distinct_texts * 1.0 / base.n_docs)
+                 * 1000000.0 + 0.5) / 1000000.0 AS dup_rate,
+           floor((base.total_tokens * 1.0 / base.n_docs)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_doc_tokens,
+           floor((q.qsum / q.qn) * 1000000.0 + 0.5) / 1000000.0
+               AS mean_quality
+    FROM base CROSS JOIN q
+    """,
+)
+def p19_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card: one row a corpus release ships with — document
+    / source / language counts, token and byte volume, exact-duplicate
+    rate (1 − distinct texts / docs), mean document length, and mean
+    quality score (e02's formula, 6dp-rounded per doc BEFORE the
+    decimal-sum mean, so the card merges bit-identically across any
+    partitioning). Every number is derivable from the operators above
+    (c01, e02, p14...) — this is the one-stop aggregation a registry
+    displays and a reviewer diffs between releases.
+
+    Scale: two whole-table aggregates (one over raw docs, one over the
+    shared quality projection) joined as 1-row broadcasts. The three
+    exact countDistincts ride one aggregate; at 100 TB swap source/lang
+    (small domains) to grouping and text to approx_count_distinct or
+    c01's digest count — the p11→p12 twin argument."""
+    from .textops import quality_score_col, quality_scored_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "text", "lang", "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    base = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("source").cast("long").alias("n_sources"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("text").cast("long").alias("distinct_texts"),
+        F.sum("n_toks").cast("long").alias("total_tokens"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+    q = quality_scored_docs(docs).select(
+        quality_score_col().alias("quality_score")
+    ).agg(
+        F.sum(F.col("quality_score").cast("decimal(25,6)")).cast("double")
+        .alias("qsum"),
+        F.count(F.lit(1)).alias("qn"),
+    )
+    return base.crossJoin(F.broadcast(q)).select(
+        "n_docs", "n_sources", "n_langs", "total_tokens", "total_chars",
+        "distinct_texts",
+        pround(
+            1.0 - F.col("distinct_texts") * 1.0 / F.col("n_docs"), 6
+        ).alias("dup_rate"),
+        pround(F.col("total_tokens") * 1.0 / F.col("n_docs"), 6)
+        .alias("mean_doc_tokens"),
+        pround(F.col("qsum") / F.col("qn"), 6).alias("mean_quality"),
+    )

@@ -1693,3 +1693,124 @@ def g25_hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow", "hod")
     )
+
+
+# ---------------------------------------------------------------------------
+# g26 — RFM customer segmentation (quartile-scored recency/frequency/monetary)
+# ---------------------------------------------------------------------------
+@query(
+    "g26_rfm_segments",
+    oracle=f"""
+    WITH p AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value
+               FROM events WHERE event_type = 'purchase'),
+    anchor AS (SELECT CAST(MAX(ts) AS DATE) AS maxd FROM p),
+    per_user AS (SELECT user_id,
+                        CAST(COUNT(*) AS BIGINT) AS frequency,
+                        {_DSUM.format(x='value')} AS monetary,
+                        CAST(MAX(ts) AS DATE) AS last_d
+                 FROM p GROUP BY user_id),
+    rfm AS (SELECT user_id, frequency, monetary,
+                   CAST(date_diff('day', last_d, anchor.maxd) AS BIGINT)
+                       AS recency_days
+            FROM per_user CROSS JOIN anchor),
+    th AS (SELECT
+        {pround_sql('quantile_cont(recency_days, 0.25)', 6)} AS r25,
+        {pround_sql('quantile_cont(recency_days, 0.50)', 6)} AS r50,
+        {pround_sql('quantile_cont(recency_days, 0.75)', 6)} AS r75,
+        {pround_sql('quantile_cont(frequency, 0.25)', 6)} AS f25,
+        {pround_sql('quantile_cont(frequency, 0.50)', 6)} AS f50,
+        {pround_sql('quantile_cont(frequency, 0.75)', 6)} AS f75,
+        {pround_sql('quantile_cont(monetary, 0.25)', 6)} AS m25,
+        {pround_sql('quantile_cont(monetary, 0.50)', 6)} AS m50,
+        {pround_sql('quantile_cont(monetary, 0.75)', 6)} AS m75
+        FROM rfm),
+    scored AS (SELECT
+        CAST(4 - (CAST(recency_days > r25 AS INT)
+                  + CAST(recency_days > r50 AS INT)
+                  + CAST(recency_days > r75 AS INT)) AS INT) AS r_score,
+        CAST(1 + (CAST(frequency > f25 AS INT)
+                  + CAST(frequency > f50 AS INT)
+                  + CAST(frequency > f75 AS INT)) AS INT) AS f_score,
+        CAST(1 + (CAST(monetary > m25 AS INT)
+                  + CAST(monetary > m50 AS INT)
+                  + CAST(monetary > m75 AS INT)) AS INT) AS m_score,
+        monetary
+        FROM rfm CROSS JOIN th)
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           {pround_sql('CAST(SUM(CAST(monetary AS DECIMAL(25,6))) AS DOUBLE)',
+                       6)} AS total_monetary
+    FROM scored
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def g26_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: every purchasing user scored 1-4 on Recency
+    (days since last purchase — lower is better, so the score flips),
+    Frequency, and Monetary value against the corpus's own exact
+    quartiles, then the 4x4x4 segment grid reported with user counts
+    and revenue — the marketing-analytics staple (champions = 444,
+    at-risk = 1xx) built entirely from one event scan.
+
+    Scale: one linear scan into per-user aggregates (decimal-exact
+    monetary), ONE whole-table exact-percentile aggregate producing
+    nine scalar thresholds (a 1-row broadcast — g02's determinism
+    argument: 6dp-rounded PERCENTILE_CONT matches quantile_cont;
+    production swaps in approx_percentile sketches), then a stateless
+    scored projection into a <=64-cell map-side-combinable group.
+    Scores are integer comparisons against the rounded thresholds, so
+    the grid is partitioning-invariant."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    per_user = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("frequency"),
+        dsum("value", "monetary"),
+        F.to_date(F.max("ts")).alias("last_d"),
+    )
+    anchor = p.agg(F.to_date(F.max("ts")).alias("maxd"))
+    rfm = per_user.crossJoin(F.broadcast(anchor)).select(
+        "user_id", "frequency", "monetary",
+        F.datediff("maxd", "last_d").cast("long").alias("recency_days"),
+    )
+    th = rfm.agg(
+        *[
+            pround(F.percentile(c, F.lit(q)), 6).alias(f"{c[0]}{int(q * 100)}")
+            for c in ("recency_days", "frequency", "monetary")
+            for q in (0.25, 0.50, 0.75)
+        ]
+    )
+    scored = rfm.crossJoin(F.broadcast(th)).select(
+        (
+            4 - (
+                (F.col("recency_days") > F.col("r25")).cast("int")
+                + (F.col("recency_days") > F.col("r50")).cast("int")
+                + (F.col("recency_days") > F.col("r75")).cast("int")
+            )
+        ).cast("int").alias("r_score"),
+        (
+            1 + (
+                (F.col("frequency") > F.col("f25")).cast("int")
+                + (F.col("frequency") > F.col("f50")).cast("int")
+                + (F.col("frequency") > F.col("f75")).cast("int")
+            )
+        ).cast("int").alias("f_score"),
+        (
+            1 + (
+                (F.col("monetary") > F.col("m25")).cast("int")
+                + (F.col("monetary") > F.col("m50")).cast("int")
+                + (F.col("monetary") > F.col("m75")).cast("int")
+            )
+        ).cast("int").alias("m_score"),
+        "monetary",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+            dsum("monetary", "total_monetary"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )

@@ -1342,3 +1342,96 @@ def e18_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         ok_stop.alias("ok_stopwords"),
         (ok_words & ok_mwl & ok_stop).alias("keep"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# e19 — collocation lift (PMI-ordered bigram associations, log-free)
+# ---------------------------------------------------------------------------
+_COLL_MIN_COUNT = 5
+_COLL_TOPK = 50
+
+
+@query(
+    "e19_collocation_lift",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+    u AS (SELECT unnest(toks) AS w FROM t),
+    uc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw FROM u GROUP BY w),
+    n AS (SELECT CAST(SUM(cw) AS BIGINT) AS n_tokens FROM uc),
+    bg AS (SELECT toks[i] AS w1, toks[i + 1] AS w2
+           FROM t, LATERAL unnest(range(1, len(toks))) r(i)),
+    bc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cab
+           FROM bg GROUP BY w1, w2),
+    b AS (SELECT CAST(SUM(cab) AS BIGINT) AS n_bigrams FROM bc),
+    lift AS (SELECT bc.w1, bc.w2, bc.cab, ua.cw AS c1, ub.cw AS c2,
+                    floor((bc.cab * 1.0 * n.n_tokens * n.n_tokens
+                           / (b.n_bigrams * 1.0 * ua.cw * ub.cw))
+                          * 1000000.0 + 0.5) / 1000000.0 AS lift
+             FROM bc
+             JOIN uc ua ON ua.w = bc.w1
+             JOIN uc ub ON ub.w = bc.w2
+             CROSS JOIN n CROSS JOIN b
+             WHERE bc.cab >= {_COLL_MIN_COUNT})
+    SELECT w1, w2, cab AS n_pair, c1 AS n_w1, c2 AS n_w2, lift
+    FROM lift
+    ORDER BY lift DESC, w1, w2
+    LIMIT {_COLL_TOPK}
+    """,
+)
+def e19_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top collocations by LIFT — p(w1,w2) / (p(w1)·p(w2)), the
+    monotone transform of PMI with the logarithm removed: the ordering
+    is identical, but every score is a ratio of exact int64 products
+    (c_ab·N² / (B·c_a·c_b)) divided once — no transcendental for
+    engines to disagree on (contrast e13's decimal-quantized ln). The
+    table names the corpus's multi-word units (the "new york" problem)
+    for tokenizer vocab decisions and boilerplate detection.
+
+    Scale: two linear WordCount shuffles (unigrams, adjacent bigrams)
+    + two broadcast scalar totals; the min-count filter prunes the
+    long tail BEFORE the unigram joins, and the final TakeOrdered
+    keeps only the 50-row head — no global sort of the bigram
+    space."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    t = docs.select("doc_id", toks.alias("toks"))
+    u = t.select(F.explode("toks").alias("w"))
+    uc = u.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("cw"))
+    n = uc.agg(F.sum("cw").cast("long").alias("n_tokens"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bc = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("cab"))
+        .filter(F.col("cab") >= _COLL_MIN_COUNT)
+    )
+    b = bg.groupBy().agg(F.count(F.lit(1)).cast("long").alias("n_bigrams"))
+    ua = uc.select(F.col("w").alias("w1"), F.col("cw").alias("c1"))
+    ub = uc.select(F.col("w").alias("w2"), F.col("cw").alias("c2"))
+    lift = (
+        bc.join(ua, "w1")
+        .join(ub, "w2")
+        .crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(b))
+        .select(
+            "w1", "w2",
+            F.col("cab").alias("n_pair"),
+            F.col("c1").alias("n_w1"),
+            F.col("c2").alias("n_w2"),
+            pround(
+                F.col("cab") * 1.0 * F.col("n_tokens") * F.col("n_tokens")
+                / (F.col("n_bigrams") * 1.0 * F.col("c1") * F.col("c2")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return lift.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2")).limit(
+        _COLL_TOPK
+    )

@@ -129,6 +129,12 @@ PERTURBED = [
     "d15_pq_rerank_topk",
     "m10_chunk_dedup_profile",
     "b34_compaction_plan",
+    # third round-7 batch: log-free lift ordering with a LIMIT boundary,
+    # broadcast quartile thresholds + stateless scoring, and the
+    # two-broadcast one-row dataset card.
+    "e19_collocation_lift",
+    "g26_rfm_segments",
+    "p19_dataset_card",
 ]
 
 _PERTURB = {

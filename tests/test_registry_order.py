@@ -7,12 +7,12 @@ Round-7 window policy: every query registered through round 6 carries
 a driver verdict (CORRECTNESS_r06 closed the set: 49 hash-green + p12
 rows-only by design). The window now holds every query without one:
 the round-7 operators
-c19/c20/d12/d13/d14/d15/e17/e18/f14/m10/p17/p18/g25/b34 — plus c18,
+c19/c20/d12-d15/e17-e19/f14/m10/p17-p19/g25/g26/b34 — plus c18,
 whose composite blocking key changed its output this round and
 therefore needs a fresh verdict — alongside re-confirming green
 entries. Rotated out this round (each r06-green, each keeping its
 local strict-oracle test): c09, c10, c15, c16, d04, d07, e12, e16,
-f02, f03, m02, m05, p11, g13.
+f02, f03, f06, f07, f09, m02, m05, p11, g13.
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES

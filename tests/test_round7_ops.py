@@ -254,3 +254,52 @@ def test_d15_rerank_improves_or_preserves_order(spark, sf_dir):
         assert [x[0] for x in rs] == list(range(1, len(rs) + 1))
         dists = [x[1] for x in rs]
         assert dists == sorted(dists)
+
+
+def test_e19_lift_head_is_sorted_and_bounded(spark, sf_dir):
+    from streamandbatchprocessing_spark.queries.textops import (
+        _COLL_MIN_COUNT,
+        _COLL_TOPK,
+    )
+
+    rows = _q("e19_collocation_lift")(spark, sf_dir).collect()
+    assert 0 < len(rows) <= _COLL_TOPK
+    lifts = [r["lift"] for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
+    for r in rows:
+        assert r["n_pair"] >= _COLL_MIN_COUNT
+        assert r["n_pair"] <= min(r["n_w1"], r["n_w2"])
+        assert r["lift"] > 0
+
+
+def test_g26_scores_partition_all_purchasers(spark, sf_dir):
+    """Scores live in 1..4 on every axis; segment user counts sum to
+    the number of distinct purchasing users."""
+    from streamandbatchprocessing_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    rows = _q("g26_rfm_segments")(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events")
+    n_users = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id").distinct().count()
+    )
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        for k in ("r_score", "f_score", "m_score"):
+            assert 1 <= r[k] <= 4
+
+
+def test_p19_card_is_internally_consistent(spark, sf_dir):
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    row = _q("p19_dataset_card")(spark, sf_dir).collect()[0]
+    n = load_table(spark, sf_dir, "documents").count()
+    assert row["n_docs"] == n
+    assert row["distinct_texts"] <= row["n_docs"]
+    assert 0.0 <= row["dup_rate"] <= 1.0
+    assert abs(
+        row["mean_doc_tokens"] - row["total_tokens"] / row["n_docs"]
+    ) < 1e-5
+    assert 0.0 <= row["mean_quality"] <= 1.5
