@@ -155,6 +155,12 @@ EXTRA = [
     "e19_collocation_lift",
     "p19_dataset_card",
     "g26_rfm_segments",
+    # round 7b additions
+    "c21_candidate_degree_profile",
+    "m11_magic_byte_census",
+    "g27_top_event_paths",
+    "g28_rolling_active_users",
+    "p20_epoch_plan",
 ]
 
 

@@ -69,6 +69,12 @@ from .registry import ORACLES, QUERIES
 #: test). c18 stays in: its blocking key changed this round (composite
 #: key), so its output differs from the r06-scored rows and needs a
 #: fresh verdict.
+#: Mid-round-7 update: five more operators (c21 candidate-degree
+#: profile, m11 magic-byte census, g27 top event paths, g28 rolling
+#: 7-day actives, p20 epoch plan) swap in for five r06-greened
+#: re-confirmation entries (f10, f11, g14, m06, p13 — each family
+#: keeps in-window siblings and every rotated-out query keeps its
+#: local strict-oracle test).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -81,6 +87,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "c14_minhash_calibration", "c17_cluster_canonical_keep_best",
     "c18_blocked_fuzzy_match",
     "c19_cross_source_dup_matrix", "c20_containment_pairs",
+    "c21_candidate_degree_profile",
     # similarity search (d04/d07 rotated out green; d10/d11 keep the
     # bucketed family covered; d12 filtered ANN + d13 norm profile +
     # d14 cell balance + d15 PQ rerank new)
@@ -97,33 +104,32 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # f14 semi join completes the stream-stream join matrix)
     "f01_streaming_dashboard",
     "f08_stream_left_outer_join",
-    "f10_streaming_quantiles", "f11_lambda_unified_totals",
     "f12_stream_full_outer_join", "f13_streaming_heavy_hitters",
     "f14_stream_semi_join",
     # multimodal (m02/m05 rotated out green; m10 chunk dedup new —
     # d15/d03 keep the Arrow mapInPandas path in-window)
-    "m06_payload_dedup", "m07_audio_chunk_plan",
+    "m07_audio_chunk_plan",
     "m08_image_tile_plan", "m09_modality_manifest",
-    "m10_chunk_dedup_profile",
+    "m10_chunk_dedup_profile", "m11_magic_byte_census",
     # composed pipelines (p11 rotated out green; p17 dedup-adjusted
     # mix + p18 length histogram new)
     "p01_training_mix", "p02_streaming_ingest_funnel",
     "p12_column_profile_at_scale",
-    "p13_curriculum_buckets", "p14_skew_report",
+    "p14_skew_report",
     "p15_source_mix_drift", "p16_budget_apportionment",
     "p17_dedup_adjusted_mix", "p18_token_length_histogram",
-    "p19_dataset_card",
+    "p19_dataset_card", "p20_epoch_plan",
     # physical layout (b30 bucketed + b33 DPP keep the layout family
     # driver-covered; b34 compaction plan new)
     "b30_bucketed_colocated_join", "b33_dynamic_partition_prune",
     "b34_compaction_plan",
     # cross-series analytics (g13 rotated out green; g25 hour-of-week
     # profile new)
-    "g14_conversion_funnel",
     "g15_cohort_retention",
     "g22_event_transitions", "g23_snapshot_diff",
     "g24_interval_coalesce",
     "g25_hour_of_week_profile", "g26_rfm_segments",
+    "g27_top_event_paths", "g28_rolling_active_users",
 )
 
 

@@ -1824,3 +1824,96 @@ def c20_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             pround(c_ba, 6).alias("containment_ba"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# c21 — candidate-graph degree profile (the dedup graph's skew census)
+# ---------------------------------------------------------------------------
+def _degree_oracle() -> str:
+    return f"""
+    {_sig_cte()},
+    {_cand_cte()},
+    ends AS (SELECT da AS doc_id FROM cand
+             UNION ALL
+             SELECT db AS doc_id FROM cand),
+    deg AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS degree
+            FROM ends GROUP BY doc_id),
+    hist AS (SELECT CAST(length(bin(degree)) AS INT) AS log2_bucket,
+                    CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(MAX(degree) AS BIGINT) AS max_degree,
+                    CAST(SUM(degree) AS BIGINT) AS total_edge_ends
+             FROM deg GROUP BY 1),
+    zero AS (SELECT CAST(0 AS INT) AS log2_bucket,
+                    CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(0 AS BIGINT) AS max_degree,
+                    CAST(0 AS BIGINT) AS total_edge_ends
+             FROM documents d
+             WHERE NOT EXISTS (SELECT 1 FROM deg WHERE deg.doc_id = d.doc_id)),
+    u AS (SELECT * FROM hist UNION ALL SELECT * FROM zero)
+    SELECT log2_bucket,
+           CASE WHEN log2_bucket > 0
+                THEN CAST(1 AS BIGINT) << (log2_bucket - 1)
+                ELSE CAST(0 AS BIGINT) END AS bucket_lo,
+           n_docs, max_degree, total_edge_ends
+    FROM u WHERE n_docs > 0
+    ORDER BY log2_bucket
+    """
+
+
+@query("c21_candidate_degree_profile", oracle=_degree_oracle())
+def c21_candidate_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the c02 LSH candidate graph on power-of-two
+    buckets (bucket b holds docs with 2^(b-1) <= degree < 2^b; bucket 0
+    is the never-paired docs, counted via anti-join so the census is
+    lossless over the whole corpus). This is the skew diagnosis for the
+    dedup pipeline itself: a fat tail here means some band bucket is
+    quadratic-heavy and the banding knobs (width, stop-shingle caps)
+    need tightening BEFORE the verify/cluster stages run — the c16
+    pair-cost spectrum aggregated to the per-document view.
+
+    Scale: the pair stream is band-bounded (c02's argument), the degree
+    census is one map-side-combinable count keyed by doc_id, and the
+    histogram collapses to <= ~40 buckets. Nothing here is ever
+    O(pairs) in memory — the only shuffles are the census groupBy and
+    the metadata-sized histogram aggregate."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = persist_tracked(_sig_df(docs))
+    pairs = _band_pairs(sig, lambda pa, pb, band: [])
+    ends = pairs.select(F.col("da").alias("doc_id")).unionAll(
+        pairs.select(F.col("db").alias("doc_id"))
+    )
+    deg = persist_tracked(
+        ends.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("degree"))
+    )
+    hist = deg.groupBy(
+        F.length(F.bin("degree")).cast("int").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("degree").cast("long").alias("max_degree"),
+        F.sum("degree").cast("long").alias("total_edge_ends"),
+    )
+    zero = (
+        docs.join(deg, "doc_id", "left_anti")
+        .agg(
+            F.lit(0).cast("int").alias("log2_bucket"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("max_degree"),
+            F.lit(0).cast("long").alias("total_edge_ends"),
+        )
+    )
+    return (
+        hist.unionAll(zero)
+        .filter(F.col("n_docs") > 0)
+        .select(
+            "log2_bucket",
+            F.when(
+                F.col("log2_bucket") > 0,
+                F.expr("shiftleft(CAST(1 AS BIGINT), log2_bucket - 1)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("bucket_lo"),
+            "n_docs", "max_degree", "total_edge_ends",
+        )
+        .orderBy("log2_bucket")
+    )

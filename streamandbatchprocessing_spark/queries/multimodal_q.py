@@ -672,3 +672,97 @@ def m10_chunk_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# m11 — magic-byte census (container-format sniffing over opaque payloads)
+# ---------------------------------------------------------------------------
+#: (hex-prefix, format) table for the classic container magics. The
+#: fixture's UTF-8 payloads all sniff as 'unknown' — the when-chain is
+#: exercised by tests/test_multimodal.py on synthesized media headers.
+_MAGIC_TABLE: tuple[tuple[str, str], ...] = (
+    ("FFD8FF", "jpeg"),
+    ("89504E47", "png"),
+    ("47494638", "gif"),
+    ("52494646", "riff"),
+    ("25504446", "pdf"),
+    ("494433", "mp3"),
+    ("4F676753", "ogg"),
+    ("1A45DFA3", "matroska"),
+)
+
+
+def _sniff_case_sql(col: str) -> str:
+    whens = "\n             ".join(
+        f"WHEN {col} LIKE '{pfx}%' THEN '{fmt}'" for pfx, fmt in _MAGIC_TABLE
+    )
+    return f"CASE {whens}\n             ELSE 'unknown' END"
+
+
+def _sniff_col(col):
+    from functools import reduce as _reduce
+
+    return _reduce(
+        lambda acc, pf: F.when(col.startswith(pf[0]), pf[1]) if acc is None
+        else acc.when(col.startswith(pf[0]), pf[1]),
+        _MAGIC_TABLE,
+        None,
+    ).otherwise("unknown")
+
+
+@query(
+    "m11_magic_byte_census",
+    oracle=f"""
+    WITH p AS (SELECT doc_id,
+                      upper(substr(hex(encode(text)), 1, 8)) AS magic_hex,
+                      octet_length(encode(text)) AS n_bytes,
+                      md5(text) AS digest
+               FROM documents)
+    SELECT magic_hex,
+           {_sniff_case_sql('magic_hex')} AS sniffed_format,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(COUNT(DISTINCT digest) AS BIGINT) AS n_distinct_payloads
+    FROM p
+    GROUP BY magic_hex
+    ORDER BY magic_hex
+    """,
+)
+def m11_magic_byte_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte census: sniff every opaque payload's leading 4 bytes
+    against the classic container magics (JPEG/PNG/GIF/RIFF/PDF/MP3/
+    OGG/Matroska) and report, per observed prefix, the asset count,
+    byte volume, and distinct-content count. This is the ingest
+    validation step of a multimodal lake — it catches payloads whose
+    bytes disagree with their declared modality (a "wav" that is really
+    MP3, an image column full of HTML error pages) BEFORE any decoder
+    runs. The fixture's UTF-8 text payloads legitimately sniff as
+    'unknown'; the match chain itself is pinned on synthesized media
+    headers in tests/test_multimodal.py.
+
+    Scale: the magic prefix, byte length, and content digest are all
+    projected AT THE SCAN — payload bytes never shuffle. What moves is
+    an 8-hex-char key plus a digest per asset, and the census output is
+    bounded by the number of distinct prefixes (vocabulary-sized, never
+    corpus-sized)."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        F.upper(F.hex(F.substring(F.encode("text", "UTF-8"), 1, 4)))
+        .alias("magic_hex"),
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        F.md5("text").alias("digest"),
+    )
+    return (
+        p.groupBy("magic_hex")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_assets"),
+            F.sum("n_bytes").cast("long").alias("total_bytes"),
+            F.countDistinct("digest").cast("long").alias("n_distinct_payloads"),
+        )
+        .select(
+            "magic_hex",
+            _sniff_col(F.col("magic_hex")).alias("sniffed_format"),
+            "n_assets", "total_bytes", "n_distinct_payloads",
+        )
+        .orderBy("magic_hex")
+    )

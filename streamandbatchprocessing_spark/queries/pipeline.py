@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60
 from ..functions.text import LANG_STOPWORDS
-from ..functions.aggregates import pround
+from ..functions.aggregates import pround, pround_sql
 from ..functions.windows import panel_window, panel_window_all
 from ..sources.batch import load_table
 from .dedup import _agree_col, _band_pairs, _CC_MIN_AGREE, _sig_df
@@ -1507,3 +1507,97 @@ def p19_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("mean_doc_tokens"),
         pround(F.col("qsum") / F.col("qn"), 6).alias("mean_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+# p20 — epoch / repetition schedule (how many passes each source needs)
+# ---------------------------------------------------------------------------
+#: Total token budget the schedule must serve. Deliberately larger than
+#: any single source's availability at the gate SFs so multi-epoch
+#: repetition (the interesting regime) actually appears in the output.
+_EPOCH_BUDGET = 5_000_000
+
+
+@query(
+    "p20_epoch_plan",
+    oracle=f"""
+    WITH tk AS (SELECT source,
+                       CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+                           AS available_tokens
+                FROM documents GROUP BY source),
+    k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_src FROM tk),
+    r AS (SELECT tk.source, tk.available_tokens, k.n_src,
+                 ROW_NUMBER() OVER (ORDER BY tk.source) AS lex_rank
+          FROM tk CROSS JOIN k),
+    t AS (SELECT source, available_tokens,
+                 ({_EPOCH_BUDGET} // n_src)
+                 + CASE WHEN lex_rank <= {_EPOCH_BUDGET} % n_src
+                        THEN 1 ELSE 0 END AS target_tokens
+          FROM r)
+    SELECT source,
+           available_tokens,
+           CAST(target_tokens AS BIGINT) AS target_tokens,
+           CAST((target_tokens + available_tokens - 1) // available_tokens
+                AS BIGINT) AS epochs_needed,
+           CAST(target_tokens // available_tokens AS BIGINT) AS full_epochs,
+           {pround_sql(
+               '(target_tokens % available_tokens) * 1.0 / available_tokens',
+               6)} AS last_epoch_frac,
+           {pround_sql('target_tokens * 1.0 / available_tokens', 6)}
+               AS repetition_factor
+    FROM t
+    ORDER BY source
+    """,
+)
+def p20_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Epoch/repetition schedule: split a fixed token budget equally
+    across sources (integer division, remainder tokens to the
+    lexicographically first sources so Σ targets == budget exactly),
+    then express each source's target as full passes over its available
+    tokens plus a fractional final pass — the repetition factor a
+    data-constrained training run plans with (multi-epoch reuse a la
+    the data-scaling literature). p16 answers "how many tokens per
+    source"; p20 answers "how many TIMES each source must be read to
+    serve them".
+
+    Scale: one map-side-combinable per-source token count; everything
+    downstream is |sources|-row arithmetic — the source count joins as
+    a broadcast scalar, the lexicographic remainder rank is a
+    bounded-panel window (p16's argument), and every quantity except
+    the two 6dp-rounded ratios is exact int64."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = docs.groupBy("source").agg(
+        F.sum(F.size(F.split("text", " "))).cast("long")
+        .alias("available_tokens")
+    )
+    k = tk.agg(F.count(F.lit(1)).cast("long").alias("n_src"))
+    r = tk.crossJoin(F.broadcast(k)).withColumn(
+        "lex_rank",
+        F.row_number().over(panel_window("source", F.asc("source")))
+        .cast("long"),
+    )
+    t = r.select(
+        "source", "available_tokens",
+        (
+            F.expr(f"{_EPOCH_BUDGET} div n_src")
+            + F.when(
+                F.col("lex_rank") <= F.lit(_EPOCH_BUDGET) % F.col("n_src"), 1
+            ).otherwise(0)
+        ).cast("long").alias("target_tokens"),
+    )
+    return t.select(
+        "source", "available_tokens", "target_tokens",
+        F.expr(
+            "(target_tokens + available_tokens - 1) div available_tokens"
+        ).cast("long").alias("epochs_needed"),
+        F.expr("target_tokens div available_tokens").cast("long")
+        .alias("full_epochs"),
+        pround(
+            (F.col("target_tokens") % F.col("available_tokens")) * 1.0
+            / F.col("available_tokens"),
+            6,
+        ).alias("last_epoch_frac"),
+        pround(
+            F.col("target_tokens") * 1.0 / F.col("available_tokens"), 6
+        ).alias("repetition_factor"),
+    ).orderBy("source")

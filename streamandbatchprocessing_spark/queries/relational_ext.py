@@ -1814,3 +1814,131 @@ def g26_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# g27 — top event paths (first-3-step journey census)
+# ---------------------------------------------------------------------------
+@query(
+    "g27_top_event_paths",
+    oracle="""
+    WITH r AS (SELECT user_id, event_type,
+                      ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS rn
+               FROM events),
+    pu AS (SELECT user_id,
+                  MAX(CASE WHEN rn = 1 THEN event_type END) AS s1,
+                  MAX(CASE WHEN rn = 2 THEN event_type END) AS s2,
+                  MAX(CASE WHEN rn = 3 THEN event_type END) AS s3
+           FROM r WHERE rn <= 3 GROUP BY user_id),
+    p AS (SELECT concat_ws('>', s1, s2, s3) AS path FROM pu)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM p GROUP BY path
+    ORDER BY n_users DESC, path
+    LIMIT 20
+    """,
+)
+def g27_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 opening journeys: each user's first three events (ordered
+    by timestamp with event_id as the total-order tie-break) joined into
+    a ``a>b>c`` path string, counted across users. The product-analytics
+    "common paths" report, and the sequence-level complement of g22's
+    one-step transition matrix.
+
+    Scale: ONE user-keyed window exchange produces the step ranks; the
+    per-user reduce is three conditional MAXes (map-side combinable,
+    never collect_list — output is bounded at |event_types|^3 paths
+    regardless of corpus size); the final top-20 fuses to
+    TakeOrderedAndProject. Users with fewer than three events keep
+    their shorter path (concat_ws skips NULLs identically on both
+    engines)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    r = (
+        ev.select(
+            "user_id", "event_type", F.row_number().over(w).alias("rn")
+        )
+        .filter(F.col("rn") <= 3)
+    )
+    pu = r.groupBy("user_id").agg(
+        *[
+            F.max(F.when(F.col("rn") == i, F.col("event_type"))).alias(f"s{i}")
+            for i in (1, 2, 3)
+        ]
+    )
+    return (
+        pu.select(F.concat_ws(">", "s1", "s2", "s3").alias("path"))
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.desc("n_users"), "path")
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# g28 — rolling 7-day active users (exact sliding-window distinct)
+# ---------------------------------------------------------------------------
+@query(
+    "g28_rolling_active_users",
+    oracle=f"""
+    WITH pr AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    fan AS (SELECT pr.d + CAST(o.i AS INTEGER) AS report_day, pr.user_id
+            FROM pr CROSS JOIN
+                 (SELECT unnest(generate_series(0, 6)) AS i) o),
+    a7 AS (SELECT f.report_day,
+                  CAST(COUNT(DISTINCT f.user_id) AS BIGINT) AS n_active_7d
+           FROM fan f
+           GROUP BY f.report_day),
+    a1 AS (SELECT d AS report_day,
+                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_active_1d
+           FROM pr GROUP BY d)
+    SELECT a1.report_day, a1.n_active_1d, a7.n_active_7d,
+           {pround_sql('a1.n_active_1d * 1.0 / a7.n_active_7d', 6)}
+               AS dau_wau_ratio
+    FROM a1 JOIN a7 ON a1.report_day = a7.report_day
+    ORDER BY a1.report_day
+    """,
+)
+def g28_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-7-day active users per day (DAU next to WAU, plus
+    the DAU/WAU stickiness ratio) — the engagement dashboard staple
+    that naive SQL writes as a per-day correlated COUNT(DISTINCT ...)
+    range scan.
+
+    Scale: the corpus collapses FIRST to distinct (day, user) pairs
+    (one map-side-combinable distinct — at 100 TB this is the only
+    pass over the raw events); the sliding window is then a fixed 7x
+    fan-out of the reduced pair set via sequence+explode (pure
+    equi-operations — no BroadcastNestedLoop range join, g16's
+    argument), reduced by an exact countDistinct whose key space is
+    days x users-per-week, and inner-joined against the real-day
+    panel (the DAU aggregate) so phantom trailing days drop out. The
+    fan-out factor is the window length — constant, never
+    data-dependent."""
+    ev = load_table(spark, sf_dir, "events")
+    pairs = persist_tracked(
+        ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    )
+    fan = pairs.select(
+        "d", "user_id",
+        F.explode(F.sequence(F.lit(0), F.lit(6))).alias("i"),
+    ).select(F.date_add("d", F.col("i")).alias("report_day"), "user_id")
+    # a7 carries up to 6 phantom trailing days past the last observed
+    # day; the final inner join against the real-day panel (a1) drops
+    # them — no separate day semi-join needed.
+    a7 = fan.groupBy("report_day").agg(
+        F.countDistinct("user_id").cast("long").alias("n_active_7d")
+    )
+    a1 = pairs.groupBy(F.col("d").alias("report_day")).agg(
+        F.countDistinct("user_id").cast("long").alias("n_active_1d")
+    )
+    return (
+        a1.join(a7, "report_day")
+        .select(
+            "report_day", "n_active_1d", "n_active_7d",
+            pround(
+                F.col("n_active_1d") * 1.0 / F.col("n_active_7d"), 6
+            ).alias("dau_wau_ratio"),
+        )
+        .orderBy("report_day")
+    )

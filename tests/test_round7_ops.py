@@ -303,3 +303,123 @@ def test_p19_card_is_internally_consistent(spark, sf_dir):
         row["mean_doc_tokens"] - row["total_tokens"] / row["n_docs"]
     ) < 1e-5
     assert 0.0 <= row["mean_quality"] <= 1.5
+
+
+# ---------------------------------------------------------------------------
+# round-7b additions: c21 / m11 / g27 / g28 / p20
+# ---------------------------------------------------------------------------
+def test_c21_census_is_lossless_over_the_corpus(spark, sf_dir):
+    """Every document lands in exactly one degree bucket (including the
+    degree-0 anti-join row), and per-bucket stats respect the
+    power-of-two bounds."""
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = _q("c21_candidate_degree_profile")(spark, sf_dir).collect()
+    assert rows
+    n = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n
+    for r in rows:
+        if r["log2_bucket"] == 0:
+            assert r["max_degree"] == 0 and r["total_edge_ends"] == 0
+        else:
+            assert r["bucket_lo"] == 1 << (r["log2_bucket"] - 1)
+            assert r["bucket_lo"] <= r["max_degree"] < 2 * r["bucket_lo"]
+            assert r["total_edge_ends"] >= r["n_docs"] * r["bucket_lo"]
+
+
+def test_c21_edge_ends_match_pair_count(spark, sf_dir):
+    """Σ degree over all docs must equal exactly 2x the c02 candidate
+    pair count — the histogram cannot invent or drop edges."""
+    n_pairs = _q("c02_minhash_lsh_pairs")(spark, sf_dir).count()
+    rows = _q("c21_candidate_degree_profile")(spark, sf_dir).collect()
+    assert sum(r["total_edge_ends"] for r in rows) == 2 * n_pairs
+
+
+def test_m11_sniff_chain_on_synthesized_headers(spark):
+    """The magic when-chain must classify real container headers (the
+    fixture's UTF-8 payloads only ever exercise the 'unknown' arm)."""
+    from pyspark.sql import functions as F
+
+    from streamandbatchprocessing_spark.queries.multimodal_q import _sniff_col
+
+    headers = [
+        ("FFD8FFE0", "jpeg"),
+        ("89504E47", "png"),
+        ("47494638", "gif"),
+        ("52494646", "riff"),
+        ("25504446", "pdf"),
+        ("49443304", "mp3"),
+        ("4F676753", "ogg"),
+        ("1A45DFA3", "matroska"),
+        ("6B657920", "unknown"),  # "key " — the fixture's text bytes
+    ]
+    df = spark.createDataFrame(
+        [(h,) for h, _ in headers], "magic_hex string"
+    ).select("magic_hex", _sniff_col(F.col("magic_hex")).alias("fmt"))
+    got = {r["magic_hex"]: r["fmt"] for r in df.collect()}
+    for h, want in headers:
+        assert got[h] == want, (h, got[h], want)
+
+
+def test_m11_census_accounts_for_every_asset(spark, sf_dir):
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = _q("m11_magic_byte_census")(spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    assert sum(r["n_assets"] for r in rows) == docs.count()
+    for r in rows:
+        assert len(r["magic_hex"]) == 8
+        assert 1 <= r["n_distinct_payloads"] <= r["n_assets"]
+        assert r["sniffed_format"] == "unknown"  # UTF-8 text fixture
+
+
+def test_g27_paths_bounded_and_ranked(spark, sf_dir):
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = _q("g27_top_event_paths")(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    counts = [r["n_users"] for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    types = {
+        r["event_type"]
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_type").distinct().collect()
+    }
+    for r in rows:
+        steps = r["path"].split(">")
+        assert 1 <= len(steps) <= 3
+        assert all(s in types for s in steps)
+
+
+def test_g28_wau_dominates_dau(spark, sf_dir):
+    """Per day: the trailing-7-day active set contains the daily set,
+    and is contained in the union of the trailing week's daily sets."""
+    rows = _q("g28_rolling_active_users")(spark, sf_dir).collect()
+    assert rows
+    daily = {r["report_day"]: r["n_active_1d"] for r in rows}
+    for r in rows:
+        assert r["n_active_1d"] <= r["n_active_7d"]
+        week_sum = sum(
+            daily.get(d, 0)
+            for d in daily
+            if 0 <= (r["report_day"] - d).days <= 6
+        )
+        assert r["n_active_7d"] <= week_sum
+        assert 0.0 < r["dau_wau_ratio"] <= 1.0
+
+
+def test_p20_schedule_serves_the_budget_exactly(spark, sf_dir):
+    from streamandbatchprocessing_spark.queries.pipeline import _EPOCH_BUDGET
+
+    rows = _q("p20_epoch_plan")(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["target_tokens"] for r in rows) == _EPOCH_BUDGET
+    for r in rows:
+        full, need = r["full_epochs"], r["epochs_needed"]
+        assert need == full + (1 if r["last_epoch_frac"] > 0 else 0)
+        assert need * r["available_tokens"] >= r["target_tokens"]
+        assert abs(
+            r["repetition_factor"]
+            - r["target_tokens"] / r["available_tokens"]
+        ) < 1e-5
