@@ -577,3 +577,51 @@ def test_b34_plan_is_single_linear_aggregate(spark, sf_dir):
     plan = executed_plan(QUERIES["b34_compaction_plan"](spark, sf_dir))
     assert "Join" not in plan, plan
     assert "HashAggregate" in plan, plan
+
+
+def test_g27_rank_pushdown_and_take_ordered(spark, sf_dir):
+    """g27's rn <= 3 filter must push into the window as a
+    WindowGroupLimit (each partition keeps only its top-3 rows BEFORE
+    the full window evaluates — the difference between shuffling 3
+    rows per user and shuffling every event at 100 TB), and the final
+    top-20 must fuse to TakeOrderedAndProject, never a global Sort."""
+    plan = executed_plan(QUERIES["g27_top_event_paths"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+
+
+def test_g28_fanout_is_equi_only(spark, sf_dir):
+    """g28's sliding window must be the constant 7x Generate fan-out of
+    the reduced (day,user) pair set joined by equality — never a
+    BroadcastNestedLoop/Cartesian range join, and exactly one Generate
+    (the explode), so the fan-out factor is the window length."""
+    plan = executed_plan(QUERIES["g28_rolling_active_users"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert plan.count("Generate") == 1, plan[:2000]
+
+
+def test_m11_census_prunes_to_text_at_scan(spark, sf_dir):
+    """m11 derives magic/length/digest from the payload column alone —
+    the scan must read ONLY text (payload bytes never shuffle; no
+    other document column is touched)."""
+    schemas = read_schema(QUERIES["m11_magic_byte_census"](spark, sf_dir))
+    assert schemas, "no file scan found"
+    assert "text" in schemas[0]
+    for col in ("doc_id", "source", "lang", "n_chars"):
+        assert col not in schemas[0], schemas[0]
+
+
+def test_p20_schedule_has_no_unbounded_window(spark, sf_dir):
+    """p20's lexicographic remainder rank runs on the |sources| panel
+    via panel_window — the plan's Window must be partitioned (no
+    single-partition global window) and there must be no Expand."""
+    plan = executed_plan(QUERIES["p20_epoch_plan"](spark, sf_dir))
+    assert "Expand" not in plan, plan[:2000]
+    windows = [l for l in plan.splitlines() if "windowspecdefinition(" in l]
+    assert windows, plan[:2000]
+    for line in windows:
+        # panel_window's constant key is projected as _w0 and becomes
+        # the windowspecdefinition's first (partition) argument; an
+        # unpartitioned spec would lead with the ORDER column instead.
+        assert "windowspecdefinition(_w" in line, line
