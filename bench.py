@@ -161,6 +161,9 @@ EXTRA = [
     "g27_top_event_paths",
     "g28_rolling_active_users",
     "p20_epoch_plan",
+    "c22_dup_group_histogram",
+    "d16_retrieval_margin_profile",
+    "e20_charclass_profile",
 ]
 
 

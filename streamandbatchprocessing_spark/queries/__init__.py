@@ -74,7 +74,9 @@ from .registry import ORACLES, QUERIES
 #: 7-day actives, p20 epoch plan) swap in for five r06-greened
 #: re-confirmation entries (f10, f11, g14, m06, p13 — each family
 #: keeps in-window siblings and every rotated-out query keeps its
-#: local strict-oracle test).
+#: local strict-oracle test). Second mid-round-7 update: c22 dup-group
+#: histogram, d16 retrieval margin profile, and e20 charclass profile
+#: swap in for three more r06-green re-confirmations (c14, g15, p15).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -84,10 +86,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # containment new)
     "c02_minhash_lsh_pairs",
     "c07_dup_clusters",
-    "c14_minhash_calibration", "c17_cluster_canonical_keep_best",
+    "c17_cluster_canonical_keep_best",
     "c18_blocked_fuzzy_match",
     "c19_cross_source_dup_matrix", "c20_containment_pairs",
-    "c21_candidate_degree_profile",
+    "c21_candidate_degree_profile", "c22_dup_group_histogram",
     # similarity search (d04/d07 rotated out green; d10/d11 keep the
     # bucketed family covered; d12 filtered ANN + d13 norm profile +
     # d14 cell balance + d15 PQ rerank new)
@@ -95,10 +97,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "d11_nprobe_recall_curve",
     "d12_filtered_ann", "d13_embedding_norm_profile",
     "d14_ivf_cell_balance", "d15_pq_rerank_topk",
+    "d16_retrieval_margin_profile",
     # text analysis (e12/e16 rotated out green; e17 novelty + e18
     # quality rules + e19 collocation lift new)
     "e10_pii_scrub",
     "e17_trigram_novelty", "e18_quality_rules", "e19_collocation_lift",
+    "e20_charclass_profile",
     # streaming extensions (f02/f03/f06/f07/f09 rotate out green —
     # f08/f12/f14 keep the join matrix and f04-style state covered;
     # f14 semi join completes the stream-stream join matrix)
@@ -116,7 +120,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "p01_training_mix", "p02_streaming_ingest_funnel",
     "p12_column_profile_at_scale",
     "p14_skew_report",
-    "p15_source_mix_drift", "p16_budget_apportionment",
+    "p16_budget_apportionment",
     "p17_dedup_adjusted_mix", "p18_token_length_histogram",
     "p19_dataset_card", "p20_epoch_plan",
     # physical layout (b30 bucketed + b33 DPP keep the layout family
@@ -125,7 +129,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "b34_compaction_plan",
     # cross-series analytics (g13 rotated out green; g25 hour-of-week
     # profile new)
-    "g15_cohort_retention",
     "g22_event_transitions", "g23_snapshot_diff",
     "g24_interval_coalesce",
     "g25_hour_of_week_profile", "g26_rfm_segments",

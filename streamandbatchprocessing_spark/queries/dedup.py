@@ -1917,3 +1917,63 @@ def c21_candidate_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# c22 — exact-duplicate group-size histogram (where the redundant mass sits)
+# ---------------------------------------------------------------------------
+@query(
+    "c22_dup_group_histogram",
+    oracle="""
+    WITH g AS (SELECT text, CAST(COUNT(*) AS BIGINT) AS group_size
+               FROM documents GROUP BY text),
+    b AS (SELECT CAST(length(bin(group_size)) AS INT) AS log2_bucket,
+                 group_size
+          FROM g)
+    SELECT log2_bucket,
+           CAST(1 AS BIGINT) << (log2_bucket - 1) AS bucket_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(group_size) AS BIGINT) AS n_docs,
+           CAST(SUM(group_size) - COUNT(*) AS BIGINT) AS n_redundant
+    FROM b
+    GROUP BY log2_bucket
+    ORDER BY log2_bucket
+    """,
+)
+def c22_dup_group_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate group-size histogram on power-of-two buckets:
+    for each size band, how many identical-content groups exist, how
+    many documents they hold, and how many of those are redundant
+    (group size minus the one canonical copy). The planning view on
+    top of c01: bucket 1 is the unique long tail, the top buckets are
+    the boilerplate explosions — and Σ n_redundant is exactly the doc
+    count c01's canonicalization removes, which prices the dedup stage
+    before anyone runs it (m06's reclaimable-bytes argument at the
+    document level).
+
+    Scale: one content-keyed count (grouped on the full text here for
+    oracle parity; on a 128-bit digest in production, c01's note) then
+    a metadata-sized histogram aggregate — ~40 buckets regardless of
+    corpus size, both shuffles map-side combinable."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("text").agg(
+        F.count(F.lit(1)).cast("long").alias("group_size")
+    )
+    return (
+        g.groupBy(
+            F.length(F.bin("group_size")).cast("int").alias("log2_bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("group_size").cast("long").alias("n_docs"),
+            (F.sum("group_size") - F.count(F.lit(1))).cast("long")
+            .alias("n_redundant"),
+        )
+        .select(
+            "log2_bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), log2_bucket - 1)")
+            .cast("long").alias("bucket_lo"),
+            "n_groups", "n_docs", "n_redundant",
+        )
+        .orderBy("log2_bucket")
+    )

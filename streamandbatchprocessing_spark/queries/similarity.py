@@ -1825,3 +1825,83 @@ def d15_pq_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# d16 — retrieval margin profile (how decisive is the top hit?)
+# ---------------------------------------------------------------------------
+#: Rounded top1-top2 similarity gap below which a retrieval is flagged
+#: ambiguous — the "needs rerank / human look" band.
+_MARGIN_AMBIGUOUS = 0.05
+
+
+@query(
+    "d16_retrieval_margin_profile",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM e WHERE vec_id < 50),
+    s AS (SELECT q.qid, e.vec_id AS nid,
+                 list_cosine_similarity(q.qv, e.v) AS cos_sim
+          FROM q JOIN e ON e.vec_id <> q.qid),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+                                       ORDER BY cos_sim DESC, nid) AS rank
+          FROM s),
+    t AS (SELECT qid,
+                 MAX(CASE WHEN rank = 1 THEN nid END) AS top1_id,
+                 MAX(CASE WHEN rank = 1 THEN cos_sim END) AS top1_sim,
+                 MAX(CASE WHEN rank = 2 THEN nid END) AS top2_id,
+                 MAX(CASE WHEN rank = 2 THEN cos_sim END) AS top2_sim
+          FROM r WHERE rank <= 2 GROUP BY qid)
+    SELECT qid AS query_id, top1_id, top1_sim, top2_id, top2_sim,
+           {pround_sql('top1_sim - top2_sim', 6)} AS margin,
+           {pround_sql('top1_sim - top2_sim', 6)} < {_MARGIN_AMBIGUOUS}
+               AS is_ambiguous
+    FROM t
+    ORDER BY query_id
+    """,
+)
+def d16_retrieval_margin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query decisiveness profile: the exact top-2 neighbors with
+    the similarity gap between them, flagging queries whose winner
+    beats the runner-up by less than the ambiguity band. This is the
+    retrieval-QA table that says WHERE the d15-style rerank tier and
+    human evaluation budget should go — a wide margin means any index
+    (even d02's coarse buckets) returns the same top hit; a thin one
+    means approximation error flips results.
+
+    Scale: d01's exact-scoring shape — the bounded query panel
+    broadcasts, the corpus is scanned once with the cosine evaluated
+    in codegen, the rank<=2 filter pushes into the window as a
+    WindowGroupLimit (3 rows per query survive each partition), and
+    the profile is one conditional-MAX reduce per query. The margin is
+    6dp-rounded BEFORE the flag comparison so both engines take the
+    same branch at the band edge."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double(F.col("embedding")).alias("v")
+    )
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"), F.col("v").alias("qv")
+    )
+    scored = emb.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("nid"),
+        cosine(F.col("qv"), F.col("v")).alias("cos_sim"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("cos_sim"), F.asc("nid"))
+    top2 = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 2)
+    )
+    t = top2.groupBy("qid").agg(
+        F.max(F.when(F.col("rank") == 1, F.col("nid"))).alias("top1_id"),
+        F.max(F.when(F.col("rank") == 1, F.col("cos_sim"))).alias("top1_sim"),
+        F.max(F.when(F.col("rank") == 2, F.col("nid"))).alias("top2_id"),
+        F.max(F.when(F.col("rank") == 2, F.col("cos_sim"))).alias("top2_sim"),
+    )
+    margin = pround(F.col("top1_sim") - F.col("top2_sim"), 6)
+    return t.select(
+        F.col("qid").alias("query_id"),
+        "top1_id", "top1_sim", "top2_id", "top2_sim",
+        margin.alias("margin"),
+        (margin < _MARGIN_AMBIGUOUS).alias("is_ambiguous"),
+    ).orderBy("query_id")

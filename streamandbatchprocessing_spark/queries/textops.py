@@ -1435,3 +1435,77 @@ def e19_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lift.orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2")).limit(
         _COLL_TOPK
     )
+
+
+# ---------------------------------------------------------------------------
+# e20 — character-class composition profile (per-source morphology census)
+# ---------------------------------------------------------------------------
+@query(
+    "e20_charclass_profile",
+    oracle=f"""
+    WITH d AS (SELECT source,
+                      CAST(length(text) AS BIGINT) AS n,
+                      CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))
+                           AS BIGINT) AS n_alpha,
+                      CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                           AS BIGINT) AS n_digit,
+                      CAST(length(regexp_replace(text, '[^ ]', '', 'g'))
+                           AS BIGINT) AS n_space
+               FROM documents),
+    s AS (SELECT source,
+                 CAST(SUM(n) AS BIGINT) AS total_chars,
+                 CAST(SUM(n_alpha) AS BIGINT) AS alpha_chars,
+                 CAST(SUM(n_digit) AS BIGINT) AS digit_chars,
+                 CAST(SUM(n_space) AS BIGINT) AS space_chars
+          FROM d GROUP BY source)
+    SELECT source, total_chars, alpha_chars, digit_chars, space_chars,
+           total_chars - alpha_chars - digit_chars - space_chars
+               AS other_chars,
+           {pround_sql('alpha_chars * 1.0 / total_chars', 6)} AS alpha_ratio,
+           {pround_sql('space_chars * 1.0 / total_chars', 6)} AS space_ratio
+    FROM s
+    ORDER BY source
+    """,
+)
+def e20_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source character-class composition: exact alpha / digit /
+    space / other character totals with alpha and space ratios — the
+    cheap morphology census that separates prose from tables, code,
+    and OCR noise before any tokenizer runs (a C4/Gopher-adjacent
+    screen: prose holds a stable ~5:1 alpha:space band; markup and
+    numeric dumps fall far outside it).
+
+    Scale: each class count is a codegen'd regexp_replace+length over
+    the document — linear, no explode, no Python — and the rollup is
+    one map-side-combinable |sources|-row aggregate. Integer sums are
+    exact; the two ratios are 6dp-rounded after one double division.
+    The class regexes are shared verbatim with the RE2-compatible
+    oracle (anchored character classes only)."""
+    docs = load_table(spark, sf_dir, "documents")
+    cls = docs.select(
+        "source",
+        F.length("text").cast("long").alias("n"),
+        F.length(F.regexp_replace("text", "[^a-zA-Z]", "")).cast("long")
+        .alias("n_alpha"),
+        F.length(F.regexp_replace("text", "[^0-9]", "")).cast("long")
+        .alias("n_digit"),
+        F.length(F.regexp_replace("text", "[^ ]", "")).cast("long")
+        .alias("n_space"),
+    )
+    s = cls.groupBy("source").agg(
+        F.sum("n").cast("long").alias("total_chars"),
+        F.sum("n_alpha").cast("long").alias("alpha_chars"),
+        F.sum("n_digit").cast("long").alias("digit_chars"),
+        F.sum("n_space").cast("long").alias("space_chars"),
+    )
+    return s.select(
+        "source", "total_chars", "alpha_chars", "digit_chars", "space_chars",
+        (
+            F.col("total_chars") - F.col("alpha_chars")
+            - F.col("digit_chars") - F.col("space_chars")
+        ).alias("other_chars"),
+        pround(F.col("alpha_chars") * 1.0 / F.col("total_chars"), 6)
+        .alias("alpha_ratio"),
+        pround(F.col("space_chars") * 1.0 / F.col("total_chars"), 6)
+        .alias("space_ratio"),
+    ).orderBy("source")

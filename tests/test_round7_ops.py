@@ -423,3 +423,60 @@ def test_p20_schedule_serves_the_budget_exactly(spark, sf_dir):
             r["repetition_factor"]
             - r["target_tokens"] / r["available_tokens"]
         ) < 1e-5
+
+
+def test_c22_histogram_prices_the_dedup_stage(spark, sf_dir):
+    """Σ n_docs over buckets equals the corpus; Σ n_redundant equals
+    exactly the documents c01's canonicalization marks as duplicates;
+    per-bucket counts respect the power-of-two bounds."""
+    from pyspark.sql import functions as F
+
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = _q("c22_dup_group_histogram")(spark, sf_dir).collect()
+    assert rows
+    n = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n
+    dup_count = (
+        _q("c01_exact_dedup")(spark, sf_dir)
+        .filter(F.col("is_dup")).count()
+    )
+    assert sum(r["n_redundant"] for r in rows) == dup_count
+    for r in rows:
+        assert r["bucket_lo"] == 1 << (r["log2_bucket"] - 1)
+        assert r["n_groups"] * r["bucket_lo"] <= r["n_docs"]
+        assert r["n_redundant"] == r["n_docs"] - r["n_groups"]
+
+
+def test_d16_margin_agrees_with_bruteforce_top1(spark, sf_dir):
+    """For the d01 query panel (vec_id < 5 ⊂ d16's < 50): d16's top-1
+    must be d01's rank-1 neighbor, margins must be nonnegative, and
+    the flag must equal margin < 0.05."""
+    d01 = {
+        r["query_id"]: r
+        for r in _q("d01_topk_bruteforce")(spark, sf_dir).collect()
+        if r["rank"] == 1
+    }
+    rows = _q("d16_retrieval_margin_profile")(spark, sf_dir).collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r["top1_sim"] >= r["top2_sim"]
+        assert r["margin"] >= 0
+        assert r["is_ambiguous"] == (r["margin"] < 0.05)
+        if r["query_id"] in d01:
+            assert r["top1_id"] == d01[r["query_id"]]["neighbor_id"]
+
+
+def test_e20_classes_partition_every_character(spark, sf_dir):
+    """alpha + digit + space + other == total per source, ratios in
+    [0, 1], and the fixture's word corpus is alpha+space only."""
+    rows = _q("e20_charclass_profile")(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert (
+            r["alpha_chars"] + r["digit_chars"] + r["space_chars"]
+            + r["other_chars"] == r["total_chars"]
+        )
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+        assert 0.0 <= r["space_ratio"] <= 1.0
+        assert r["other_chars"] == 0  # lowercase word corpus
