@@ -135,6 +135,19 @@ PERTURBED = [
     "e19_collocation_lift",
     "g26_rfm_segments",
     "p19_dataset_card",
+    # fourth round-7 batch: degree census + anti-join zero bucket,
+    # scan-projected magic census, conditional-MAX path reduce, 7x
+    # fan-out sliding distinct, integer epoch targets, dup-size
+    # histogram, top-2 margin with rounded-before-flag comparison,
+    # and the regexp character-class partition.
+    "c21_candidate_degree_profile",
+    "m11_magic_byte_census",
+    "g27_top_event_paths",
+    "g28_rolling_active_users",
+    "p20_epoch_plan",
+    "c22_dup_group_histogram",
+    "d16_retrieval_margin_profile",
+    "e20_charclass_profile",
 ]
 
 _PERTURB = {
