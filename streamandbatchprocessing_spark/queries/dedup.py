@@ -1787,7 +1787,17 @@ def c20_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (c08's precedent): the output feeds a suppression decision, the
     gate's value hash is order-insensitive, and a global sort of the
     O(candidates) pair stream would dwarf the measure itself on
-    duplicate-heavy corpora."""
+    duplicate-heavy corpora.
+
+    Shape note (measured, round 7): carrying the token arrays THROUGH
+    the band self-join (c02's compute-inline trick, which removes both
+    pair-stream re-joins) is 2.6x SLOWER here — 19.0 s vs 7.3 s at
+    sf0.1 in an A/B session — because the ~60-element arrays widen
+    every cached signature row scanned 4x (2 bands x 2 sides) and
+    every band-join shuffle row, while the pair-stream re-joins move
+    only (da, db) plus 16-byte keys. Inline-compute wins for the
+    fixed-width agree-count (c02); projection-join wins for wide
+    payloads."""
     docs = load_table(spark, sf_dir, "documents")
     sig = persist_tracked(_sig_df(docs))
     cand = _band_pairs(sig, lambda pa, pb, band: [])
