@@ -164,6 +164,7 @@ EXTRA = [
     "c22_dup_group_histogram",
     "d16_retrieval_margin_profile",
     "e20_charclass_profile",
+    "g29_revenue_pareto",
 ]
 
 

@@ -76,7 +76,8 @@ from .registry import ORACLES, QUERIES
 #: keeps in-window siblings and every rotated-out query keeps its
 #: local strict-oracle test). Second mid-round-7 update: c22 dup-group
 #: histogram, d16 retrieval margin profile, and e20 charclass profile
-#: swap in for three more r06-green re-confirmations (c14, g15, p15).
+#: swap in for three more r06-green re-confirmations (c14, g15, p15);
+#: then g29 revenue-pareto swaps in for g22 (same policy).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -129,10 +130,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "b34_compaction_plan",
     # cross-series analytics (g13 rotated out green; g25 hour-of-week
     # profile new)
-    "g22_event_transitions", "g23_snapshot_diff",
+    "g23_snapshot_diff",
     "g24_interval_coalesce",
     "g25_hour_of_week_profile", "g26_rfm_segments",
     "g27_top_event_paths", "g28_rolling_active_users",
+    "g29_revenue_pareto",
 )
 
 

@@ -1942,3 +1942,97 @@ def g28_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("report_day")
     )
+
+
+# ---------------------------------------------------------------------------
+# g29 — revenue concentration by customer decile (the Pareto report)
+# ---------------------------------------------------------------------------
+@query(
+    "g29_revenue_pareto",
+    oracle=f"""
+    WITH pc AS (SELECT o_custkey, {_DSUM.format(x='o_totalprice')} AS revenue
+                FROM orders GROUP BY o_custkey),
+    th AS (SELECT
+        {", ".join(pround_sql(f'quantile_cont(revenue, 0.{q})', 6) + f' AS t{q}'
+                   for q in range(1, 10))}
+        FROM pc),
+    sc AS (SELECT 1 + {" + ".join(f'CAST(revenue > t{q} AS INT)'
+                                  for q in range(1, 10))} AS decile,
+                  revenue
+           FROM pc CROSS JOIN th),
+    g AS (SELECT CAST(decile AS INT) AS decile,
+                 CAST(COUNT(*) AS BIGINT) AS n_customers,
+                 {_DSUM.format(x='revenue')} AS total_revenue
+          FROM sc GROUP BY decile),
+    t AS (SELECT {_DSUM.format(x='total_revenue')} AS grand_total FROM g)
+    SELECT decile, n_customers, total_revenue,
+           {pround_sql('total_revenue / grand_total', 6)} AS revenue_share,
+           {pround_sql(
+               'CAST(SUM(CAST(total_revenue AS DECIMAL(25,6))) '
+               'OVER (ORDER BY decile DESC) AS DOUBLE) / grand_total', 6)}
+               AS cum_share_from_top
+    FROM g CROSS JOIN t
+    ORDER BY decile
+    """,
+)
+def g29_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration (Pareto) report: customers bucketed into
+    revenue deciles against the corpus's own exact percentiles, each
+    decile's customer count, revenue, share, and the cumulative share
+    from the top down — the "top 10% of customers drive X% of revenue"
+    table. Deciles come from NINE broadcast thresholds and a stateless
+    integer scoring (g26's quartile trick widened), NOT from a global
+    rank of every customer — ranking |customers| rows is a full sort
+    at 100 TB; nine scalar thresholds are one aggregate.
+
+    Scale: one map-side-combinable per-customer rollup (decimal-exact
+    revenue), ONE whole-table exact-percentile aggregate broadcast as
+    a 1-row panel (production swaps in approx_percentile, g26's
+    argument), a stateless scored projection into <=10 groups, and the
+    cumulative window runs on the 10-row decile panel (panel_window —
+    explicit bounded-panel choice). Every share divides by the same
+    broadcast grand total and is 6dp-rounded on both engines."""
+    from ..functions.windows import panel_window
+
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        dsum("o_totalprice", "revenue")
+    )
+    th = per_cust.agg(
+        *[
+            pround(F.percentile("revenue", F.lit(q / 10.0)), 6).alias(f"t{q}")
+            for q in range(1, 10)
+        ]
+    )
+    decile = (
+        1
+        + sum(
+            (F.col("revenue") > F.col(f"t{q}")).cast("int")
+            for q in range(1, 10)
+        )
+    ).cast("int")
+    scored = per_cust.crossJoin(F.broadcast(th)).select(
+        decile.alias("decile"), "revenue"
+    )
+    grid = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        dsum("revenue", "total_revenue"),
+    )
+    tot = grid.agg(dsum("total_revenue", "grand_total"))
+    w = panel_window("decile", F.desc("decile"))
+    return (
+        grid.crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n_customers", "total_revenue",
+            pround(F.col("total_revenue") / F.col("grand_total"), 6)
+            .alias("revenue_share"),
+            pround(
+                F.sum(F.col("total_revenue").cast("decimal(25,6)"))
+                .over(w)
+                .cast("double")
+                / F.col("grand_total"),
+                6,
+            ).alias("cum_share_from_top"),
+        )
+        .orderBy("decile")
+    )

@@ -148,6 +148,9 @@ PERTURBED = [
     "c22_dup_group_histogram",
     "d16_retrieval_margin_profile",
     "e20_charclass_profile",
+    # Pareto deciles: nine broadcast thresholds + stateless scoring +
+    # a 10-row panel cumulative window.
+    "g29_revenue_pareto",
 ]
 
 _PERTURB = {

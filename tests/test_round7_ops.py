@@ -480,3 +480,31 @@ def test_e20_classes_partition_every_character(spark, sf_dir):
         assert 0.0 <= r["alpha_ratio"] <= 1.0
         assert 0.0 <= r["space_ratio"] <= 1.0
         assert r["other_chars"] == 0  # lowercase word corpus
+
+
+def test_g29_pareto_is_lossless_and_monotone(spark, sf_dir):
+    """Decile counts sum to all customers with orders, shares sum to 1,
+    mean revenue rises with decile, and the cumulative-from-top share
+    is monotone decreasing in decile with the top decile's share first."""
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = sorted(
+        _q("g29_revenue_pareto")(spark, sf_dir).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert 0 < len(rows) <= 10
+    n_cust = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    assert abs(sum(r["revenue_share"] for r in rows) - 1.0) < 1e-4
+    means = [r["total_revenue"] / r["n_customers"] for r in rows]
+    assert means == sorted(means)
+    # cum-from-top at decile d covers deciles >= d: decreasing in d,
+    # and the full-coverage row (decile 1) is ~1.
+    cums = [r["cum_share_from_top"] for r in rows]
+    assert cums == sorted(cums, reverse=True)
+    assert abs(cums[0] - 1.0) < 1e-4
+    top = rows[-1]
+    assert top["revenue_share"] == cums[-1]
