@@ -320,6 +320,33 @@ ANNOTATED = {
         "scan; the two totals broadcast as a 1-row scalar; ln() runs "
         "once per source."
     ),
+    "g27_top_event_paths": (
+        "Opening journeys: rn <= 3 pushes into the window as "
+        "WindowGroupLimit (3 rows per user survive each partition "
+        "BEFORE the full window), three conditional-MAX reduces, "
+        "top-20 fused to TakeOrderedAndProject."
+    ),
+    "g28_rolling_active_users": (
+        "Sliding distinct: corpus collapses to distinct (day,user) "
+        "FIRST, then one Generate (the constant 7x explode) and exact "
+        "countDistinct — no BroadcastNestedLoop range join anywhere."
+    ),
+    "g29_revenue_pareto": (
+        "Pareto deciles: nine exact-percentile thresholds broadcast "
+        "as a 1-row panel, stateless integer scoring into <=10 "
+        "groups, cumulative window on the decile panel — no global "
+        "customer rank."
+    ),
+    "d16_retrieval_margin_profile": (
+        "Margin profile: broadcast query panel, one codegen'd scoring "
+        "pass over the corpus, rank <= 2 as WindowGroupLimit, "
+        "conditional-MAX reduce per query."
+    ),
+    "c21_candidate_degree_profile": (
+        "Degree census: band-bounded pair stream -> one doc_id-keyed "
+        "map-side count -> <=40-bucket histogram; the degree-0 row "
+        "arrives by anti-join so the census is lossless."
+    ),
 }
 
 
