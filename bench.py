@@ -165,6 +165,9 @@ EXTRA = [
     "d16_retrieval_margin_profile",
     "e20_charclass_profile",
     "g29_revenue_pareto",
+    "d17_dim_variance_profile",
+    "g30_new_returning_users",
+    "p21_shard_manifest",
 ]
 
 

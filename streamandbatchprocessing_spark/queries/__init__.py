@@ -77,7 +77,11 @@ from .registry import ORACLES, QUERIES
 #: local strict-oracle test). Second mid-round-7 update: c22 dup-group
 #: histogram, d16 retrieval margin profile, and e20 charclass profile
 #: swap in for three more r06-green re-confirmations (c14, g15, p15);
-#: then g29 revenue-pareto swaps in for g22 (same policy).
+#: then g29 revenue-pareto swaps in for g22 (same policy). Third
+#: mid-round-7 update: d17 dim-variance profile, g30 new-vs-returning
+#: actives, and p21 shard manifest swap in for three more r06-green
+#: re-confirmations (d11, g23, p14 — d12–d17, g24–g30, and
+#: p16–p21 keep each family covered in-window).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -95,10 +99,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # bucketed family covered; d12 filtered ANN + d13 norm profile +
     # d14 cell balance + d15 PQ rerank new)
     "d10_mutual_knn_graph",
-    "d11_nprobe_recall_curve",
     "d12_filtered_ann", "d13_embedding_norm_profile",
     "d14_ivf_cell_balance", "d15_pq_rerank_topk",
-    "d16_retrieval_margin_profile",
+    "d16_retrieval_margin_profile", "d17_dim_variance_profile",
     # text analysis (e12/e16 rotated out green; e17 novelty + e18
     # quality rules + e19 collocation lift new)
     "e10_pii_scrub",
@@ -120,21 +123,19 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # mix + p18 length histogram new)
     "p01_training_mix", "p02_streaming_ingest_funnel",
     "p12_column_profile_at_scale",
-    "p14_skew_report",
     "p16_budget_apportionment",
     "p17_dedup_adjusted_mix", "p18_token_length_histogram",
-    "p19_dataset_card", "p20_epoch_plan",
+    "p19_dataset_card", "p20_epoch_plan", "p21_shard_manifest",
     # physical layout (b30 bucketed + b33 DPP keep the layout family
     # driver-covered; b34 compaction plan new)
     "b30_bucketed_colocated_join", "b33_dynamic_partition_prune",
     "b34_compaction_plan",
-    # cross-series analytics (g13 rotated out green; g25 hour-of-week
-    # profile new)
-    "g23_snapshot_diff",
+    # cross-series analytics (g13/g23 rotated out green; g25
+    # hour-of-week profile and g30 new-vs-returning new)
     "g24_interval_coalesce",
     "g25_hour_of_week_profile", "g26_rfm_segments",
     "g27_top_event_paths", "g28_rolling_active_users",
-    "g29_revenue_pareto",
+    "g29_revenue_pareto", "g30_new_returning_users",
 )
 
 

@@ -1601,3 +1601,79 @@ def p20_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("target_tokens") * 1.0 / F.col("available_tokens"), 6
         ).alias("repetition_factor"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# p21 — balanced output-shard manifest (writer-side hash sharding plan)
+# ---------------------------------------------------------------------------
+#: Target docs per output shard. Fixture-scaled (≈8 shards at sf0.01);
+#: a production writer sets it so a shard ≈ the target file size
+#: (b34's bytes-per-row estimate / target_file_bytes) — the knob is a
+#: row count precisely so the shard count is derived FROM the corpus
+#: (ceil division) rather than fixed.
+_SHARD_TARGET = 64
+
+
+@query(
+    "p21_shard_manifest",
+    oracle=f"""
+    WITH t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+                      CAST((COUNT(*) + {_SHARD_TARGET} - 1)
+                           // {_SHARD_TARGET} AS BIGINT) AS n_shards
+               FROM documents),
+    s AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                      AS BIGINT) % (SELECT n_shards FROM t) AS shard_id,
+                 CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+                 CAST(n_chars AS BIGINT) AS nb
+          FROM documents)
+    SELECT shard_id,
+           CAST((SELECT n_shards FROM t) AS INTEGER) AS n_shards,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           CAST(SUM(nb) AS BIGINT) AS n_bytes,
+           {pround_sql('COUNT(*) * 1.0 * (SELECT n_shards FROM t)'
+                       ' / (SELECT n FROM t)', 6)} AS skew_ratio
+    FROM s GROUP BY shard_id ORDER BY shard_id
+    """,
+)
+def p21_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The writer-side sharding plan: every document assigned to one of
+    ceil(N / target) hash shards, with per-shard doc / token / byte
+    totals and the population ratio vs a perfectly even split — the
+    manifest a `repartition(n_shards, shard_key)` + per-shard writer
+    consumes, and the balance check that says whether the hash key
+    actually spreads the corpus (skew_ratio ≈ 1 everywhere) before a
+    100 TB write commits to it.
+
+    Scale: the shard count is DERIVED from a metadata-cheap corpus
+    count (the d14 sign_bits_for move — the knob is docs-per-shard,
+    not a fixed shard count, so the plan grows with the data); the
+    shard key is the portable md5-derived hash60 (stable across
+    engines and reshuffles, p08's split discipline); and the manifest
+    is one map-side-combinable integer aggregate over |shards| cells —
+    linear scan, one bounded shuffle, no data bytes moved."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    n_shards = (n + _SHARD_TARGET - 1) // _SHARD_TARGET
+    s = docs.select(
+        F.pmod(hash60(F.col("doc_id").cast("string")), F.lit(n_shards))
+        .alias("shard_id"),
+        F.size(F.split("text", " ")).cast("long").alias("n_toks"),
+        F.col("n_chars").cast("long").alias("nb"),
+    )
+    return (
+        s.groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_toks").cast("long").alias("n_tokens"),
+            F.sum("nb").cast("long").alias("n_bytes"),
+        )
+        .select(
+            "shard_id",
+            F.lit(n_shards).cast("int").alias("n_shards"),
+            "n_docs", "n_tokens", "n_bytes",
+            pround(F.col("n_docs") * 1.0 * n_shards / n, 6)
+            .alias("skew_ratio"),
+        )
+        .orderBy("shard_id")
+    )

@@ -2036,3 +2036,65 @@ def g29_revenue_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# g30 — daily new vs returning actives (acquisition-vs-retention split)
+# ---------------------------------------------------------------------------
+@query(
+    "g30_new_returning_users",
+    oracle="""
+    WITH p AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    a AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS active_users
+          FROM p GROUP BY d),
+    f AS (SELECT user_id, MIN(d) AS d FROM p GROUP BY user_id),
+    n AS (SELECT d, CAST(COUNT(*) AS BIGINT) AS new_users FROM f GROUP BY d),
+    j AS (SELECT a.d, a.active_users,
+                 COALESCE(n.new_users, 0) AS new_users
+          FROM a LEFT JOIN n ON a.d = n.d)
+    SELECT d AS event_date, active_users, new_users,
+           active_users - new_users AS returning_users,
+           CAST(SUM(new_users) OVER (ORDER BY d) AS BIGINT) AS cum_users
+    FROM j ORDER BY event_date
+    """,
+)
+def g30_new_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per day: active users, first-ever-seen (new) users, returning
+    users, and the cumulative user base to date — the acquisition-vs-
+    retention split every growth dashboard leads with, and the
+    denominator series g15's cohort grid normalizes against.
+
+    Scale: the corpus collapses FIRST to distinct (day, user) pairs
+    (the g28 move — one shuffle bounded by actives, not events); both
+    the per-day census and the per-user first-day reduce run on that
+    reduced set, and everything after is arithmetic on the ≤|days|
+    panel. The cumulative sum is a panel_window over the bounded day
+    panel, never a corpus-wide running sum. All-integer output — no
+    float for engines to disagree on."""
+    from ..functions.windows import panel_window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("d"), "user_id"
+    )
+    pairs = persist_tracked(ev.distinct())
+    act = pairs.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("active_users")
+    )
+    first = pairs.groupBy("user_id").agg(F.min("d").alias("d"))
+    new = first.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("new_users")
+    )
+    j = act.join(new, "d", "left").select(
+        "d", "active_users",
+        F.coalesce(F.col("new_users"), F.lit(0).cast("long"))
+        .alias("new_users"),
+    )
+    w = panel_window("d", F.asc("d"))
+    return j.select(
+        F.col("d").alias("event_date"),
+        "active_users",
+        "new_users",
+        (F.col("active_users") - F.col("new_users"))
+        .alias("returning_users"),
+        F.sum("new_users").over(w).cast("long").alias("cum_users"),
+    ).orderBy("event_date")

@@ -1905,3 +1905,83 @@ def d16_retrieval_margin_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         margin.alias("margin"),
         (margin < _MARGIN_AMBIGUOUS).alias("is_ambiguous"),
     ).orderBy("query_id")
+
+
+# ---------------------------------------------------------------------------
+# d17 — per-dimension variance profile (dead-dimension / quantizer screen)
+# ---------------------------------------------------------------------------
+@query(
+    "d17_dim_variance_profile",
+    oracle=f"""
+    WITH x AS (SELECT i - 1 AS dim,
+                      CAST(CAST(CAST(embedding AS DOUBLE[])[i]
+                                AS DECIMAL(25,6)) * 1000000 AS BIGINT) AS qi
+               FROM embeddings,
+                    UNNEST(generate_series(1, len(embedding))) AS u(i)),
+    g AS (SELECT dim,
+                 CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 SUM(CAST(qi AS DECIMAL(38,0))) AS s1,
+                 SUM(CAST(qi * qi AS DECIMAL(38,0))) AS s2,
+                 MIN(qi) AS mn, MAX(qi) AS mx
+          FROM x GROUP BY dim)
+    SELECT CAST(dim AS INTEGER) AS dim, n_vecs,
+           {pround_sql('CAST(s1 AS DOUBLE) / n_vecs / 1000000.0', 6)}
+               AS mean_val,
+           CAST(mn AS DOUBLE) / 1000000.0 AS min_val,
+           CAST(mx AS DOUBLE) / 1000000.0 AS max_val,
+           {pround_sql(
+               'CAST(n_vecs * s2 - s1 * s1 AS DOUBLE)'
+               ' / (CAST(n_vecs AS DOUBLE) * n_vecs) / 1e12', 6)}
+               AS variance
+    FROM g ORDER BY dim
+    """,
+)
+def d17_dim_variance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension mean / min / max / population variance across the
+    whole embedding column — the dead-dimension screen (a dimension
+    whose variance collapses to ~0 carries no signal and is the first
+    thing PCA/OPQ would drop) and the exact per-dimension range the
+    SQ8 quantizer (d05) needs to calibrate its affine scale.
+
+    Scale: the posexplode is a scan-stage projection and the aggregate
+    shuffles |dim| cells (64 here), each map-side combinable — the
+    d08 dimension-parallel shape, so parallelism scales with the
+    dimension count and no executor ever holds more than a cell's
+    running moments. Determinism is g21's integer discipline: each
+    component quantizes to int64 micro-units through one DECIMAL(25,6)
+    cast (the d08-proven portable rounding), Σq and Σq² accumulate in
+    exact DECIMAL(38,0) (order-independent; Σq² exceeds int64 at
+    corpus scale), and the variance numerator n·Σq² − (Σq)² is formed
+    exactly in decimal before ONE correctly-rounded double conversion
+    shared by both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        F.posexplode(as_double(F.col("embedding"))).alias("dim", "v"),
+    ).select(
+        "dim",
+        (F.col("v").cast("decimal(25,6)") * 1000000).cast("long").alias("qi"),
+    )
+    dec = "decimal(38,0)"
+    g = x.groupBy("dim").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.col("qi").cast(dec)).alias("s1"),
+        F.sum((F.col("qi") * F.col("qi")).cast(dec)).alias("s2"),
+        F.min("qi").alias("mn"),
+        F.max("qi").alias("mx"),
+    )
+    return g.select(
+        F.col("dim").cast("int").alias("dim"),
+        "n_vecs",
+        pround(
+            F.col("s1").cast("double") / F.col("n_vecs") / 1000000.0, 6
+        ).alias("mean_val"),
+        (F.col("mn").cast("double") / 1000000.0).alias("min_val"),
+        (F.col("mx").cast("double") / 1000000.0).alias("max_val"),
+        pround(
+            (F.col("n_vecs") * F.col("s2") - F.col("s1") * F.col("s1"))
+            .cast("double")
+            / (F.col("n_vecs").cast("double") * F.col("n_vecs"))
+            / 1e12,
+            6,
+        ).alias("variance"),
+    ).orderBy("dim")

@@ -151,6 +151,12 @@ PERTURBED = [
     # Pareto deciles: nine broadcast thresholds + stateless scoring +
     # a 10-row panel cumulative window.
     "g29_revenue_pareto",
+    # fifth round-7 batch: dimension-parallel exact decimal moments,
+    # distinct-first day panels with a panel cumulative window, and
+    # the count-derived hash-shard manifest.
+    "d17_dim_variance_profile",
+    "g30_new_returning_users",
+    "p21_shard_manifest",
 ]
 
 _PERTURB = {

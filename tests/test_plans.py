@@ -242,6 +242,8 @@ _BOUNDED_BROADCAST_OK = {
     # d11 broadcasts that same vec_id < 20 panel (its cells side is a
     # 16-row Aggregate the generic check already accepts).
     "d11_nprobe_recall_curve",
+    # d16 broadcasts the literal-bounded vec_id < 50 query panel.
+    "d16_retrieval_margin_profile",
     # c13 broadcasts the Bloom set-bit relation — a Deduplicate node
     # bounded by the filter geometry (<= m = 65536 rows) rather than by
     # data volume (the generic check only recognizes Aggregate/Limit
@@ -625,3 +627,48 @@ def test_p20_schedule_has_no_unbounded_window(spark, sf_dir):
         # the windowspecdefinition's first (partition) argument; an
         # unpartitioned spec would lead with the ORDER column instead.
         assert "windowspecdefinition(_w" in line, line
+
+
+def test_d17_profile_is_one_dim_keyed_aggregate(spark, sf_dir):
+    """d17 must stay dimension-parallel: exactly one Generate (the
+    posexplode) feeding a hash aggregate keyed on the dimension — no
+    window, no join, no Expand, and the scan reads only the vector
+    column."""
+    plan = executed_plan(QUERIES["d17_dim_variance_profile"](spark, sf_dir))
+    assert plan.count("Generate") == 1, plan[:2000]
+    assert "Expand" not in plan, plan[:2000]
+    assert "windowspecdefinition(" not in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    schemas = read_schema(QUERIES["d17_dim_variance_profile"](spark, sf_dir))
+    assert schemas and "embedding" in schemas[0]
+    assert "vec_id" not in schemas[0], schemas[0]
+    assert "label" not in schemas[0], schemas[0]
+
+
+def test_g30_cum_window_is_panel_partitioned(spark, sf_dir):
+    """g30's cumulative user base runs on the bounded day panel via
+    panel_window (partitioned spec, never a global running sum over
+    an unpartitioned window) and the corpus never fans out (no
+    Generate, no BNLJ)."""
+    plan = executed_plan(QUERIES["g30_new_returning_users"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "Generate" not in plan, plan[:2000]
+    windows = [l for l in plan.splitlines() if "windowspecdefinition(" in l]
+    assert windows, plan[:2000]
+    for line in windows:
+        assert "windowspecdefinition(_w" in line, line
+
+
+def test_p21_manifest_is_single_shuffle_scan(spark, sf_dir):
+    """p21 is one linear scan into the shard-keyed aggregate: no join,
+    no window, no Expand — the only exchange carries |shards| integer
+    cells, and the scan reads only the three needed columns."""
+    plan = executed_plan(QUERIES["p21_shard_manifest"](spark, sf_dir))
+    assert "Join" not in plan, plan[:2000]
+    assert "Expand" not in plan, plan[:2000]
+    assert "windowspecdefinition(" not in plan, plan[:2000]
+    schemas = read_schema(QUERIES["p21_shard_manifest"](spark, sf_dir))
+    assert schemas, "no file scan found"
+    assert all(c in schemas[0] for c in ("doc_id", "text", "n_chars"))
+    assert "source" not in schemas[0], schemas[0]
+    assert "lang" not in schemas[0], schemas[0]

@@ -15,7 +15,9 @@ local strict-oracle test): c09, c10, c15, c16, d04, d07, e12, e16,
 f02, f03, f06, f07, f09, m02, m05, p11, g13. Mid-round-7: the five
 newest operators (c21, m11, g27, g28, p20) swap in for five more
 r06-green re-confirmations (f10, f11, g14, m06, p13); then c22, d16,
-and e20 swap in for c14, g15, and p15, and g29 for g22 (same policy).
+and e20 swap in for c14, g15, and p15, and g29 for g22 (same policy);
+then d17, g30, and p21 swap in for d11, g23, and p14 (same policy —
+d12–d17, g24–g30, p16–p21 keep each family covered in-window).
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES

@@ -508,3 +508,76 @@ def test_g29_pareto_is_lossless_and_monotone(spark, sf_dir):
     assert abs(cums[0] - 1.0) < 1e-4
     top = rows[-1]
     assert top["revenue_share"] == cums[-1]
+
+
+def test_d17_variance_matches_numpy(spark, sf_dir):
+    """Per-dimension stats must agree with a numpy reference (6dp),
+    cover every dimension with the full corpus count, and satisfy
+    min <= mean <= max with variance >= 0."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    rows = _q("d17_dim_variance_profile")(spark, sf_dir).collect()
+    emb = pq.read_table(f"{sf_dir}/embeddings.parquet").to_pandas()
+    mat = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    # The operator quantizes each component to 6dp micro-units first.
+    q = np.round(mat * 1e6) / 1e6
+    assert len(rows) == mat.shape[1]
+    for r in rows:
+        col = q[:, r["dim"]]
+        assert r["n_vecs"] == mat.shape[0]
+        assert r["min_val"] <= r["mean_val"] <= r["max_val"]
+        assert r["variance"] >= 0
+        assert abs(r["mean_val"] - col.mean()) <= 1.5e-6
+        assert abs(r["variance"] - col.var()) <= 1.5e-6
+        assert r["min_val"] == pytest.approx(col.min(), abs=1e-9)
+        assert r["max_val"] == pytest.approx(col.max(), abs=1e-9)
+
+
+def test_g30_daily_identities(spark, sf_dir):
+    """new + returning == active per day, day-1 actives are all new,
+    the final cumulative count equals the corpus's distinct users, and
+    cum_users is the running sum of new_users."""
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = sorted(
+        _q("g30_new_returning_users")(spark, sf_dir).collect(),
+        key=lambda r: r["event_date"],
+    )
+    assert rows
+    assert rows[0]["returning_users"] == 0
+    run = 0
+    for r in rows:
+        assert r["new_users"] + r["returning_users"] == r["active_users"]
+        assert 0 <= r["new_users"] <= r["active_users"]
+        run += r["new_users"]
+        assert r["cum_users"] == run
+    n_users = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id").distinct().count()
+    )
+    assert rows[-1]["cum_users"] == n_users
+
+
+def test_p21_manifest_is_lossless_and_balanced(spark, sf_dir):
+    """Shard totals must add back to the corpus exactly, shard ids must
+    stay inside the count-derived range, and hash balance must hold:
+    every occupied shard within 3x of the even split."""
+    from streamandbatchprocessing_spark.queries.pipeline import _SHARD_TARGET
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = _q("p21_shard_manifest")(spark, sf_dir).collect()
+    assert rows
+    n = load_table(spark, sf_dir, "documents").count()
+    n_shards = (n + _SHARD_TARGET - 1) // _SHARD_TARGET
+    assert all(r["n_shards"] == n_shards for r in rows)
+    assert sum(r["n_docs"] for r in rows) == n
+    assert len(rows) <= n_shards
+    assert all(0 <= r["shard_id"] < n_shards for r in rows)
+    for r in rows:
+        assert r["n_tokens"] >= r["n_docs"]  # every doc has >= 1 token
+        assert r["n_bytes"] > 0
+        assert 0 < r["skew_ratio"] < 3.0
+        assert r["skew_ratio"] == pytest.approx(
+            r["n_docs"] * n_shards / n, abs=1e-6
+        )
