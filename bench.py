@@ -168,6 +168,9 @@ EXTRA = [
     "d17_dim_variance_profile",
     "g30_new_returning_users",
     "p21_shard_manifest",
+    "d18_centroid_separation",
+    "m12_payload_size_histogram",
+    "g31_interarrival_profile",
 ]
 
 

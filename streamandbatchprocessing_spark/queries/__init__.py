@@ -81,7 +81,12 @@ from .registry import ORACLES, QUERIES
 #: mid-round-7 update: d17 dim-variance profile, g30 new-vs-returning
 #: actives, and p21 shard manifest swap in for three more r06-green
 #: re-confirmations (d11, g23, p14 — d12–d17, g24–g30, and
-#: p16–p21 keep each family covered in-window).
+#: p16–p21 keep each family covered in-window). Fourth mid-round-7
+#: update: d18 centroid separation, m12 payload size histogram, and
+#: g31 inter-arrival profile swap in for three more r06-green
+#: re-confirmations (f13, m08, g24 — f01/f08/f12/f14 keep streaming
+#: covered in-window; every rotated-out query keeps its local
+#: strict-oracle test).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -102,6 +107,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "d12_filtered_ann", "d13_embedding_norm_profile",
     "d14_ivf_cell_balance", "d15_pq_rerank_topk",
     "d16_retrieval_margin_profile", "d17_dim_variance_profile",
+    "d18_centroid_separation",
     # text analysis (e12/e16 rotated out green; e17 novelty + e18
     # quality rules + e19 collocation lift new)
     "e10_pii_scrub",
@@ -112,13 +118,14 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # f14 semi join completes the stream-stream join matrix)
     "f01_streaming_dashboard",
     "f08_stream_left_outer_join",
-    "f12_stream_full_outer_join", "f13_streaming_heavy_hitters",
+    "f12_stream_full_outer_join",
     "f14_stream_semi_join",
     # multimodal (m02/m05 rotated out green; m10 chunk dedup new —
     # d15/d03 keep the Arrow mapInPandas path in-window)
     "m07_audio_chunk_plan",
-    "m08_image_tile_plan", "m09_modality_manifest",
+    "m09_modality_manifest",
     "m10_chunk_dedup_profile", "m11_magic_byte_census",
+    "m12_payload_size_histogram",
     # composed pipelines (p11 rotated out green; p17 dedup-adjusted
     # mix + p18 length histogram new)
     "p01_training_mix", "p02_streaming_ingest_funnel",
@@ -132,10 +139,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "b34_compaction_plan",
     # cross-series analytics (g13/g23 rotated out green; g25
     # hour-of-week profile and g30 new-vs-returning new)
-    "g24_interval_coalesce",
     "g25_hour_of_week_profile", "g26_rfm_segments",
     "g27_top_event_paths", "g28_rolling_active_users",
     "g29_revenue_pareto", "g30_new_returning_users",
+    "g31_interarrival_profile",
 )
 
 

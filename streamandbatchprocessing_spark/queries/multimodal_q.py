@@ -766,3 +766,82 @@ def m11_magic_byte_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("magic_hex")
     )
+
+
+# ---------------------------------------------------------------------------
+# m12 — payload size-class histogram (storage-tier planning)
+# ---------------------------------------------------------------------------
+@query(
+    "m12_payload_size_histogram",
+    oracle="""
+    WITH p AS (SELECT octet_length(encode(text)) AS n_bytes,
+                      md5(text) AS digest
+               FROM documents),
+    b AS (SELECT CAST(length(bin(n_bytes)) AS INT) AS log2_bucket,
+                 digest,
+                 CAST(COUNT(*) AS BIGINT) AS n_copies,
+                 CAST(MAX(n_bytes) AS BIGINT) AS bytes_one
+          FROM p GROUP BY log2_bucket, digest)
+    SELECT log2_bucket,
+           CAST(1 AS BIGINT) << (log2_bucket - 1) AS bucket_lo,
+           CAST(SUM(n_copies) AS BIGINT) AS n_payloads,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(SUM(n_copies * bytes_one) AS BIGINT) AS total_bytes,
+           CAST(SUM(bytes_one) AS BIGINT) AS distinct_bytes,
+           CAST(SUM(n_copies * bytes_one) - SUM(bytes_one) AS BIGINT)
+               AS reclaimable_bytes
+    FROM b
+    GROUP BY log2_bucket
+    ORDER BY log2_bucket
+    """,
+)
+def m12_payload_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Power-of-two payload size-class histogram with per-class dedup
+    accounting: for every size bucket, how many assets land there, how
+    many DISTINCT contents, and how many bytes exact dedup (m06) would
+    reclaim. This is the storage-tier planning table — small objects
+    want inline/coalesced storage, huge ones want chunked streaming
+    (m10) — and the byte analog of p18's token-length histogram.
+
+    Scale: byte length and content digest are projected AT THE SCAN —
+    payload bytes never shuffle (the m06/m11 discipline). The bucket
+    index is the BINARY LENGTH of the byte count (pure integer
+    arithmetic, p18's move — no float log2 for engines to round
+    differently at boundaries). Two linear map-side-combinable
+    aggregates: (bucket, digest) to collapse copies, then the
+    <=63-cell bucket census. All-integer output."""
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        F.octet_length(F.encode("text", "UTF-8")).cast("long").alias("n_bytes"),
+        F.md5("text").alias("digest"),
+    )
+    b = (
+        p.select(
+            F.length(F.bin("n_bytes")).cast("int").alias("log2_bucket"),
+            "digest", "n_bytes",
+        )
+        .groupBy("log2_bucket", "digest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_copies"),
+            F.max("n_bytes").cast("long").alias("bytes_one"),
+        )
+    )
+    return (
+        b.groupBy("log2_bucket")
+        .agg(
+            F.sum("n_copies").cast("long").alias("n_payloads"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct"),
+            F.sum(F.col("n_copies") * F.col("bytes_one")).cast("long")
+            .alias("total_bytes"),
+            F.sum("bytes_one").cast("long").alias("distinct_bytes"),
+        )
+        .select(
+            "log2_bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), log2_bucket - 1)")
+            .cast("long").alias("bucket_lo"),
+            "n_payloads", "n_distinct", "total_bytes", "distinct_bytes",
+            (F.col("total_bytes") - F.col("distinct_bytes")).cast("long")
+            .alias("reclaimable_bytes"),
+        )
+        .orderBy("log2_bucket")
+    )

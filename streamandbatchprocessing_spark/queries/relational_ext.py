@@ -2098,3 +2098,79 @@ def g30_new_returning_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("returning_users"),
         F.sum("new_users").over(w).cast("long").alias("cum_users"),
     ).orderBy("event_date")
+
+
+# ---------------------------------------------------------------------------
+# g31 — inter-arrival time profile per event type (traffic cadence QA)
+# ---------------------------------------------------------------------------
+@query(
+    "g31_interarrival_profile",
+    oracle=f"""
+    WITH e AS (SELECT user_id, event_type, event_id,
+                      epoch_us(CAST(ts AS TIMESTAMP)) AS us
+               FROM events),
+    g AS (SELECT event_type,
+                 us - LAG(us) OVER (PARTITION BY user_id
+                                    ORDER BY us, event_id) AS gap
+          FROM e),
+    f AS (SELECT event_type, gap FROM g WHERE gap IS NOT NULL)
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(MIN(gap) AS BIGINT) AS min_gap_us,
+           CAST(MAX(gap) AS BIGINT) AS max_gap_us,
+           {pround_sql(
+               'CAST(SUM(CAST(gap AS DECIMAL(38,0))) AS DOUBLE)'
+               ' / COUNT(*) / 1000000.0', 6)} AS mean_gap_s,
+           {pround_sql('quantile_cont(gap, 0.5) / 1000000.0', 6)}
+               AS p50_gap_s,
+           {pround_sql('quantile_cont(gap, 0.9) / 1000000.0', 6)}
+               AS p90_gap_s
+    FROM f GROUP BY event_type ORDER BY event_type
+    """,
+)
+def g31_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type inter-arrival cadence: for every event, the gap
+    since the SAME USER's previous event (any type), profiled per the
+    arriving event's type — count, min/max, mean, and exact p50/p90
+    gaps. This is the traffic-cadence table capacity planning and
+    anomaly baselines (g21) read, and the empirical ground truth for
+    f03/g18's session-gap threshold choice.
+
+    Scale: ONE user-keyed window exchange computes every lag (the g18
+    shape — gaps are integer microseconds via unix_micros, no float
+    time math), then a |types|-bounded aggregate. The deterministic
+    ordering tiebreak is event_id. Mean accumulates exact
+    DECIMAL(38,0) micro-units with ONE double conversion (g13's
+    discipline); p50/p90 use the exact SQL-standard PERCENTILE_CONT
+    over int64 inputs (== DuckDB quantile_cont, the g02 precedent,
+    6dp-rounded) — at 100 TB swap for approx_percentile's t-digest,
+    the p11->p12 twin argument."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("us"), F.asc("event_id"))
+    g = ev.select(
+        "event_type",
+        (F.col("us") - F.lag("us").over(w)).alias("gap"),
+    ).filter(F.col("gap").isNotNull())
+    return (
+        g.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.min("gap").cast("long").alias("min_gap_us"),
+            F.max("gap").cast("long").alias("max_gap_us"),
+            F.sum(F.col("gap").cast("decimal(38,0)")).alias("s"),
+            F.percentile("gap", F.lit(0.5)).alias("q50"),
+            F.percentile("gap", F.lit(0.9)).alias("q90"),
+        )
+        .select(
+            "event_type", "n_gaps", "min_gap_us", "max_gap_us",
+            pround(
+                F.col("s").cast("double") / F.col("n_gaps") / 1000000.0, 6
+            ).alias("mean_gap_s"),
+            pround(F.col("q50") / 1000000.0, 6).alias("p50_gap_s"),
+            pround(F.col("q90") / 1000000.0, 6).alias("p90_gap_s"),
+        )
+        .orderBy("event_type")
+    )

@@ -1985,3 +1985,110 @@ def d17_dim_variance_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("variance"),
     ).orderBy("dim")
+
+
+# ---------------------------------------------------------------------------
+# d18 — pairwise label-centroid separation (class-geometry QA)
+# ---------------------------------------------------------------------------
+@query(
+    "d18_centroid_separation",
+    oracle="""
+    WITH x AS (SELECT label, i - 1 AS pos,
+                      CAST(CAST(embedding AS DOUBLE[])[i]
+                           AS DECIMAL(25,6)) AS v
+               FROM embeddings,
+                    UNNEST(generate_series(1, len(embedding))) AS u(i)),
+    g AS (SELECT label, pos,
+                 CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 CAST(SUM(v) * 1000000 AS BIGINT) AS s6
+          FROM x GROUP BY label, pos),
+    c AS (SELECT label, pos, n_vecs,
+                 CASE WHEN s6 < 0
+                      THEN -((2 * (-s6) + n_vecs) // (2 * n_vecs))
+                      ELSE (2 * s6 + n_vecs) // (2 * n_vecs)
+                 END AS c6
+          FROM g),
+    p AS (SELECT a.label AS label_a, b.label AS label_b,
+                 MAX(a.n_vecs) AS n_vecs_a, MAX(b.n_vecs) AS n_vecs_b,
+                 SUM(CAST(a.c6 * b.c6 AS DECIMAL(38,0))) AS dot,
+                 SUM(CAST(a.c6 * a.c6 AS DECIMAL(38,0))) AS na,
+                 SUM(CAST(b.c6 * b.c6 AS DECIMAL(38,0))) AS nb
+          FROM c a JOIN c b ON a.pos = b.pos AND a.label < b.label
+          GROUP BY a.label, b.label)
+    SELECT label_a, label_b, n_vecs_a, n_vecs_b,
+           floor(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cos_sim,
+           floor(sqrt(CAST(na + nb - 2 * dot AS DOUBLE)) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS l2_dist
+    FROM p
+    ORDER BY label_a, label_b
+    """,
+)
+def d18_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise cosine similarity and L2 distance between per-label
+    centroids — the class-geometry audit behind d08's prototypes: two
+    labels whose centroids sit at cos ~1 are indistinguishable to a
+    nearest-centroid retriever, and the full |labels|x|labels| grid is
+    what a confusion-risk review reads before shipping an index.
+
+    Scale: centroids reuse d08's dimension-parallel shape (posexplode
+    at the scan, |labels|*dim map-side-combinable decimal cells), then
+    quantize to int64 micro-units via the d08 half-away-from-zero
+    rounding so both engines hold IDENTICAL integers. The pairwise
+    stage self-joins the |labels|*dim cell table on dimension —
+    |labels|^2 * dim rows, metadata-sized for any corpus because
+    labels is a class enum, never corpus-scaled. Dot products and
+    norms accumulate those exact integers in DECIMAL(38,0)
+    (order-independent), and each output makes exactly ONE decimal ->
+    double conversion before sqrt/divide, so both engines round the
+    same reals. The centroid cell table is persisted once and feeds
+    both join sides."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "v"),
+    )
+    g = x.groupBy("label", "pos").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.sum(F.col("v").cast("decimal(25,6)")).alias("dsum"),
+    ).withColumn("s6", F.expr("CAST(dsum * 1000000 AS BIGINT)"))
+    cells = persist_tracked(
+        g.select(
+            "label", "pos", "n_vecs",
+            F.expr(
+                "CASE WHEN s6 < 0"
+                " THEN -((2 * (-s6) + n_vecs) DIV (2 * n_vecs))"
+                " ELSE (2 * s6 + n_vecs) DIV (2 * n_vecs) END"
+            ).alias("c6"),
+        )
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    dec = "decimal(38,0)"
+    p = (
+        a.join(b, (F.col("a.pos") == F.col("b.pos"))
+               & (F.col("a.label") < F.col("b.label")))
+        .groupBy(F.col("a.label").alias("label_a"),
+                 F.col("b.label").alias("label_b"))
+        .agg(
+            F.max("a.n_vecs").alias("n_vecs_a"),
+            F.max("b.n_vecs").alias("n_vecs_b"),
+            F.sum((F.col("a.c6") * F.col("b.c6")).cast(dec)).alias("dot"),
+            F.sum((F.col("a.c6") * F.col("a.c6")).cast(dec)).alias("na"),
+            F.sum((F.col("b.c6") * F.col("b.c6")).cast(dec)).alias("nb"),
+        )
+    )
+    return p.select(
+        "label_a", "label_b", "n_vecs_a", "n_vecs_b",
+        pround(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("na").cast("double"))
+               * F.sqrt(F.col("nb").cast("double"))),
+            6,
+        ).alias("cos_sim"),
+        pround(
+            F.sqrt((F.col("na") + F.col("nb") - 2 * F.col("dot"))
+                   .cast("double")) / 1000000.0,
+            6,
+        ).alias("l2_dist"),
+    ).orderBy("label_a", "label_b")

@@ -157,6 +157,12 @@ PERTURBED = [
     "d17_dim_variance_profile",
     "g30_new_returning_users",
     "p21_shard_manifest",
+    # sixth round-7 batch: int64-quantized centroid pair grid, two
+    # linear digest aggregates under integer size buckets, and a
+    # user-keyed lag feeding exact percentiles.
+    "d18_centroid_separation",
+    "m12_payload_size_histogram",
+    "g31_interarrival_profile",
 ]
 
 _PERTURB = {

@@ -17,7 +17,9 @@ newest operators (c21, m11, g27, g28, p20) swap in for five more
 r06-green re-confirmations (f10, f11, g14, m06, p13); then c22, d16,
 and e20 swap in for c14, g15, and p15, and g29 for g22 (same policy);
 then d17, g30, and p21 swap in for d11, g23, and p14 (same policy —
-d12–d17, g24–g30, p16–p21 keep each family covered in-window).
+d12–d17, g24–g30, p16–p21 keep each family covered in-window); then
+d18, m12, and g31 swap in for f13, m08, and g24 (same policy —
+f01/f08/f12/f14 keep streaming covered in-window).
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES
