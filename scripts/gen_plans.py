@@ -347,6 +347,24 @@ ANNOTATED = {
         "map-side count -> <=40-bucket histogram; the degree-0 row "
         "arrives by anti-join so the census is lossless."
     ),
+    "d18_centroid_separation": (
+        "Class-geometry grid: dimension-parallel centroid aggregate "
+        "(|labels|*dim decimal cells), int64 micro-unit quantization, "
+        "persisted cell table self-joined on dimension — |labels|^2*dim "
+        "rows, metadata-sized; decimal-exact dot/norm accumulation."
+    ),
+    "m12_payload_size_histogram": (
+        "Size-class histogram: digest + byte length projected AT the "
+        "scan (payload bytes never shuffle), integer binary-length "
+        "bucket, two linear map-side-combinable aggregates into a "
+        "<=63-cell census."
+    ),
+    "g31_interarrival_profile": (
+        "Inter-arrival cadence: ONE user-keyed window exchange computes "
+        "every lag in integer microseconds, then a |types|-bounded "
+        "aggregate with decimal-exact mean and exact PERCENTILE_CONT "
+        "p50/p90."
+    ),
 }
 
 
