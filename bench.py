@@ -171,6 +171,8 @@ EXTRA = [
     "d18_centroid_separation",
     "m12_payload_size_histogram",
     "g31_interarrival_profile",
+    "p22_quality_survival_curve",
+    "g32_ship_latency_profile",
 ]
 
 

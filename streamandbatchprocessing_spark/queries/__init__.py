@@ -86,7 +86,10 @@ from .registry import ORACLES, QUERIES
 #: g31 inter-arrival profile swap in for three more r06-green
 #: re-confirmations (f13, m08, g24 — f01/f08/f12/f14 keep streaming
 #: covered in-window; every rotated-out query keeps its local
-#: strict-oracle test).
+#: strict-oracle test). Fifth mid-round-7 update: p22 quality survival
+#: curve and g32 ship-latency profile swap in for two more r06-green
+#: re-confirmations (c02, p02 — c07/c17/c18/c19–c22 keep dedup
+#: covered in-window, p01/p12/p16–p22 the pipeline family).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -94,7 +97,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # MinHash-LSH and canonicalization driver-covered; c18 re-scores
     # its new composite blocking key; c19 source matrix + c20
     # containment new)
-    "c02_minhash_lsh_pairs",
     "c07_dup_clusters",
     "c17_cluster_canonical_keep_best",
     "c18_blocked_fuzzy_match",
@@ -128,11 +130,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "m12_payload_size_histogram",
     # composed pipelines (p11 rotated out green; p17 dedup-adjusted
     # mix + p18 length histogram new)
-    "p01_training_mix", "p02_streaming_ingest_funnel",
+    "p01_training_mix",
     "p12_column_profile_at_scale",
     "p16_budget_apportionment",
     "p17_dedup_adjusted_mix", "p18_token_length_histogram",
     "p19_dataset_card", "p20_epoch_plan", "p21_shard_manifest",
+    "p22_quality_survival_curve",
     # physical layout (b30 bucketed + b33 DPP keep the layout family
     # driver-covered; b34 compaction plan new)
     "b30_bucketed_colocated_join", "b33_dynamic_partition_prune",
@@ -142,7 +145,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "g25_hour_of_week_profile", "g26_rfm_segments",
     "g27_top_event_paths", "g28_rolling_active_users",
     "g29_revenue_pareto", "g30_new_returning_users",
-    "g31_interarrival_profile",
+    "g31_interarrival_profile", "g32_ship_latency_profile",
 )
 
 

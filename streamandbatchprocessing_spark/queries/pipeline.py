@@ -1677,3 +1677,131 @@ def p21_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# p22 — quality-threshold survival curve (filter-strictness tradeoff)
+# ---------------------------------------------------------------------------
+def _p22_oracle() -> str:
+    from .textops import _STOP_IN
+
+    return f"""
+    WITH qt AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                       CAST(length(text) AS BIGINT) AS n_chars
+                FROM documents),
+    qm AS (SELECT doc_id, n_chars,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(toks, t -> t IN ({_STOP_IN})))
+                       AS BIGINT) AS stop_hits,
+                  floor(((n_chars - len(toks) + 1) * 1.0 / len(toks))
+                        * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len
+           FROM qt),
+    s AS (SELECT n_tokens,
+                 CAST(floor((0.5 * (stop_hits * 1.0 / n_tokens)
+                       + 0.3 * (CASE WHEN n_tokens > 60 THEN 60
+                                     ELSE n_tokens END / 60.0)
+                       + 0.2 * (CASE WHEN avg_token_len > 8 THEN 8
+                                     ELSE avg_token_len END / 8.0))
+                      * 1000000.0 + 0.5) AS BIGINT) AS q6
+          FROM qm),
+    cells AS (SELECT q6 // 100000 AS b,
+                     CAST(COUNT(*) AS BIGINT) AS n_docs,
+                     CAST(SUM(n_tokens) AS BIGINT) AS n_toks,
+                     SUM(CAST(q6 AS DECIMAL(38,0))) AS sq6
+              FROM s GROUP BY b),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_docs FROM s),
+    grid AS (SELECT CAST(b AS BIGINT) AS threshold_decile
+             FROM range(0, 11) AS g(b)),
+    cum AS (SELECT g.threshold_decile,
+                   CAST(COALESCE(SUM(c.n_docs), 0) AS BIGINT) AS docs_kept,
+                   CAST(COALESCE(SUM(c.n_toks), 0) AS BIGINT)
+                       AS tokens_kept,
+                   SUM(c.sq6) AS sq6
+            FROM grid g LEFT JOIN cells c ON c.b >= g.threshold_decile
+            GROUP BY g.threshold_decile)
+    SELECT threshold_decile,
+           threshold_decile / 10.0 AS threshold,
+           docs_kept, tokens_kept,
+           floor((CAST(docs_kept AS DOUBLE) / total_docs) * 1000000.0
+                 + 0.5) / 1000000.0 AS docs_share,
+           CASE WHEN docs_kept = 0 THEN NULL
+                ELSE floor((CAST(sq6 AS DOUBLE) / docs_kept / 1000000.0)
+                           * 1000000.0 + 0.5) / 1000000.0
+           END AS mean_quality_kept
+    FROM cum, tot
+    ORDER BY threshold_decile
+    """
+
+
+@query("p22_quality_survival_curve", oracle=_p22_oracle())
+def p22_quality_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-filter strictness tradeoff: for every threshold t in
+    {0.0, 0.1, ..., 1.0}, how many documents and tokens survive a
+    ``quality >= t`` gate, the surviving share, and the surviving
+    docs' mean quality — the survival curve a training-mix owner reads
+    BEFORE picking e02/p09's cut point, trading corpus volume against
+    quality in one table.
+
+    Scale: NEVER a per-threshold rescan (11x the corpus) and never an
+    Expand — the corpus collapses in ONE linear map-side-combinable
+    pass to <=11 decile cells (the quality score is quantized to int64
+    micro-units with pround's floor(x*1e6+0.5) numerator, so the cell
+    boundary is integer division — no float boundary for engines to
+    disagree on), and the cumulative-from-top rollup is an 11x11
+    bounded panel join. The mean accumulates the exact integer q6 in
+    DECIMAL(38,0) with ONE double conversion (g13's discipline); the
+    doc total arrives as a broadcast scalar (W1's rewrite)."""
+    from .textops import quality_scored_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = quality_scored_docs(docs)
+    raw = (
+        0.5 * (F.col("stop_hits") * 1.0 / F.col("n_tokens"))
+        + 0.3 * (F.least(F.col("n_tokens"), F.lit(60)) / 60.0)
+        + 0.2 * (F.least(F.col("avg_token_len"), F.lit(8.0)) / 8.0)
+    )
+    s = base.select(
+        "n_tokens",
+        F.floor(raw * 1000000.0 + F.lit(0.5)).cast("long").alias("q6"),
+    )
+    cells = s.groupBy(F.expr("q6 DIV 100000").alias("b")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_toks"),
+        F.sum(F.col("q6").cast("decimal(38,0)")).alias("sq6"),
+    )
+    tot = s.agg(F.count(F.lit(1)).cast("long").alias("total_docs"))
+    grid = spark.range(0, 11).select(
+        F.col("id").cast("long").alias("threshold_decile")
+    )
+    cum = (
+        grid.join(cells, F.col("b") >= F.col("threshold_decile"), "left")
+        .groupBy("threshold_decile")
+        .agg(
+            F.coalesce(F.sum("n_docs"), F.lit(0)).cast("long")
+            .alias("docs_kept"),
+            F.coalesce(F.sum("n_toks"), F.lit(0)).cast("long")
+            .alias("tokens_kept"),
+            F.sum("sq6").alias("sq6"),
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "threshold_decile",
+            (F.col("threshold_decile") / 10.0).alias("threshold"),
+            "docs_kept", "tokens_kept",
+            pround(
+                F.col("docs_kept").cast("double") / F.col("total_docs"), 6
+            ).alias("docs_share"),
+            F.when(
+                F.col("docs_kept") == 0, F.lit(None).cast("double")
+            ).otherwise(
+                pround(
+                    F.col("sq6").cast("double") / F.col("docs_kept")
+                    / 1000000.0,
+                    6,
+                )
+            ).alias("mean_quality_kept"),
+        )
+        .orderBy("threshold_decile")
+    )

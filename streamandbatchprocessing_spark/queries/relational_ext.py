@@ -2174,3 +2174,73 @@ def g31_interarrival_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# g32 — order-to-ship latency profile (fulfillment SLA table)
+# ---------------------------------------------------------------------------
+@query(
+    "g32_ship_latency_profile",
+    oracle=f"""
+    WITH j AS (SELECT o.o_orderpriority,
+                      date_diff('day', CAST(o.o_orderdate AS DATE),
+                                CAST(l.l_shipdate AS DATE)) AS lat_days
+               FROM lineitem l JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey)
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(MIN(lat_days) AS BIGINT) AS min_days,
+           CAST(MAX(lat_days) AS BIGINT) AS max_days,
+           {pround_sql(
+               'CAST(SUM(CAST(lat_days AS DECIMAL(38,0))) AS DOUBLE)'
+               ' / COUNT(*)', 6)} AS mean_days,
+           {pround_sql('quantile_cont(lat_days, 0.5)', 6)} AS p50_days,
+           {pround_sql('quantile_cont(lat_days, 0.9)', 6)} AS p90_days
+    FROM j GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def g32_ship_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency per order priority: lineitem count, min /
+    max / mean / exact p50 / p90 days between order placement and line
+    shipment — the fulfillment-SLA table an operations review reads,
+    and the b29 (Q4 late-shipment) check generalized from a boolean to
+    the full latency distribution.
+
+    Scale: ONE fact-to-fact equi-join on the natural key (unhinted —
+    AQE broadcasts at toy SF, SMJ at scale, the b02 discipline), with
+    both sides pruned to key + one date column at the scan; latency is
+    integer days (datediff — no float time math), the aggregate is
+    |priorities|-bounded and map-side combinable except the exact
+    PERCENTILE_CONT, which sorts int64 days per group (== DuckDB
+    quantile_cont, g02's precedent, 6dp-rounded; at 100 TB swap for
+    approx_percentile's t-digest — the p11->p12 twin argument). The
+    mean accumulates DECIMAL(38,0) with ONE double conversion."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("ship_d")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("ord_d")
+    )
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "o_orderpriority",
+        F.datediff("ship_d", "ord_d").cast("long").alias("lat_days"),
+    )
+    return (
+        j.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.min("lat_days").cast("long").alias("min_days"),
+            F.max("lat_days").cast("long").alias("max_days"),
+            F.sum(F.col("lat_days").cast("decimal(38,0)")).alias("s"),
+            F.percentile("lat_days", F.lit(0.5)).alias("q50"),
+            F.percentile("lat_days", F.lit(0.9)).alias("q90"),
+        )
+        .select(
+            "o_orderpriority", "n_lineitems", "min_days", "max_days",
+            pround(F.col("s").cast("double") / F.col("n_lineitems"), 6)
+            .alias("mean_days"),
+            pround(F.col("q50"), 6).alias("p50_days"),
+            pround(F.col("q90"), 6).alias("p90_days"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -163,6 +163,10 @@ PERTURBED = [
     "d18_centroid_separation",
     "m12_payload_size_histogram",
     "g31_interarrival_profile",
+    # seventh round-7 batch: 11-cell quantized survival rollup and the
+    # fact-fact latency profile with exact integer-day percentiles.
+    "p22_quality_survival_curve",
+    "g32_ship_latency_profile",
 ]
 
 _PERTURB = {

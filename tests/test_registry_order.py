@@ -19,7 +19,9 @@ and e20 swap in for c14, g15, and p15, and g29 for g22 (same policy);
 then d17, g30, and p21 swap in for d11, g23, and p14 (same policy —
 d12–d17, g24–g30, p16–p21 keep each family covered in-window); then
 d18, m12, and g31 swap in for f13, m08, and g24 (same policy —
-f01/f08/f12/f14 keep streaming covered in-window).
+f01/f08/f12/f14 keep streaming covered in-window); then p22 and g32
+swap in for c02 and p02 (c07/c17/c18/c19–c22 keep dedup covered
+in-window, p01/p12/p16–p22 the pipeline family).
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES
