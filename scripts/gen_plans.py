@@ -365,6 +365,18 @@ ANNOTATED = {
         "aggregate with decimal-exact mean and exact PERCENTILE_CONT "
         "p50/p90."
     ),
+    "p22_quality_survival_curve": (
+        "Survival curve: one linear pass collapses the corpus to <=11 "
+        "int64-quantized decile cells (no Expand, no per-threshold "
+        "rescan); cumulative-from-top is an 11x11 bounded panel join; "
+        "doc total arrives as a broadcast scalar."
+    ),
+    "g32_ship_latency_profile": (
+        "Fulfillment SLA: unhinted fact-fact equi-join (AQE decides), "
+        "both scans pruned to key + one date column, integer-day "
+        "latency, |priorities|-bounded aggregate with exact "
+        "PERCENTILE_CONT."
+    ),
 }
 
 
