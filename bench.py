@@ -173,6 +173,7 @@ EXTRA = [
     "g31_interarrival_profile",
     "p22_quality_survival_curve",
     "g32_ship_latency_profile",
+    "g33_brand_basket_lift",
 ]
 
 

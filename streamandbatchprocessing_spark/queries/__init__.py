@@ -89,7 +89,10 @@ from .registry import ORACLES, QUERIES
 #: strict-oracle test). Fifth mid-round-7 update: p22 quality survival
 #: curve and g32 ship-latency profile swap in for two more r06-green
 #: re-confirmations (c02, p02 — c07/c17/c18/c19–c22 keep dedup
-#: covered in-window, p01/p12/p16–p22 the pipeline family).
+#: covered in-window, p01/p12/p16–p22 the pipeline family). Sixth
+#: mid-round-7 update: g33 brand-basket lift swaps in for one more
+#: r06-green re-confirmation (b30 — b33/b34 keep the layout family
+#: covered in-window).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -138,7 +141,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "p22_quality_survival_curve",
     # physical layout (b30 bucketed + b33 DPP keep the layout family
     # driver-covered; b34 compaction plan new)
-    "b30_bucketed_colocated_join", "b33_dynamic_partition_prune",
+    "b33_dynamic_partition_prune",
     "b34_compaction_plan",
     # cross-series analytics (g13/g23 rotated out green; g25
     # hour-of-week profile and g30 new-vs-returning new)
@@ -146,6 +149,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "g27_top_event_paths", "g28_rolling_active_users",
     "g29_revenue_pareto", "g30_new_returning_users",
     "g31_interarrival_profile", "g32_ship_latency_profile",
+    "g33_brand_basket_lift",
 )
 
 

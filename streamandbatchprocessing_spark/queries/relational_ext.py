@@ -2244,3 +2244,95 @@ def g32_ship_latency_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# ---------------------------------------------------------------------------
+# g33 — brand basket-affinity lift (market-basket co-occurrence)
+# ---------------------------------------------------------------------------
+@query(
+    "g33_brand_basket_lift",
+    oracle=f"""
+    WITH ob AS (SELECT DISTINCT l.l_orderkey AS ok, p.p_brand AS brand
+                FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    tot AS (SELECT CAST(COUNT(DISTINCT ok) AS BIGINT) AS n_orders FROM ob),
+    per AS (SELECT brand, CAST(COUNT(*) AS BIGINT) AS n_1
+            FROM ob GROUP BY brand),
+    pr AS (SELECT x.brand AS brand_a, y.brand AS brand_b,
+                  CAST(COUNT(*) AS BIGINT) AS n_ab
+           FROM ob x JOIN ob y ON x.ok = y.ok AND x.brand < y.brand
+           GROUP BY x.brand, y.brand)
+    SELECT brand_a, brand_b, n_ab,
+           a.n_1 AS n_orders_a, b.n_1 AS n_orders_b,
+           {pround_sql('CAST(n_ab AS DOUBLE) / n_orders', 6)} AS support,
+           {pround_sql(
+               'CAST(CAST(n_ab AS DECIMAL(38,0)) * n_orders AS DOUBLE)'
+               ' / CAST(CAST(a.n_1 AS DECIMAL(38,0)) * b.n_1 AS DOUBLE)',
+               6)} AS lift
+    FROM pr JOIN per a ON pr.brand_a = a.brand
+            JOIN per b ON pr.brand_b = b.brand, tot
+    ORDER BY brand_a, brand_b
+    """,
+)
+def g33_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity between part brands: for every brand pair
+    co-purchased in at least one order, the co-occurrence count,
+    support, and lift = P(a,b) / (P(a)·P(b)) — the cross-sell /
+    assortment table, and the relational twin of e19's collocation
+    lift (same statistic, baskets instead of token windows).
+
+    Scale: part is a broadcast dim; the basket stream collapses FIRST
+    to distinct (order, brand) pairs (the g28 move — brand is a
+    bounded enum, so per-order fan-in is capped and the within-order
+    self-join is Σk² with k ≤ |brands|, linear in orders, never
+    all-pairs across orders). Per-brand counts and the order total
+    join back as |brands|-bounded / scalar broadcasts; the output is
+    |brands|²-bounded. Lift forms both integer products exactly in
+    DECIMAL(38,0) with ONE double conversion each, so both engines
+    divide identical doubles."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    pt = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    ob = persist_tracked(
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select("l_orderkey", F.col("p_brand").alias("brand"))
+        .distinct()
+    )
+    tot = ob.agg(
+        F.countDistinct("l_orderkey").cast("long").alias("n_orders")
+    )
+    per = ob.groupBy("brand").agg(
+        F.count(F.lit(1)).cast("long").alias("n_1")
+    )
+    x, y = ob.alias("x"), ob.alias("y")
+    pr = (
+        x.join(y, (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+               & (F.col("x.brand") < F.col("y.brand")))
+        .groupBy(F.col("x.brand").alias("brand_a"),
+                 F.col("y.brand").alias("brand_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    )
+    a = per.select(F.col("brand").alias("brand_a"),
+                   F.col("n_1").alias("n_orders_a"))
+    b = per.select(F.col("brand").alias("brand_b"),
+                   F.col("n_1").alias("n_orders_b"))
+    dec = "decimal(38,0)"
+    return (
+        pr.join(F.broadcast(a), "brand_a")
+        .join(F.broadcast(b), "brand_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "brand_a", "brand_b", "n_ab", "n_orders_a", "n_orders_b",
+            pround(
+                F.col("n_ab").cast("double") / F.col("n_orders"), 6
+            ).alias("support"),
+            pround(
+                (F.col("n_ab").cast(dec) * F.col("n_orders"))
+                .cast("double")
+                / (F.col("n_orders_a").cast(dec) * F.col("n_orders_b"))
+                .cast("double"),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy("brand_a", "brand_b")
+    )

@@ -167,6 +167,9 @@ PERTURBED = [
     # fact-fact latency profile with exact integer-day percentiles.
     "p22_quality_survival_curve",
     "g32_ship_latency_profile",
+    # basket co-occurrence: distinct-first (order, brand) pairs, Σk²
+    # within-order self-join, broadcast per-brand counts + scalar total.
+    "g33_brand_basket_lift",
 ]
 
 _PERTURB = {
