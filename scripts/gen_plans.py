@@ -377,6 +377,12 @@ ANNOTATED = {
         "latency, |priorities|-bounded aggregate with exact "
         "PERCENTILE_CONT."
     ),
+    "g33_brand_basket_lift": (
+        "Market basket: broadcast part dim, distinct-first (order, "
+        "brand) pairs, within-order self-join (sum k^2, linear in "
+        "orders), per-brand counts + scalar total broadcast back, "
+        "|brands|^2-bounded output."
+    ),
 }
 
 
