@@ -581,3 +581,132 @@ def test_p21_manifest_is_lossless_and_balanced(spark, sf_dir):
         assert r["skew_ratio"] == pytest.approx(
             r["n_docs"] * n_shards / n, abs=1e-6
         )
+
+
+def test_d18_separation_grid_properties(spark, sf_dir):
+    """The centroid-pair grid must cover every unordered label pair
+    exactly once, cosines must sit in [-1, 1], distances must be
+    nonnegative, and n_vecs per label must be consistent across every
+    pair that label appears in."""
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = _q("d18_centroid_separation")(spark, sf_dir).collect()
+    labels = sorted(
+        r["label"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("label").distinct().collect()
+    )
+    n = len(labels)
+    assert len(rows) == n * (n - 1) // 2
+    assert {(r["label_a"], r["label_b"]) for r in rows} == {
+        (a, b) for a in labels for b in labels if a < b
+    }
+    counts: dict = {}
+    for r in rows:
+        assert -1.000001 <= r["cos_sim"] <= 1.000001
+        assert r["l2_dist"] >= 0
+        for lab, nv in ((r["label_a"], r["n_vecs_a"]),
+                        (r["label_b"], r["n_vecs_b"])):
+            assert counts.setdefault(lab, nv) == nv
+
+
+def test_m12_histogram_is_lossless_and_bucketed(spark, sf_dir):
+    """Bucket totals must add back to the corpus (docs and bytes),
+    every bucket's floor must be a power of two, and reclaimable bytes
+    must equal total minus distinct within each bucket."""
+    from streamandbatchprocessing_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    rows = _q("m12_payload_size_histogram")(spark, sf_dir).collect()
+    assert rows
+    docs = load_table(spark, sf_dir, "documents")
+    agg = docs.select(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.octet_length(F.encode("text", "UTF-8"))).alias("b"),
+    ).collect()[0]
+    assert sum(r["n_payloads"] for r in rows) == agg["n"]
+    assert sum(r["total_bytes"] for r in rows) == agg["b"]
+    for r in rows:
+        assert r["bucket_lo"] == 1 << (r["log2_bucket"] - 1)
+        assert r["n_distinct"] <= r["n_payloads"]
+        assert r["distinct_bytes"] <= r["total_bytes"]
+        assert (
+            r["reclaimable_bytes"]
+            == r["total_bytes"] - r["distinct_bytes"]
+        )
+
+
+def test_p22_survival_curve_is_monotone_and_anchored(spark, sf_dir):
+    """Survival counts must be non-increasing in the threshold, the
+    t=0 row must keep the whole corpus (share exactly 1), and the
+    surviving mean quality must be non-decreasing as the gate
+    tightens (while any docs survive)."""
+    rows = sorted(
+        _q("p22_quality_survival_curve")(spark, sf_dir).collect(),
+        key=lambda r: r["threshold_decile"],
+    )
+    assert len(rows) == 11
+    assert rows[0]["docs_share"] == pytest.approx(1.0, abs=1e-9)
+    prev_docs, prev_toks, prev_q = None, None, None
+    for r in rows:
+        if prev_docs is not None:
+            assert r["docs_kept"] <= prev_docs
+            assert r["tokens_kept"] <= prev_toks
+        if r["docs_kept"] > 0:
+            assert r["mean_quality_kept"] is not None
+            if prev_q is not None:
+                assert r["mean_quality_kept"] >= prev_q - 1e-9
+            prev_q = r["mean_quality_kept"]
+            # surviving mean must clear the gate's lower bound
+            assert (
+                r["mean_quality_kept"]
+                >= r["threshold_decile"] / 10.0 - 1e-6
+            )
+        else:
+            assert r["mean_quality_kept"] is None
+        prev_docs, prev_toks = r["docs_kept"], r["tokens_kept"]
+
+
+def test_g33_lift_identities(spark, sf_dir):
+    """Pair counts can never exceed either brand's order count,
+    support must equal n_ab / n_orders, and lift must equal
+    support / (share_a * share_b) within rounding."""
+    from streamandbatchprocessing_spark.sources.batch import load_table
+    from pyspark.sql import functions as F
+
+    rows = _q("g33_brand_basket_lift")(spark, sf_dir).collect()
+    assert rows
+    li = load_table(spark, sf_dir, "lineitem")
+    pt = load_table(spark, sf_dir, "part")
+    n_orders = (
+        li.join(pt, li.l_partkey == pt.p_partkey)
+        .select("l_orderkey").distinct().count()
+    )
+    for r in rows:
+        assert 1 <= r["n_ab"] <= min(r["n_orders_a"], r["n_orders_b"])
+        assert r["support"] == pytest.approx(
+            r["n_ab"] / n_orders, abs=1e-6
+        )
+        assert r["lift"] == pytest.approx(
+            r["n_ab"] * n_orders / (r["n_orders_a"] * r["n_orders_b"]),
+            abs=1e-5,
+        )
+
+
+def test_g31_g32_percentiles_bracketed(spark, sf_dir):
+    """For both latency profiles: p50 <= p90, both inside [min, max],
+    and the mean inside [min, max]."""
+    for name, lo, hi, mean, p50, p90 in (
+        ("g31_interarrival_profile", "min_gap_us", "max_gap_us",
+         "mean_gap_s", "p50_gap_s", "p90_gap_s"),
+        ("g32_ship_latency_profile", "min_days", "max_days",
+         "mean_days", "p50_days", "p90_days"),
+    ):
+        rows = _q(name)(spark, sf_dir).collect()
+        assert rows, name
+        scale = 1e6 if name.startswith("g31") else 1.0
+        for r in rows:
+            assert r[p50] <= r[p90] + 1e-9, name
+            assert r[lo] / scale - 1e-6 <= r[p50] <= r[hi] / scale + 1e-6
+            assert r[lo] / scale - 1e-6 <= r[p90] <= r[hi] / scale + 1e-6
+            assert r[lo] / scale - 1e-6 <= r[mean] <= r[hi] / scale + 1e-6
