@@ -378,10 +378,11 @@ ANNOTATED = {
         "PERCENTILE_CONT."
     ),
     "g33_brand_basket_lift": (
-        "Market basket: broadcast part dim, distinct-first (order, "
-        "brand) pairs, within-order self-join (sum k^2, linear in "
-        "orders), per-brand counts + scalar total broadcast back, "
-        "|brands|^2-bounded output."
+        "Market basket: broadcast part dim, ONE orderkey shuffle "
+        "collapses each order to a sorted distinct-brand array, pairs "
+        "generated map-side by a nested transform (sum k^2, linear in "
+        "orders, no second basket shuffle), per-brand counts + scalar "
+        "total broadcast back, |brands|^2-bounded output."
     ),
 }
 
