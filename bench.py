@@ -174,6 +174,7 @@ EXTRA = [
     "p22_quality_survival_curve",
     "g32_ship_latency_profile",
     "g33_brand_basket_lift",
+    "d19_pq_code_utilization",
 ]
 
 

@@ -92,7 +92,9 @@ from .registry import ORACLES, QUERIES
 #: covered in-window, p01/p12/p16–p22 the pipeline family). Sixth
 #: mid-round-7 update: g33 brand-basket lift swaps in for one more
 #: r06-green re-confirmation (b30 — b33/b34 keep the layout family
-#: covered in-window).
+#: covered in-window). Seventh mid-round-7 update: d19 PQ codebook
+#: utilization swaps in for one more r06-green re-confirmation (m07 —
+#: m09–m12 keep the multimodal family covered in-window).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -112,7 +114,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "d12_filtered_ann", "d13_embedding_norm_profile",
     "d14_ivf_cell_balance", "d15_pq_rerank_topk",
     "d16_retrieval_margin_profile", "d17_dim_variance_profile",
-    "d18_centroid_separation",
+    "d18_centroid_separation", "d19_pq_code_utilization",
     # text analysis (e12/e16 rotated out green; e17 novelty + e18
     # quality rules + e19 collocation lift new)
     "e10_pii_scrub",
@@ -127,7 +129,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "f14_stream_semi_join",
     # multimodal (m02/m05 rotated out green; m10 chunk dedup new —
     # d15/d03 keep the Arrow mapInPandas path in-window)
-    "m07_audio_chunk_plan",
     "m09_modality_manifest",
     "m10_chunk_dedup_profile", "m11_magic_byte_census",
     "m12_payload_size_histogram",

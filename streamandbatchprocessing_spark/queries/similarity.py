@@ -801,10 +801,10 @@ _L2_SQL = (
 )
 
 
-def _pq_cte_prefix() -> str:
-    """CTE chain through ``adc`` (qid, nid, adc_dist) — the shared
-    quantize→subspace→codebook→encode→LUT→ADC pipeline both d06's
-    ranking and d15's shortlist build on."""
+def _pq_codes_cte() -> str:
+    """CTE chain through ``codes`` (vec_id, m, code) — the shared
+    quantize→subspace→codebook→encode pipeline; d06/d15 extend it with
+    LUT+ADC scoring, d19 censuses it directly."""
     sd = f"(64 // {_PQ_M})"
     dist = _L2_SQL
     return f"""
@@ -823,7 +823,15 @@ def _pq_cte_prefix() -> str:
                ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
                                   ORDER BY {dist.format(a='s.sv', b='c.sv')},
                                            c.code) AS rn
-        FROM sub s JOIN cb c ON c.m = s.m) WHERE rn = 1),
+        FROM sub s JOIN cb c ON c.m = s.m) WHERE rn = 1)"""
+
+
+def _pq_cte_prefix() -> str:
+    """CTE chain through ``adc`` (qid, nid, adc_dist) — the shared
+    quantize→subspace→codebook→encode→LUT→ADC pipeline both d06's
+    ranking and d15's shortlist build on."""
+    dist = _L2_SQL
+    return f"""{_pq_codes_cte()},
     lut AS (SELECT q.vec_id AS qid, c.m, c.code,
                    {dist.format(a='q.sv', b='c.sv')} AS d
             FROM sub q JOIN cb c ON c.m = q.m
@@ -849,13 +857,12 @@ def _pq_oracle() -> str:
     """
 
 
-def _pq_adc_scores(spark: SparkSession, sf_dir: str):
-    """Shared PQ(M=8, ks=16) + ADC scoring dataflow (see the module
-    comment above ``_PQ_M``): returns ``(ei, scored)`` where ``ei`` is
-    the integer-quantized vector table and ``scored`` the
-    (qid, nid, adc_dist) relation for the bounded query panel. d06
-    ranks it directly; d15 shortlists it and reranks with exact
-    distances."""
+def _pq_encoded(spark: SparkSession, sf_dir: str):
+    """Shared PQ(M=8, ks=16) encoding dataflow: returns ``(ei, coded,
+    CB, sd)`` — the integer-quantized vector table, the (vec_id,
+    codes[M]) encoded corpus (one vectorized Arrow pass against the
+    broadcast codebook tensor), the codebook tensor itself, and the
+    subspace width."""
     base, ei = _quantized_vectors(spark, sf_dir)
     cb_rows = sorted(
         ei.filter(F.col("vec_id") < _PQ_KS).collect(),
@@ -887,6 +894,17 @@ def _pq_adc_scores(spark: SparkSession, sf_dir: str):
     coded = ei.select("vec_id", "iv").mapInPandas(
         encode, "vec_id long, codes array<long>"
     )
+    return ei, coded, CB, sd
+
+
+def _pq_adc_scores(spark: SparkSession, sf_dir: str):
+    """Shared PQ(M=8, ks=16) + ADC scoring dataflow (see the module
+    comment above ``_PQ_M``): returns ``(ei, scored)`` where ``ei`` is
+    the integer-quantized vector table and ``scored`` the
+    (qid, nid, adc_dist) relation for the bounded query panel. d06
+    ranks it directly; d15 shortlists it and reranks with exact
+    distances."""
+    ei, coded, CB, sd = _pq_encoded(spark, sf_dir)
 
     # Driver-built ADC lookup tables for the bounded query panel: the
     # query's EXACT subvector vs every codeword, integer L2.
@@ -2092,3 +2110,71 @@ def d18_centroid_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("l2_dist"),
     ).orderBy("label_a", "label_b")
+
+
+# ---------------------------------------------------------------------------
+# d19 — PQ codebook utilization census (index-health QA)
+# ---------------------------------------------------------------------------
+@query(
+    "d19_pq_code_utilization",
+    oracle=f"""{_pq_codes_cte()},
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM ei),
+    grid AS (SELECT CAST(g.m AS BIGINT) AS m, CAST(k.code AS BIGINT) AS code
+             FROM range(0, {_PQ_M}) g(m) CROSS JOIN range(0, {_PQ_KS}) k(code)),
+    cnt AS (SELECT m, code, CAST(COUNT(*) AS BIGINT) AS n_assigned
+            FROM codes GROUP BY m, code)
+    SELECT g.m, g.code,
+           CAST(COALESCE(c.n_assigned, 0) AS BIGINT) AS n_assigned,
+           floor((CAST(COALESCE(c.n_assigned, 0) AS DOUBLE) / n_vecs)
+                 * 1000000.0 + 0.5) / 1000000.0 AS share,
+           COALESCE(c.n_assigned, 0) = 0 AS is_dead
+    FROM grid g LEFT JOIN cnt c ON c.m = g.m AND c.code = g.code, tot
+    ORDER BY g.m, g.code
+    """,
+)
+def d19_pq_code_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ codebook utilization: for every (subspace, codeword) cell of
+    d06's PQ(M=8, ks=16) index, how many corpus vectors encode to that
+    code and its share of the subspace — the index-health census a
+    vector-store operator reads before trusting ADC recall: dead codes
+    mean wasted codebook capacity, and a code absorbing most of a
+    subspace means the quantizer cannot separate that region (retrain
+    or raise ks). The d14 cell-balance audit, one level down.
+
+    Scale: encoding reuses d06's single vectorized Arrow pass against
+    the broadcast codebook tensor (the corpus never pairwise-compares);
+    the census is a posexplode to (m, code) — M rows per vector, a
+    scan-stage projection — into an M·ks-bounded map-side-combinable
+    count, right-joined onto the full M×ks grid so DEAD codes appear
+    explicitly (a census that only lists occupied cells can never show
+    the waste). Total and shares arrive via one broadcast scalar; all
+    integers until the final 6dp share."""
+    ei, coded, _, _ = _pq_encoded(spark, sf_dir)
+    tot = ei.agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+    cnt = (
+        coded.select(F.posexplode("codes").alias("m", "code"))
+        .groupBy("m", "code")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_assigned"))
+        .select(F.col("m").cast("long").alias("m"), "code", "n_assigned")
+    )
+    grid = (
+        spark.range(0, _PQ_M).select(F.col("id").alias("m"))
+        .crossJoin(spark.range(0, _PQ_KS).select(F.col("id").alias("code")))
+    )
+    return (
+        grid.join(F.broadcast(cnt), ["m", "code"], "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "m", "code",
+            F.coalesce(F.col("n_assigned"), F.lit(0)).cast("long")
+            .alias("n_assigned"),
+            pround(
+                F.coalesce(F.col("n_assigned"), F.lit(0)).cast("double")
+                / F.col("n_vecs"),
+                6,
+            ).alias("share"),
+            (F.coalesce(F.col("n_assigned"), F.lit(0)) == 0)
+            .alias("is_dead"),
+        )
+        .orderBy("m", "code")
+    )

@@ -170,6 +170,9 @@ PERTURBED = [
     # basket co-occurrence: distinct-first (order, brand) pairs, Σk²
     # within-order self-join, broadcast per-brand counts + scalar total.
     "g33_brand_basket_lift",
+    # PQ utilization census: Arrow encode pass, M-per-vector posexplode
+    # into an M*ks-bounded count, dead codes restored by a grid join.
+    "d19_pq_code_utilization",
 ]
 
 _PERTURB = {

@@ -22,7 +22,8 @@ d18, m12, and g31 swap in for f13, m08, and g24 (same policy —
 f01/f08/f12/f14 keep streaming covered in-window); then p22 and g32
 swap in for c02 and p02 (c07/c17/c18/c19–c22 keep dedup covered
 in-window, p01/p12/p16–p22 the pipeline family); then g33 swaps in
-for b30 (b33/b34 keep the layout family covered).
+for b30 (b33/b34 keep the layout family covered); then d19 swaps in
+for m07 (m09–m12 keep the multimodal family covered).
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES

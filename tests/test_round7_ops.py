@@ -710,3 +710,29 @@ def test_g31_g32_percentiles_bracketed(spark, sf_dir):
             assert r[lo] / scale - 1e-6 <= r[p50] <= r[hi] / scale + 1e-6
             assert r[lo] / scale - 1e-6 <= r[p90] <= r[hi] / scale + 1e-6
             assert r[lo] / scale - 1e-6 <= r[mean] <= r[hi] / scale + 1e-6
+
+
+def test_d19_utilization_census_identities(spark, sf_dir):
+    """The census must cover the full M x ks grid exactly once, each
+    subspace's assignments must add back to the corpus size (every
+    vector encodes to exactly one code per subspace), shares must sum
+    to ~1 per subspace, and is_dead must mirror n_assigned == 0."""
+    from streamandbatchprocessing_spark.queries.similarity import (
+        _PQ_KS,
+        _PQ_M,
+    )
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = _q("d19_pq_code_utilization")(spark, sf_dir).collect()
+    assert len(rows) == _PQ_M * _PQ_KS
+    assert {(r["m"], r["code"]) for r in rows} == {
+        (m, k) for m in range(_PQ_M) for k in range(_PQ_KS)
+    }
+    n = load_table(spark, sf_dir, "embeddings").count()
+    for m in range(_PQ_M):
+        sub = [r for r in rows if r["m"] == m]
+        assert sum(r["n_assigned"] for r in sub) == n
+        assert sum(r["share"] for r in sub) == pytest.approx(1.0, abs=2e-5)
+    for r in rows:
+        assert r["is_dead"] == (r["n_assigned"] == 0)
+        assert 0.0 <= r["share"] <= 1.0
