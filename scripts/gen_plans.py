@@ -377,6 +377,12 @@ ANNOTATED = {
         "latency, |priorities|-bounded aggregate with exact "
         "PERCENTILE_CONT."
     ),
+    "d19_pq_code_utilization": (
+        "PQ index health: one Arrow encode pass (broadcast codebook "
+        "tensor), M-per-vector posexplode into an M*ks-bounded "
+        "map-side count, grid join restores dead codes, broadcast "
+        "scalar total for shares."
+    ),
     "g33_brand_basket_lift": (
         "Market basket: broadcast part dim, ONE orderkey shuffle "
         "collapses each order to a sorted distinct-brand array, pairs "
