@@ -175,6 +175,7 @@ EXTRA = [
     "g32_ship_latency_profile",
     "g33_brand_basket_lift",
     "d19_pq_code_utilization",
+    "d20_ivf_assignment_margin",
 ]
 
 

@@ -94,7 +94,10 @@ from .registry import ORACLES, QUERIES
 #: r06-green re-confirmation (b30 — b33/b34 keep the layout family
 #: covered in-window). Seventh mid-round-7 update: d19 PQ codebook
 #: utilization swaps in for one more r06-green re-confirmation (m07 —
-#: m09–m12 keep the multimodal family covered in-window).
+#: m09–m12 keep the multimodal family covered in-window). Eighth
+#: mid-round-7 update: d20 IVF assignment margin swaps in for one more
+#: r06-green re-confirmation (p16 — p17–p22 keep the pipeline family
+#: covered in-window).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -115,6 +118,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "d14_ivf_cell_balance", "d15_pq_rerank_topk",
     "d16_retrieval_margin_profile", "d17_dim_variance_profile",
     "d18_centroid_separation", "d19_pq_code_utilization",
+    "d20_ivf_assignment_margin",
     # text analysis (e12/e16 rotated out green; e17 novelty + e18
     # quality rules + e19 collocation lift new)
     "e10_pii_scrub",
@@ -136,7 +140,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # mix + p18 length histogram new)
     "p01_training_mix",
     "p12_column_profile_at_scale",
-    "p16_budget_apportionment",
     "p17_dedup_adjusted_mix", "p18_token_length_histogram",
     "p19_dataset_card", "p20_epoch_plan", "p21_shard_manifest",
     "p22_quality_survival_curve",

@@ -2178,3 +2178,127 @@ def d19_pq_code_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m", "code")
     )
+
+
+# ---------------------------------------------------------------------------
+# d20 — IVF assignment-margin report (cell-boundary ambiguity QA)
+# ---------------------------------------------------------------------------
+#: A vector whose nearest-vs-second-nearest centroid distance ratio
+#: d1²/d2² exceeds this sits near a Voronoi boundary: single-probe
+#: search may miss it, which is exactly what d11's nprobe sweep pays
+#: to recover.
+_MARGIN_AMBIG_RATIO6 = 800_000  # 0.8 in micro-units
+
+
+def _d20_oracle() -> str:
+    dist = _KM_DIST.format(a="ei.iv")
+    parts, last = _kmeans_parts()
+    parts.append(
+        f"""r AS (SELECT ei.vec_id, c.cid, {dist} AS dd,
+               ROW_NUMBER() OVER (PARTITION BY ei.vec_id
+                                  ORDER BY {dist}, c.cid) AS rn
+        FROM ei CROSS JOIN {last} c)"""
+    )
+    parts.append(
+        """t AS (SELECT vec_id,
+                 MAX(CASE WHEN rn = 1 THEN cid END) AS cid,
+                 MAX(CASE WHEN rn = 1 THEN dd END) AS d1,
+                 MAX(CASE WHEN rn = 2 THEN dd END) AS d2
+          FROM r WHERE rn <= 2 GROUP BY vec_id)"""
+    )
+    parts.append(
+        """q AS (SELECT cid,
+                 CASE WHEN d2 = 0 THEN 1000000
+                      ELSE CAST(floor(CAST(d1 AS DOUBLE) / d2
+                                      * 1000000.0 + 0.5) AS BIGINT)
+                 END AS r6
+          FROM t)"""
+    )
+    body = ",\n    ".join(parts)
+    return f"""
+    {body}
+    SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           {pround_sql(
+               'CAST(SUM(CAST(r6 AS DECIMAL(38,0))) AS DOUBLE)'
+               ' / COUNT(*) / 1000000.0', 6)} AS mean_margin_ratio,
+           CAST(SUM(CASE WHEN r6 >= {_MARGIN_AMBIG_RATIO6}
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_ambiguous,
+           {pround_sql(
+               f'CAST(SUM(CASE WHEN r6 >= {_MARGIN_AMBIG_RATIO6}'
+               ' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)', 6)}
+               AS ambiguous_share
+    FROM q GROUP BY cid ORDER BY cid
+    """
+
+
+@query("d20_ivf_assignment_margin", oracle=_d20_oracle())
+def d20_ivf_assignment_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF cell-boundary ambiguity: for every k-means cell of d04's
+    index, how many vectors it holds, the mean nearest-vs-second
+    squared-distance ratio, and the count/share of BOUNDARY vectors
+    (ratio ≥ 0.8) — the per-cell diagnosis of why single-probe recall
+    drops (d11 measures the symptom across nprobe; this localizes the
+    cause to specific cells, the signal for re-clustering or raising
+    that cell's probe priority).
+
+    Scale: reuses d04's deterministic integer Lloyd (broadcast k·dim
+    centroid tensor, vectorized Arrow passes — the corpus never
+    pairwise-compares); the top-2 distances come from ONE extra Arrow
+    pass with a stable argsort whose tie-break (lowest cid) matches
+    the oracle's (dd, cid) ROW_NUMBER. The ratio quantizes per row to
+    int64 micro-units (pround's floor numerator on a double built from
+    two exact int64 distances — identical on both engines), so the
+    per-cell mean accumulates exact DECIMAL(38,0) with ONE double
+    conversion; output is k-bounded."""
+    _, ei = _quantized_vectors(spark, sf_dir)
+    centroids, _ = _integer_kmeans(ei)
+    C = np.array([civ for _, civ in centroids], dtype=np.int64)
+    cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
+
+    def top2(it, C=C, cids=cids):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["iv"].tolist(), dtype=np.int64)
+            d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # stable argsort + cid-ascending rows == (distance, cid)
+            # tie-break, matching the oracle's ROW_NUMBER order.
+            ordr = np.argsort(d2, axis=1, kind="stable")
+            rows = np.arange(len(X))
+            yield pd.DataFrame(
+                {
+                    "cid": cids[ordr[:, 0]],
+                    "d1": d2[rows, ordr[:, 0]],
+                    "d2": d2[rows, ordr[:, 1]],
+                }
+            )
+
+    t = ei.select("iv").mapInPandas(top2, "cid long, d1 long, d2 long")
+    q = t.select(
+        "cid",
+        F.expr(
+            "CASE WHEN d2 = 0 THEN 1000000"
+            " ELSE CAST(floor(CAST(d1 AS DOUBLE) / d2"
+            " * 1000000.0 + 0.5) AS BIGINT) END"
+        ).alias("r6"),
+    )
+    amb = (F.col("r6") >= _MARGIN_AMBIG_RATIO6).cast("long")
+    return (
+        q.groupBy("cid")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum(F.col("r6").cast("decimal(38,0)")).alias("s"),
+            F.sum(amb).cast("long").alias("n_ambiguous"),
+        )
+        .select(
+            "cid", "n_vecs",
+            pround(
+                F.col("s").cast("double") / F.col("n_vecs") / 1000000.0, 6
+            ).alias("mean_margin_ratio"),
+            "n_ambiguous",
+            pround(
+                F.col("n_ambiguous").cast("double") / F.col("n_vecs"), 6
+            ).alias("ambiguous_share"),
+        )
+        .orderBy("cid")
+    )

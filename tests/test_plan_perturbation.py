@@ -173,6 +173,9 @@ PERTURBED = [
     # PQ utilization census: Arrow encode pass, M-per-vector posexplode
     # into an M*ks-bounded count, dead codes restored by a grid join.
     "d19_pq_code_utilization",
+    # IVF boundary ambiguity: integer Lloyd + one Arrow top-2 pass,
+    # per-row micro-unit ratio, k-bounded decimal-mean aggregate.
+    "d20_ivf_assignment_margin",
 ]
 
 _PERTURB = {

@@ -736,3 +736,25 @@ def test_d19_utilization_census_identities(spark, sf_dir):
     for r in rows:
         assert r["is_dead"] == (r["n_assigned"] == 0)
         assert 0.0 <= r["share"] <= 1.0
+
+
+def test_d20_margin_report_identities(spark, sf_dir):
+    """Cell populations must add back to the corpus, the mean margin
+    ratio must sit in [0, 1] (d1 <= d2 by construction), ambiguous
+    counts must respect their population, and the cell ids must be a
+    subset of the k seed ids."""
+    from streamandbatchprocessing_spark.queries.similarity import _IVF_K
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = _q("d20_ivf_assignment_margin")(spark, sf_dir).collect()
+    assert rows
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n_vecs"] for r in rows) == n
+    assert len(rows) <= _IVF_K
+    for r in rows:
+        assert 0 <= r["cid"] < _IVF_K
+        assert 0.0 <= r["mean_margin_ratio"] <= 1.0 + 1e-9
+        assert 0 <= r["n_ambiguous"] <= r["n_vecs"]
+        assert r["ambiguous_share"] == pytest.approx(
+            r["n_ambiguous"] / r["n_vecs"], abs=1e-6
+        )
