@@ -377,6 +377,11 @@ ANNOTATED = {
         "latency, |priorities|-bounded aggregate with exact "
         "PERCENTILE_CONT."
     ),
+    "d20_ivf_assignment_margin": (
+        "IVF boundary QA: integer Lloyd (broadcast centroid tensor), "
+        "ONE Arrow top-2 distance pass, per-row micro-unit ratio, "
+        "k-bounded decimal-mean aggregate."
+    ),
     "d19_pq_code_utilization": (
         "PQ index health: one Arrow encode pass (broadcast codebook "
         "tensor), M-per-vector posexplode into an M*ks-bounded "
