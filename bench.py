@@ -176,6 +176,7 @@ EXTRA = [
     "g33_brand_basket_lift",
     "d19_pq_code_utilization",
     "d20_ivf_assignment_margin",
+    "e21_source_language_purity",
 ]
 
 

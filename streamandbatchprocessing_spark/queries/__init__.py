@@ -97,7 +97,9 @@ from .registry import ORACLES, QUERIES
 #: m09–m12 keep the multimodal family covered in-window). Eighth
 #: mid-round-7 update: d20 IVF assignment margin swaps in for one more
 #: r06-green re-confirmation (p16 — p17–p22 keep the pipeline family
-#: covered in-window).
+#: covered in-window). Ninth mid-round-7 update: e21 source-language
+#: purity swaps in for one more r06-green re-confirmation (c17 —
+#: c07/c18–c22 keep the dedup family covered in-window).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -106,7 +108,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # its new composite blocking key; c19 source matrix + c20
     # containment new)
     "c07_dup_clusters",
-    "c17_cluster_canonical_keep_best",
     "c18_blocked_fuzzy_match",
     "c19_cross_source_dup_matrix", "c20_containment_pairs",
     "c21_candidate_degree_profile", "c22_dup_group_histogram",
@@ -123,7 +124,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # quality rules + e19 collocation lift new)
     "e10_pii_scrub",
     "e17_trigram_novelty", "e18_quality_rules", "e19_collocation_lift",
-    "e20_charclass_profile",
+    "e20_charclass_profile", "e21_source_language_purity",
     # streaming extensions (f02/f03/f06/f07/f09 rotate out green —
     # f08/f12/f14 keep the join matrix and f04-style state covered;
     # f14 semi join completes the stream-stream join matrix)

@@ -1509,3 +1509,88 @@ def e20_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         pround(F.col("space_chars") * 1.0 / F.col("total_chars"), 6)
         .alias("space_ratio"),
     ).orderBy("source")
+
+
+# ---------------------------------------------------------------------------
+# e21 — per-source language purity (label-noise screen)
+# ---------------------------------------------------------------------------
+@query(
+    "e21_source_language_purity",
+    oracle="""
+    WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM documents GROUP BY source, lang),
+    w AS (SELECT source, lang, cnt,
+                 SUM(cnt) OVER (PARTITION BY source) AS n
+          FROM c),
+    t AS (SELECT source, lang, cnt, n,
+                 CAST(floor((-1.0 * (CAST(cnt AS DOUBLE) / n)
+                             * ln(CAST(cnt AS DOUBLE) / n))
+                            * 1000000000.0 + 0.5) AS BIGINT) AS t9
+          FROM w),
+    top AS (SELECT source, lang AS top_lang, cnt AS top_cnt FROM (
+        SELECT source, lang, cnt,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY cnt DESC, lang DESC) AS rn
+        FROM c) WHERE rn = 1)
+    SELECT t.source,
+           CAST(MAX(t.n) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           MAX(top.top_lang) AS top_lang,
+           floor((CAST(MAX(top.top_cnt) AS DOUBLE) / MAX(t.n))
+                 * 1000000.0 + 0.5) / 1000000.0 AS top_share,
+           floor((CAST(SUM(t.t9) AS DOUBLE) / 1000000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS lang_entropy
+    FROM t JOIN top ON top.source = t.source
+    GROUP BY t.source
+    ORDER BY t.source
+    """,
+)
+def e21_source_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source language composition: document count, distinct
+    languages, the dominant language and its share, and the Shannon
+    entropy (nats) of the source's language distribution — the
+    label-noise screen a multilingual mix owner reads next to e06's
+    langid confusion: a source claiming to be monolingual with
+    entropy >> 0 has mislabeled documents, and p01's per-source
+    budgets assume the labels.
+
+    Scale: one linear scan into a |sources|x|langs|-bounded cell
+    census; everything after runs on that metadata-sized panel — the
+    per-source total is a panel window, the dominant language a
+    deterministic struct-max (count then lang, matching the oracle's
+    ROW_NUMBER tie-break), and each entropy term quantizes to int64
+    NANO-units after one ln() on an identical double (the p15/e13
+    libm precedent), so the per-source sum is exact integer
+    arithmetic — partition order cannot move it."""
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("source")
+    t = cells.withColumn("n", F.sum("cnt").over(w)).withColumn(
+        "t9",
+        F.expr(
+            "CAST(floor((-1.0 * (CAST(cnt AS DOUBLE) / n)"
+            " * ln(CAST(cnt AS DOUBLE) / n))"
+            " * 1000000000.0 + 0.5) AS BIGINT)"
+        ),
+    )
+    return (
+        t.groupBy("source")
+        .agg(
+            F.max("n").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_langs"),
+            F.max(F.struct(F.col("cnt"), F.col("lang"))).alias("top"),
+            F.sum("t9").cast("long").alias("s9"),
+        )
+        .select(
+            "source", "n_docs", "n_langs",
+            F.col("top.lang").alias("top_lang"),
+            pround(
+                F.col("top.cnt").cast("double") / F.col("n_docs"), 6
+            ).alias("top_share"),
+            pround(F.col("s9").cast("double") / 1000000000.0, 6)
+            .alias("lang_entropy"),
+        )
+        .orderBy("source")
+    )

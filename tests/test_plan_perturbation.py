@@ -176,6 +176,9 @@ PERTURBED = [
     # IVF boundary ambiguity: integer Lloyd + one Arrow top-2 pass,
     # per-row micro-unit ratio, k-bounded decimal-mean aggregate.
     "d20_ivf_assignment_margin",
+    # language purity: cell census panel, per-cell nano-unit entropy
+    # terms, deterministic struct-max dominant language.
+    "e21_source_language_purity",
 ]
 
 _PERTURB = {

@@ -24,7 +24,8 @@ swap in for c02 and p02 (c07/c17/c18/c19–c22 keep dedup covered
 in-window, p01/p12/p16–p22 the pipeline family); then g33 swaps in
 for b30 (b33/b34 keep the layout family covered); then d19 swaps in
 for m07 (m09–m12 keep the multimodal family covered); then d20 swaps
-in for p16 (p17–p22 keep the pipeline family covered).
+in for p16 (p17–p22 keep the pipeline family covered); then e21 swaps
+in for c17 (c07/c18–c22 keep the dedup family covered).
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES

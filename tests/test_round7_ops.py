@@ -758,3 +758,23 @@ def test_d20_margin_report_identities(spark, sf_dir):
         assert r["ambiguous_share"] == pytest.approx(
             r["n_ambiguous"] / r["n_vecs"], abs=1e-6
         )
+
+
+def test_e21_purity_identities(spark, sf_dir):
+    """Source doc counts must add back to the corpus, the dominant
+    share must be >= 1/n_langs, entropy must sit in [0, ln(n_langs)],
+    and a single-language source must report zero entropy and share 1."""
+    import math
+
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = _q("e21_source_language_purity")(spark, sf_dir).collect()
+    assert rows
+    n = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_docs"] for r in rows) == n
+    for r in rows:
+        assert 1.0 / r["n_langs"] - 1e-6 <= r["top_share"] <= 1.0
+        assert -1e-9 <= r["lang_entropy"] <= math.log(r["n_langs"]) + 1e-6
+        if r["n_langs"] == 1:
+            assert r["top_share"] == pytest.approx(1.0, abs=1e-9)
+            assert r["lang_entropy"] == pytest.approx(0.0, abs=1e-9)
