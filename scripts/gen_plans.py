@@ -377,6 +377,11 @@ ANNOTATED = {
         "latency, |priorities|-bounded aggregate with exact "
         "PERCENTILE_CONT."
     ),
+    "e21_source_language_purity": (
+        "Label-noise screen: one linear scan into a |sources|*|langs| "
+        "cell census, panel-window totals, struct-max dominant "
+        "language, nano-unit entropy terms summed as exact integers."
+    ),
     "d20_ivf_assignment_margin": (
         "IVF boundary QA: integer Lloyd (broadcast centroid tensor), "
         "ONE Arrow top-2 distance pass, per-row micro-unit ratio, "
