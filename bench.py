@@ -177,6 +177,7 @@ EXTRA = [
     "d19_pq_code_utilization",
     "d20_ivf_assignment_margin",
     "e21_source_language_purity",
+    "g34_cohort_ltv",
 ]
 
 

@@ -99,7 +99,10 @@ from .registry import ORACLES, QUERIES
 #: r06-green re-confirmation (p16 — p17–p22 keep the pipeline family
 #: covered in-window). Ninth mid-round-7 update: e21 source-language
 #: purity swaps in for one more r06-green re-confirmation (c17 —
-#: c07/c18–c22 keep the dedup family covered in-window).
+#: c07/c18–c22 keep the dedup family covered in-window). Tenth
+#: mid-round-7 update: g34 cohort LTV swaps in for one more r06-green
+#: re-confirmation (m09 — m10–m12 keep the multimodal family covered
+#: in-window).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -134,7 +137,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "f14_stream_semi_join",
     # multimodal (m02/m05 rotated out green; m10 chunk dedup new —
     # d15/d03 keep the Arrow mapInPandas path in-window)
-    "m09_modality_manifest",
     "m10_chunk_dedup_profile", "m11_magic_byte_census",
     "m12_payload_size_histogram",
     # composed pipelines (p11 rotated out green; p17 dedup-adjusted
@@ -154,7 +156,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "g27_top_event_paths", "g28_rolling_active_users",
     "g29_revenue_pareto", "g30_new_returning_users",
     "g31_interarrival_profile", "g32_ship_latency_profile",
-    "g33_brand_basket_lift",
+    "g33_brand_basket_lift", "g34_cohort_ltv",
 )
 
 

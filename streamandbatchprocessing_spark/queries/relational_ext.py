@@ -2346,3 +2346,94 @@ def g33_brand_basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand_a", "brand_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# g34 — cohort LTV curve (cumulative revenue per user by acquisition week)
+# ---------------------------------------------------------------------------
+@query(
+    "g34_cohort_ltv",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d, event_type, value
+                FROM events),
+    first AS (SELECT user_id, MIN(d) AS cohort_date
+              FROM ev GROUP BY user_id),
+    sizes AS (SELECT cohort_date,
+                     CAST(COUNT(*) AS BIGINT) AS cohort_size
+              FROM first GROUP BY cohort_date),
+    cell AS (SELECT f.cohort_date,
+                    CAST(date_diff('day', f.cohort_date, e.d) AS BIGINT)
+                        AS day_offset,
+                    CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                    SUM(CAST(e.value AS DECIMAL(25,6))) AS rev
+             FROM ev e JOIN first f ON f.user_id = e.user_id
+             WHERE e.event_type = 'purchase'
+             GROUP BY f.cohort_date, day_offset),
+    cum AS (SELECT cohort_date, day_offset, n_purchases,
+                   rev,
+                   SUM(rev) OVER (PARTITION BY cohort_date
+                                  ORDER BY day_offset) AS cum_rev
+            FROM cell)
+    SELECT c.cohort_date, c.day_offset, c.n_purchases,
+           {pround_sql('CAST(c.rev AS DOUBLE)', 6)} AS revenue,
+           {pround_sql('CAST(c.cum_rev AS DOUBLE)', 6)} AS cum_revenue,
+           {pround_sql(
+               'CAST(c.cum_rev AS DOUBLE) / s.cohort_size', 6)}
+               AS ltv_per_user
+    FROM cum c JOIN sizes s ON s.cohort_date = c.cohort_date
+    ORDER BY c.cohort_date, c.day_offset
+    """,
+)
+def g34_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: users cohorted by FIRST active day;
+    each (cohort, day-offset) cell carries that day's purchase count
+    and revenue plus the cohort's CUMULATIVE revenue and LTV per
+    acquired user — the payback-period table next to g15's retention
+    grid (g15 says who comes back; this says what they're worth).
+
+    Scale: the g15 discipline — first-touch is one user-keyed reduce,
+    the purchase stream joins it on user (map-side vs the
+    dimension-sized first-touch table at scale), the cell aggregate
+    shuffles on (cohort, offset) — bounded by days², not data volume —
+    and cohort sizes broadcast back. Revenue accumulates in exact
+    DECIMAL(25,6) (order-independent) including the running total,
+    whose window runs on the bounded days² grid, never the corpus;
+    every double is produced by ONE decimal conversion + pround."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d"), "event_type", "value"
+    )
+    first = ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+    sizes = first.groupBy("cohort_date").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cell = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .groupBy(
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).cast("long")
+            .alias("day_offset"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(25,6)")).alias("rev"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_date")
+        .orderBy("day_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = cell.withColumn("cum_rev", F.sum("rev").over(w))
+    return (
+        cum.join(F.broadcast(sizes), "cohort_date")
+        .select(
+            "cohort_date", "day_offset", "n_purchases",
+            pround(F.col("rev").cast("double"), 6).alias("revenue"),
+            pround(F.col("cum_rev").cast("double"), 6).alias("cum_revenue"),
+            pround(
+                F.col("cum_rev").cast("double") / F.col("cohort_size"), 6
+            ).alias("ltv_per_user"),
+        )
+        .orderBy("cohort_date", "day_offset")
+    )

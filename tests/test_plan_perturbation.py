@@ -179,6 +179,9 @@ PERTURBED = [
     # language purity: cell census panel, per-cell nano-unit entropy
     # terms, deterministic struct-max dominant language.
     "e21_source_language_purity",
+    # cohort LTV: user-keyed first-touch reduce, days²-bounded grid,
+    # decimal running revenue, broadcast cohort sizes.
+    "g34_cohort_ltv",
 ]
 
 _PERTURB = {

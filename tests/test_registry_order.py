@@ -25,7 +25,8 @@ in-window, p01/p12/p16–p22 the pipeline family); then g33 swaps in
 for b30 (b33/b34 keep the layout family covered); then d19 swaps in
 for m07 (m09–m12 keep the multimodal family covered); then d20 swaps
 in for p16 (p17–p22 keep the pipeline family covered); then e21 swaps
-in for c17 (c07/c18–c22 keep the dedup family covered).
+in for c17 (c07/c18–c22 keep the dedup family covered); then g34
+swaps in for m09 (m10–m12 keep the multimodal family covered).
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES

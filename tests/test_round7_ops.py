@@ -778,3 +778,38 @@ def test_e21_purity_identities(spark, sf_dir):
         if r["n_langs"] == 1:
             assert r["top_share"] == pytest.approx(1.0, abs=1e-9)
             assert r["lang_entropy"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_g34_ltv_identities(spark, sf_dir):
+    """Within a cohort: cum_revenue must be the running sum of revenue
+    (non-decreasing), ltv_per_user must equal cum_revenue divided by
+    the recomputed cohort size, and offsets must be nonnegative."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = _q("g34_cohort_ltv")(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("d")
+    )
+    sizes = {
+        r["cohort_date"]: r["n"]
+        for r in ev.groupBy("user_id").agg(F.min("d").alias("cohort_date"))
+        .groupBy("cohort_date").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    by_cohort = defaultdict(list)
+    for r in rows:
+        assert r["day_offset"] >= 0
+        by_cohort[r["cohort_date"]].append(r)
+    for cd, cells in by_cohort.items():
+        cells.sort(key=lambda r: r["day_offset"])
+        run = 0.0
+        for r in cells:
+            run += r["revenue"]
+            assert r["cum_revenue"] == pytest.approx(run, abs=1e-4)
+            assert r["ltv_per_user"] == pytest.approx(
+                r["cum_revenue"] / sizes[cd], abs=1e-4
+            )
