@@ -377,6 +377,11 @@ ANNOTATED = {
         "latency, |priorities|-bounded aggregate with exact "
         "PERCENTILE_CONT."
     ),
+    "g34_cohort_ltv": (
+        "Payback curve: user-keyed first-touch reduce, purchase stream "
+        "joined to the dimension-sized cohort table, days^2-bounded "
+        "grid, decimal running revenue, broadcast cohort sizes."
+    ),
     "e21_source_language_purity": (
         "Label-noise screen: one linear scan into a |sources|*|langs| "
         "cell census, panel-window totals, struct-max dominant "
