@@ -178,6 +178,7 @@ EXTRA = [
     "d20_ivf_assignment_margin",
     "e21_source_language_purity",
     "g34_cohort_ltv",
+    "p23_length_quality_grid",
 ]
 
 

@@ -102,7 +102,9 @@ from .registry import ORACLES, QUERIES
 #: c07/c18–c22 keep the dedup family covered in-window). Tenth
 #: mid-round-7 update: g34 cohort LTV swaps in for one more r06-green
 #: re-confirmation (m09 — m10–m12 keep the multimodal family covered
-#: in-window).
+#: in-window). Eleventh mid-round-7 update: p23 length x quality grid
+#: swaps in for one more r06-green re-confirmation (p01 — p12/p17–p23
+#: keep the pipeline family covered in-window).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -141,11 +143,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "m12_payload_size_histogram",
     # composed pipelines (p11 rotated out green; p17 dedup-adjusted
     # mix + p18 length histogram new)
-    "p01_training_mix",
     "p12_column_profile_at_scale",
     "p17_dedup_adjusted_mix", "p18_token_length_histogram",
     "p19_dataset_card", "p20_epoch_plan", "p21_shard_manifest",
-    "p22_quality_survival_curve",
+    "p22_quality_survival_curve", "p23_length_quality_grid",
     # physical layout (b30 bucketed + b33 DPP keep the layout family
     # driver-covered; b34 compaction plan new)
     "b33_dynamic_partition_prune",

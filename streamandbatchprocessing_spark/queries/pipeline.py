@@ -1805,3 +1805,100 @@ def p22_quality_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("threshold_decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# p23 — length x quality joint grid (confounder screen for the gate)
+# ---------------------------------------------------------------------------
+def _p23_oracle() -> str:
+    from .textops import _STOP_IN
+
+    return f"""
+    WITH qt AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                       CAST(length(text) AS BIGINT) AS n_chars
+                FROM documents),
+    qm AS (SELECT doc_id, n_chars,
+                  CAST(len(toks) AS BIGINT) AS n_tokens,
+                  CAST(len(list_filter(toks, t -> t IN ({_STOP_IN})))
+                       AS BIGINT) AS stop_hits,
+                  floor(((n_chars - len(toks) + 1) * 1.0 / len(toks))
+                        * 1000000.0 + 0.5) / 1000000.0 AS avg_token_len
+           FROM qt),
+    s AS (SELECT n_tokens,
+                 CAST(length(bin(n_tokens)) AS INT) AS len_bucket,
+                 CAST(floor((0.5 * (stop_hits * 1.0 / n_tokens)
+                       + 0.3 * (CASE WHEN n_tokens > 60 THEN 60
+                                     ELSE n_tokens END / 60.0)
+                       + 0.2 * (CASE WHEN avg_token_len > 8 THEN 8
+                                     ELSE avg_token_len END / 8.0))
+                      * 1000000.0 + 0.5) AS BIGINT) // 100000
+                     AS quality_decile
+          FROM qm),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM s)
+    SELECT len_bucket,
+           CAST(1 AS BIGINT) << (len_bucket - 1) AS bucket_lo,
+           quality_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           floor((CAST(COUNT(*) AS DOUBLE) / MAX(n_total)) * 1000000.0
+                 + 0.5) / 1000000.0 AS doc_share
+    FROM s, tot
+    GROUP BY len_bucket, quality_decile
+    ORDER BY len_bucket, quality_decile
+    """
+
+
+@query("p23_length_quality_grid", oracle=_p23_oracle())
+def p23_length_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Joint distribution of document LENGTH (p18's power-of-two token
+    buckets) and QUALITY (p22's score deciles): doc/token counts and
+    corpus share per cell — the confounder screen read before p09's
+    quality gate ships, because a gate that silently keeps only one
+    length class (quality correlates with length by construction:
+    0.3 weight on min(n_tokens, 60)) reshapes p03's packing and p16's
+    budgets in ways a marginal histogram cannot show.
+
+    Scale: ONE linear scan computes both bucket indices statelessly —
+    the length bucket is the BINARY LENGTH of the token count (p18's
+    integer move) and the quality decile is integer division of
+    pround's int64 micro-unit numerator (p22's move) — so the corpus
+    collapses map-side into a <=|len_buckets|x11 cell grid; the corpus
+    total arrives as a broadcast scalar (W1) for the 6dp share. No
+    float boundary anywhere for engines to disagree on."""
+    from .textops import quality_scored_docs
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = quality_scored_docs(docs)
+    # the decile is integer DIV of pround's int64 numerator (p22's
+    # boundary discipline) — spelled in SQL so DIV stays integer.
+    s = base.select(
+        "n_tokens",
+        F.length(F.bin("n_tokens")).cast("int").alias("len_bucket"),
+        F.expr(
+            "CAST(floor((0.5 * (stop_hits * 1.0 / n_tokens)"
+            " + 0.3 * (CASE WHEN n_tokens > 60 THEN 60"
+            " ELSE n_tokens END / 60.0)"
+            " + 0.2 * (CASE WHEN avg_token_len > 8 THEN 8"
+            " ELSE avg_token_len END / 8.0))"
+            " * 1000000.0 + 0.5) AS BIGINT) DIV 100000"
+        ).alias("quality_decile"),
+    )
+    tot = s.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        s.groupBy("len_bucket", "quality_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "len_bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), len_bucket - 1)")
+            .cast("long").alias("bucket_lo"),
+            "quality_decile", "n_docs", "n_tokens",
+            pround(
+                F.col("n_docs").cast("double") / F.col("n_total"), 6
+            ).alias("doc_share"),
+        )
+        .orderBy("len_bucket", "quality_decile")
+    )

@@ -182,6 +182,9 @@ PERTURBED = [
     # cohort LTV: user-keyed first-touch reduce, days²-bounded grid,
     # decimal running revenue, broadcast cohort sizes.
     "g34_cohort_ltv",
+    # length x quality joint grid: two stateless integer bucket
+    # indices, one map-side cell aggregate, broadcast scalar share.
+    "p23_length_quality_grid",
 ]
 
 _PERTURB = {

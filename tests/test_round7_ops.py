@@ -813,3 +813,38 @@ def test_g34_ltv_identities(spark, sf_dir):
             assert r["ltv_per_user"] == pytest.approx(
                 r["cum_revenue"] / sizes[cd], abs=1e-4
             )
+
+
+def test_p23_grid_consistency_with_marginals(spark, sf_dir):
+    """The joint grid's margins must reproduce p18's length histogram
+    (summed over sources) and p22's decile cells, and shares must sum
+    to 1."""
+    from collections import defaultdict
+
+    rows = _q("p23_length_quality_grid")(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["doc_share"] for r in rows) == pytest.approx(
+        1.0, abs=1e-4
+    )
+    # length marginal vs p18 (p18 is per-source; sum it)
+    p18 = _q("p18_token_length_histogram")(spark, sf_dir).collect()
+    len_marginal = defaultdict(int)
+    for r in p18:
+        len_marginal[r["log2_bucket"]] += r["n_docs"]
+    got = defaultdict(int)
+    for r in rows:
+        assert r["bucket_lo"] == 1 << (r["len_bucket"] - 1)
+        assert 0 <= r["quality_decile"] <= 10
+        got[r["len_bucket"]] += r["n_docs"]
+    assert dict(got) == dict(len_marginal)
+    # quality marginal vs p22 (survival at decile d minus at d+1)
+    p22 = {
+        r["threshold_decile"]: r["docs_kept"]
+        for r in _q("p22_quality_survival_curve")(spark, sf_dir).collect()
+    }
+    qgot = defaultdict(int)
+    for r in rows:
+        qgot[r["quality_decile"]] += r["n_docs"]
+    for d in range(11):
+        expect = p22[d] - p22.get(d + 1, 0)
+        assert qgot.get(d, 0) == expect, f"decile {d}"
