@@ -377,6 +377,11 @@ ANNOTATED = {
         "latency, |priorities|-bounded aggregate with exact "
         "PERCENTILE_CONT."
     ),
+    "p23_length_quality_grid": (
+        "Confounder screen: two stateless integer bucket indices "
+        "(binary length, int-DIV decile), one map-side cell aggregate "
+        "into the bounded grid, broadcast scalar share."
+    ),
     "g34_cohort_ltv": (
         "Payback curve: user-keyed first-touch reduce, purchase stream "
         "joined to the dimension-sized cohort table, days^2-bounded "
