@@ -179,6 +179,7 @@ EXTRA = [
     "e21_source_language_purity",
     "g34_cohort_ltv",
     "p23_length_quality_grid",
+    "c23_simhash_bit_bias",
 ]
 
 

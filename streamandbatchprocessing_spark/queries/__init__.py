@@ -104,7 +104,10 @@ from .registry import ORACLES, QUERIES
 #: re-confirmation (m09 — m10–m12 keep the multimodal family covered
 #: in-window). Eleventh mid-round-7 update: p23 length x quality grid
 #: swaps in for one more r06-green re-confirmation (p01 — p12/p17–p23
-#: keep the pipeline family covered in-window).
+#: keep the pipeline family covered in-window). Twelfth mid-round-7
+#: update: c23 simhash bit bias swaps in for one more r06-green
+#: re-confirmation (c07 — c18–c23 keep the dedup family covered
+#: in-window).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -112,10 +115,10 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # MinHash-LSH and canonicalization driver-covered; c18 re-scores
     # its new composite blocking key; c19 source matrix + c20
     # containment new)
-    "c07_dup_clusters",
     "c18_blocked_fuzzy_match",
     "c19_cross_source_dup_matrix", "c20_containment_pairs",
     "c21_candidate_degree_profile", "c22_dup_group_histogram",
+    "c23_simhash_bit_bias",
     # similarity search (d04/d07 rotated out green; d10/d11 keep the
     # bucketed family covered; d12 filtered ANN + d13 norm profile +
     # d14 cell balance + d15 PQ rerank new)

@@ -284,7 +284,10 @@ def _sim_cand_conds(shift_op: str) -> list[str]:
     return conds
 
 
-def _simhash_oracle() -> str:
+def _simhash_fp_cte() -> str:
+    """WITH-chain through ``fp (doc_id, simhash)`` — the oracle twin of
+    the Spark fingerprint construction, shared by c03's neighbor stats
+    and c23's bit-bias census."""
     bit_sums = ",\n           ".join(
         f"SUM(CASE WHEN (hv >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
         for j in range(_SIM_BITS)
@@ -292,11 +295,6 @@ def _simhash_oracle() -> str:
     fp = " + ".join(
         f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
         for j in range(_SIM_BITS)
-    )
-    cand_union = "\n    UNION ALL\n".join(
-        f"    SELECT a.doc_id AS doc_id, a.simhash AS sh, b.simhash AS nb\n"
-        f"    FROM fp a JOIN fp b ON {cond}"
-        for cond in _sim_cand_conds(">>")
     )
     return f"""
     WITH t AS (SELECT doc_id,
@@ -309,7 +307,16 @@ def _simhash_oracle() -> str:
     s AS (SELECT doc_id,
            {bit_sums}
           FROM h GROUP BY doc_id),
-    fp AS (SELECT doc_id, ({fp}) AS simhash FROM s),
+    fp AS (SELECT doc_id, ({fp}) AS simhash FROM s)"""
+
+
+def _simhash_oracle() -> str:
+    cand_union = "\n    UNION ALL\n".join(
+        f"    SELECT a.doc_id AS doc_id, a.simhash AS sh, b.simhash AS nb\n"
+        f"    FROM fp a JOIN fp b ON {cond}"
+        for cond in _sim_cand_conds(">>")
+    )
+    return f"""{_simhash_fp_cte()},
     cand AS (
 {cand_union}
     )
@@ -323,20 +330,9 @@ def _simhash_oracle() -> str:
     """
 
 
-@query("c03_simhash_neighbors", oracle=_simhash_oracle())
-def c03_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash per document + neighbor stats (min hamming, count
-    within ≤ 6) over hamming-block candidates.
-
-    Candidate generation buckets on the FINGERPRINT's own 8-bit blocks
-    (4 equi-joins with block exclusivity, like c02's bands): pigeonhole
-    guarantees every pair within hamming ≤ 3 shares a block, near-dups
-    beyond that are found when any block survives. Bucketing by a data
-    column (round 1 used ``source``) re-introduces O(n²) whenever one
-    bucket value dominates the corpus; a fingerprint-derived key cannot
-    be skewed by the data distribution beyond true duplicate mass.
-    Fingerprint construction is one explode + one groupBy — linear,
-    shuffle on doc_id."""
+def _simhash_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) — the Spark twin of ``_simhash_fp_cte``: one
+    explode + one doc_id groupBy, linear; shared by c03 and c23."""
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select(
         "doc_id",
@@ -356,9 +352,26 @@ def c03_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
         range(1, _SIM_BITS),
         F.when(F.col("s0") > 0, F.lit(1).cast("long")).otherwise(0),
     )
+    return s.select("doc_id", fp_col.alias("simhash"))
+
+
+@query("c03_simhash_neighbors", oracle=_simhash_oracle())
+def c03_simhash_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """32-bit SimHash per document + neighbor stats (min hamming, count
+    within ≤ 6) over hamming-block candidates.
+
+    Candidate generation buckets on the FINGERPRINT's own 8-bit blocks
+    (4 equi-joins with block exclusivity, like c02's bands): pigeonhole
+    guarantees every pair within hamming ≤ 3 shares a block, near-dups
+    beyond that are found when any block survives. Bucketing by a data
+    column (round 1 used ``source``) re-introduces O(n²) whenever one
+    bucket value dominates the corpus; a fingerprint-derived key cannot
+    be skewed by the data distribution beyond true duplicate mass.
+    Fingerprint construction is one explode + one groupBy — linear,
+    shuffle on doc_id."""
     # fp feeds both sides of each of the 4 block joins — persist so the
     # corpus tokenize+hash pass runs once.
-    fp = persist_tracked(s.select("doc_id", fp_col.alias("simhash")))
+    fp = persist_tracked(_simhash_fp(spark, sf_dir))
     parts = [
         fp.alias("a")
         .join(fp.alias("b"), F.expr(cond))
@@ -1986,4 +1999,65 @@ def c22_dup_group_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_groups", "n_docs", "n_redundant",
         )
         .orderBy("log2_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c23 — SimHash bit-bias census (fingerprint-health QA)
+# ---------------------------------------------------------------------------
+@query(
+    "c23_simhash_bit_bias",
+    oracle=f"""{_simhash_fp_cte()},
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM fp),
+    b AS (SELECT CAST(g.bit AS INTEGER) AS bit,
+                 CAST(SUM((fp.simhash >> g.bit) & 1) AS BIGINT) AS n_ones
+          FROM fp CROSS JOIN range(0, {_SIM_BITS}) g(bit)
+          GROUP BY g.bit)
+    SELECT bit, n_ones,
+           CAST(n_docs - n_ones AS BIGINT) AS n_zeros,
+           floor((CAST(n_ones AS DOUBLE) / n_docs) * 1000000.0 + 0.5)
+               / 1000000.0 AS ones_share,
+           floor(abs(CAST(n_ones AS DOUBLE) / n_docs - 0.5)
+                 * 1000000.0 + 0.5) / 1000000.0 AS bias
+    FROM b, tot
+    ORDER BY bit
+    """,
+)
+def c23_simhash_bit_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash fingerprint-health census: for each of the 32 bits, how
+    many fingerprints set it, the ones-share, and the absolute bias
+    from the ideal 0.5 — a biased bit carries less than one bit of
+    hamming-distance resolution (always-1 or always-0 bits make
+    DIFFERENT documents collide), so this is the screen that validates
+    c03's hamming blocks actually discriminate, the c16/d17 QA move
+    applied to the fingerprint itself.
+
+    Scale: the fingerprint build is c03's shared linear pass (one
+    explode + one doc_id groupBy); the census explodes each 64-bit
+    word into 32 (bit, value) pairs AT the projection — constant 32x
+    fan-out of |docs| rows, never data-dependent — and collapses
+    map-side into a 32-cell integer aggregate with one broadcast
+    scalar total. All integers until the two 6dp shares."""
+    fp = _simhash_fp(spark, sf_dir)
+    tot = fp.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    bits = fp.select(
+        F.explode(F.sequence(F.lit(0), F.lit(_SIM_BITS - 1))).alias("bit"),
+        "simhash",
+    ).select(
+        F.col("bit").cast("int").alias("bit"),
+        F.expr("CAST(shiftright(simhash, bit) & 1 AS BIGINT)").alias("v"),
+    )
+    share = F.col("n_ones").cast("double") / F.col("n_docs")
+    return (
+        bits.groupBy("bit")
+        .agg(F.sum("v").cast("long").alias("n_ones"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "bit", "n_ones",
+            (F.col("n_docs") - F.col("n_ones")).cast("long")
+            .alias("n_zeros"),
+            pround(share, 6).alias("ones_share"),
+            pround(F.abs(share - 0.5), 6).alias("bias"),
+        )
+        .orderBy("bit")
     )

@@ -185,6 +185,9 @@ PERTURBED = [
     # length x quality joint grid: two stateless integer bucket
     # indices, one map-side cell aggregate, broadcast scalar share.
     "p23_length_quality_grid",
+    # bit-bias census: shared linear fingerprint pass, constant 32x
+    # projection fan-out, 32-cell integer aggregate + scalar total.
+    "c23_simhash_bit_bias",
 ]
 
 _PERTURB = {

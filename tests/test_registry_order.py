@@ -27,7 +27,8 @@ for m07 (m09–m12 keep the multimodal family covered); then d20 swaps
 in for p16 (p17–p22 keep the pipeline family covered); then e21 swaps
 in for c17 (c07/c18–c22 keep the dedup family covered); then g34
 swaps in for m09 (m10–m12 keep the multimodal family covered); then
-p23 swaps in for p01 (p12/p17–p23 keep the pipeline family covered).
+p23 swaps in for p01 (p12/p17–p23 keep the pipeline family covered);
+then c23 swaps in for c07 (c18–c23 keep the dedup family covered).
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES

@@ -848,3 +848,21 @@ def test_p23_grid_consistency_with_marginals(spark, sf_dir):
     for d in range(11):
         expect = p22[d] - p22.get(d + 1, 0)
         assert qgot.get(d, 0) == expect, f"decile {d}"
+
+
+def test_c23_bit_bias_identities(spark, sf_dir):
+    """Exactly 32 bits, ones + zeros must equal the corpus doc count
+    per bit, shares in [0, 1], and bias == |share - 0.5| within
+    rounding."""
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = _q("c23_simhash_bit_bias")(spark, sf_dir).collect()
+    assert len(rows) == 32
+    assert {r["bit"] for r in rows} == set(range(32))
+    n = load_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert r["n_ones"] + r["n_zeros"] == n
+        assert 0.0 <= r["ones_share"] <= 1.0
+        assert r["bias"] == pytest.approx(
+            abs(r["ones_share"] - 0.5), abs=1e-6
+        )
