@@ -377,6 +377,11 @@ ANNOTATED = {
         "latency, |priorities|-bounded aggregate with exact "
         "PERCENTILE_CONT."
     ),
+    "c23_simhash_bit_bias": (
+        "Fingerprint health: shared linear simhash pass, constant 32x "
+        "projection fan-out, 32-cell integer aggregate, broadcast "
+        "scalar total for the 6dp shares."
+    ),
     "p23_length_quality_grid": (
         "Confounder screen: two stateless integer bucket indices "
         "(binary length, int-DIV decile), one map-side cell aggregate "
