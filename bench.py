@@ -180,6 +180,7 @@ EXTRA = [
     "g34_cohort_ltv",
     "p23_length_quality_grid",
     "c23_simhash_bit_bias",
+    "d21_embedding_drift",
 ]
 
 

@@ -107,7 +107,10 @@ from .registry import ORACLES, QUERIES
 #: keep the pipeline family covered in-window). Twelfth mid-round-7
 #: update: c23 simhash bit bias swaps in for one more r06-green
 #: re-confirmation (c07 — c18–c23 keep the dedup family covered
-#: in-window).
+#: in-window). Thirteenth mid-round-7 update: d21 embedding drift
+#: swaps in for one more re-confirmation (p12 — its rows-only-by-design
+#: verdict stands from r06 and its accuracy-vs-exact test is local;
+#: p17–p23 keep the pipeline family covered in-window).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -127,7 +130,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "d14_ivf_cell_balance", "d15_pq_rerank_topk",
     "d16_retrieval_margin_profile", "d17_dim_variance_profile",
     "d18_centroid_separation", "d19_pq_code_utilization",
-    "d20_ivf_assignment_margin",
+    "d20_ivf_assignment_margin", "d21_embedding_drift",
     # text analysis (e12/e16 rotated out green; e17 novelty + e18
     # quality rules + e19 collocation lift new)
     "e10_pii_scrub",
@@ -146,7 +149,6 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "m12_payload_size_histogram",
     # composed pipelines (p11 rotated out green; p17 dedup-adjusted
     # mix + p18 length histogram new)
-    "p12_column_profile_at_scale",
     "p17_dedup_adjusted_mix", "p18_token_length_histogram",
     "p19_dataset_card", "p20_epoch_plan", "p21_shard_manifest",
     "p22_quality_survival_curve", "p23_length_quality_grid",

@@ -2302,3 +2302,126 @@ def d20_ivf_assignment_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cid")
     )
+
+
+# ---------------------------------------------------------------------------
+# d21 — per-label embedding drift between corpus halves (re-embed monitor)
+# ---------------------------------------------------------------------------
+@query(
+    "d21_embedding_drift",
+    oracle="""
+    WITH x AS (SELECT label, vec_id % 2 AS half, i - 1 AS pos,
+                      CAST(CAST(embedding AS DOUBLE[])[i]
+                           AS DECIMAL(25,6)) AS v
+               FROM embeddings,
+                    UNNEST(generate_series(1, len(embedding))) AS u(i)),
+    g AS (SELECT label, pos,
+                 CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_ref,
+                 CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_cur,
+                 CAST(SUM(CASE WHEN half = 0 THEN v END) * 1000000
+                      AS BIGINT) AS sr6,
+                 CAST(SUM(CASE WHEN half = 1 THEN v END) * 1000000
+                      AS BIGINT) AS sc6
+          FROM x GROUP BY label, pos
+          HAVING n_ref > 0 AND n_cur > 0),
+    c AS (SELECT label, pos, n_ref, n_cur,
+                 CASE WHEN sr6 < 0
+                      THEN -((2 * (-sr6) + n_ref) // (2 * n_ref))
+                      ELSE (2 * sr6 + n_ref) // (2 * n_ref)
+                 END AS cr6,
+                 CASE WHEN sc6 < 0
+                      THEN -((2 * (-sc6) + n_cur) // (2 * n_cur))
+                      ELSE (2 * sc6 + n_cur) // (2 * n_cur)
+                 END AS cc6
+          FROM g),
+    p AS (SELECT label, MAX(n_ref) AS n_ref, MAX(n_cur) AS n_cur,
+                 SUM(CAST((cr6 - cc6) * (cr6 - cc6)
+                          AS DECIMAL(38,0))) AS dd,
+                 SUM(CAST(cr6 * cc6 AS DECIMAL(38,0))) AS dot,
+                 SUM(CAST(cr6 * cr6 AS DECIMAL(38,0))) AS nr,
+                 SUM(CAST(cc6 * cc6 AS DECIMAL(38,0))) AS nc
+          FROM c GROUP BY label)
+    SELECT label, n_ref, n_cur,
+           floor(sqrt(CAST(dd AS DOUBLE)) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS centroid_shift,
+           floor(CAST(dot AS DOUBLE)
+                 / (sqrt(CAST(nr AS DOUBLE)) * sqrt(CAST(nc AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS centroid_cos
+    FROM p
+    ORDER BY label
+    """,
+)
+def d21_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding drift between two corpus halves (id parity —
+    the p15 split idiom standing in for before/after a re-embed or an
+    encoder upgrade): each half's centroid per label, then the L2
+    shift and cosine between them — the monitor that decides whether
+    d04/d06's indexes and d08's prototypes must be rebuilt after a
+    model change. Labels missing from either half are excluded (the
+    p15 absolute-continuity move; a production monitor alerts on them
+    separately).
+
+    Scale: ONE dimension-parallel aggregate computes BOTH halves'
+    sums via conditional aggregation (no second scan, no join of two
+    aggregates — the p15 move on d08's |labels|*dim cell grid); both
+    centroids quantize to int64 micro-units (d08's half-away-from-zero
+    rounding), the shift/cos accumulate exact integer products in
+    DECIMAL(38,0) over the bounded cell panel, and each output makes
+    ONE decimal->double conversion before sqrt/divide."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "v"),
+    ).select("label", "half", "pos", F.col("v").cast("decimal(25,6)").alias("v"))
+    g = (
+        x.groupBy("label", "pos")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).cast("long")
+            .alias("n_ref"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).cast("long")
+            .alias("n_cur"),
+            F.sum(F.when(F.col("half") == 0, F.col("v"))).alias("sr"),
+            F.sum(F.when(F.col("half") == 1, F.col("v"))).alias("sc"),
+        )
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .withColumn("sr6", F.expr("CAST(sr * 1000000 AS BIGINT)"))
+        .withColumn("sc6", F.expr("CAST(sc * 1000000 AS BIGINT)"))
+    )
+    c = g.select(
+        "label", "pos", "n_ref", "n_cur",
+        F.expr(
+            "CASE WHEN sr6 < 0"
+            " THEN -((2 * (-sr6) + n_ref) DIV (2 * n_ref))"
+            " ELSE (2 * sr6 + n_ref) DIV (2 * n_ref) END"
+        ).alias("cr6"),
+        F.expr(
+            "CASE WHEN sc6 < 0"
+            " THEN -((2 * (-sc6) + n_cur) DIV (2 * n_cur))"
+            " ELSE (2 * sc6 + n_cur) DIV (2 * n_cur) END"
+        ).alias("cc6"),
+    )
+    dec = "decimal(38,0)"
+    p = c.groupBy("label").agg(
+        F.max("n_ref").alias("n_ref"),
+        F.max("n_cur").alias("n_cur"),
+        F.sum(((F.col("cr6") - F.col("cc6"))
+               * (F.col("cr6") - F.col("cc6"))).cast(dec)).alias("dd"),
+        F.sum((F.col("cr6") * F.col("cc6")).cast(dec)).alias("dot"),
+        F.sum((F.col("cr6") * F.col("cr6")).cast(dec)).alias("nr"),
+        F.sum((F.col("cc6") * F.col("cc6")).cast(dec)).alias("nc"),
+    )
+    return p.select(
+        "label", "n_ref", "n_cur",
+        pround(
+            F.sqrt(F.col("dd").cast("double")) / 1000000.0, 6
+        ).alias("centroid_shift"),
+        pround(
+            F.col("dot").cast("double")
+            / (F.sqrt(F.col("nr").cast("double"))
+               * F.sqrt(F.col("nc").cast("double"))),
+            6,
+        ).alias("centroid_cos"),
+    ).orderBy("label")

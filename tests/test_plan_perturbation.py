@@ -188,6 +188,9 @@ PERTURBED = [
     # bit-bias census: shared linear fingerprint pass, constant 32x
     # projection fan-out, 32-cell integer aggregate + scalar total.
     "c23_simhash_bit_bias",
+    # embedding drift: one conditional dimension-parallel aggregate,
+    # int64 half-centroids, decimal-exact shift/cos on the cell panel.
+    "d21_embedding_drift",
 ]
 
 _PERTURB = {

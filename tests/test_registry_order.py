@@ -28,7 +28,9 @@ in for p16 (p17–p22 keep the pipeline family covered); then e21 swaps
 in for c17 (c07/c18–c22 keep the dedup family covered); then g34
 swaps in for m09 (m10–m12 keep the multimodal family covered); then
 p23 swaps in for p01 (p12/p17–p23 keep the pipeline family covered);
-then c23 swaps in for c07 (c18–c23 keep the dedup family covered).
+then c23 swaps in for c07 (c18–c23 keep the dedup family covered);
+then d21 swaps in for p12 (rows-only-by-design verdict stands from
+r06; p17–p23 keep the pipeline family covered).
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES

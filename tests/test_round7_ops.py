@@ -866,3 +866,33 @@ def test_c23_bit_bias_identities(spark, sf_dir):
         assert r["bias"] == pytest.approx(
             abs(r["ones_share"] - 0.5), abs=1e-6
         )
+
+
+def test_d21_drift_identities(spark, sf_dir):
+    """Half populations must add back to each label's total, cosine
+    must sit in [-1, 1], and shift must be nonnegative. (No sign
+    assumption on the cosine: near-zero-mean embeddings averaged over
+    a handful of vectors per half can legitimately anti-correlate at
+    sf0.001.)"""
+    from pyspark.sql import functions as F
+
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = _q("d21_embedding_drift")(spark, sf_dir).collect()
+    assert rows
+    totals = {
+        r["label"]: (r["nr"], r["nc"])
+        for r in load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .agg(
+            F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0))
+            .alias("nr"),
+            F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0))
+            .alias("nc"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert (r["n_ref"], r["n_cur"]) == totals[r["label"]]
+        assert r["centroid_shift"] >= 0
+        assert -1.000001 <= r["centroid_cos"] <= 1.000001
