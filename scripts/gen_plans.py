@@ -377,6 +377,12 @@ ANNOTATED = {
         "latency, |priorities|-bounded aggregate with exact "
         "PERCENTILE_CONT."
     ),
+    "d21_embedding_drift": (
+        "Re-embed monitor: ONE conditional dimension-parallel "
+        "aggregate builds both halves' centroids, int64 micro-unit "
+        "quantization, decimal-exact shift/cos on the |labels|*dim "
+        "cell panel."
+    ),
     "c23_simhash_bit_bias": (
         "Fingerprint health: shared linear simhash pass, constant 32x "
         "projection fan-out, 32-cell integer aggregate, broadcast "
