@@ -181,6 +181,7 @@ EXTRA = [
     "p23_length_quality_grid",
     "c23_simhash_bit_bias",
     "d21_embedding_drift",
+    "b35_range_clustered_scan",
 ]
 
 

@@ -110,7 +110,10 @@ from .registry import ORACLES, QUERIES
 #: in-window). Thirteenth mid-round-7 update: d21 embedding drift
 #: swaps in for one more re-confirmation (p12 — its rows-only-by-design
 #: verdict stands from r06 and its accuracy-vs-exact test is local;
-#: p17–p23 keep the pipeline family covered in-window).
+#: p17–p23 keep the pipeline family covered in-window). Fourteenth
+#: mid-round-7 update: b35 range-clustered scan swaps in for one more
+#: r06-green re-confirmation (b33 — b34/b35 keep the layout family
+#: covered in-window).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -154,8 +157,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "p22_quality_survival_curve", "p23_length_quality_grid",
     # physical layout (b30 bucketed + b33 DPP keep the layout family
     # driver-covered; b34 compaction plan new)
-    "b33_dynamic_partition_prune",
-    "b34_compaction_plan",
+    "b34_compaction_plan", "b35_range_clustered_scan",
     # cross-series analytics (g13/g23 rotated out green; g25
     # hour-of-week profile and g30 new-vs-returning new)
     "g25_hour_of_week_profile", "g26_rfm_segments",

@@ -391,3 +391,81 @@ def b34_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"div ((est_bytes + {t - 1}) div {t})"
         ).cast("long").alias("rows_per_file"),
     ).orderBy("event_date")
+
+
+# ---------------------------------------------------------------------------
+# b35 — range-clustered layout: single-key file skipping (liquid-lite)
+# ---------------------------------------------------------------------------
+#: Memoized range-clustered write per (app, sf_dir) — write-once artifact.
+_RANGE_STAGED: dict[tuple[str, str], DataFrame] = {}
+
+#: File count for the clustered copy (production: thousands; the
+#: mechanism — disjoint per-file key ranges — is size-independent).
+_RANGE_FILES = 16
+
+#: The selective key slice b35 scans (~3 % of the orderkey domain).
+_RANGE_LO, _RANGE_HI = 3000, 4500
+
+
+def range_clustered_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineitem rewritten range-clustered on l_orderkey:
+    ``repartitionByRange`` gives each output file a DISJOINT key range
+    and the within-partition sort makes every parquet row group's
+    min/max tight — so a key-range predicate prunes to the few files
+    whose range intersects it (Delta OPTIMIZE / liquid clustering on
+    one key, expressed with nothing but native Spark). The 1-D
+    complement of b31's Morton layout: perfect skipping on THE sort
+    key, none on others — which is exactly when b31 takes over.
+    Disjointness + skipping are pinned by tests/test_layout_range.py."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _RANGE_STAGED.get(key)
+    if cached is not None:
+        return cached
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_discount",
+    )
+    base = tempfile.mkdtemp(prefix="sbp-rangeclust-") + "/lineitem"
+    (
+        li.repartitionByRange(_RANGE_FILES, F.col("l_orderkey"))
+        .sortWithinPartitions("l_orderkey")
+        .write.mode("overwrite")
+        .parquet(base)
+    )
+    out = spark.read.parquet(base)
+    _RANGE_STAGED[key] = out
+    return out
+
+
+@query(
+    "b35_range_clustered_scan",
+    oracle=f"""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(25,6))) AS DOUBLE)
+               AS total_qty,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                         AS DECIMAL(25,6))) AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_orderkey BETWEEN {_RANGE_LO} AND {_RANGE_HI}
+    """,
+)
+def b35_range_clustered_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Key-range aggregate over the range-clustered lineitem copy:
+    identical answer to scanning the original table (the oracle — a
+    layout must be value-invisible), but the scan reads only the files
+    whose disjoint l_orderkey range intersects the queried slice — at
+    100 TB this is the difference between a full scan and reading
+    ~3 % of the files, the payoff OPTIMIZE-style compaction (b34
+    plans it) buys for the table's primary access key."""
+    z = range_clustered_lineitem(spark, sf_dir)
+    return z.filter(
+        F.col("l_orderkey").between(_RANGE_LO, _RANGE_HI)
+    ).agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("l_orderkey").alias("n_orders"),
+        dsum("l_quantity", "total_qty"),
+        dsum(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")), "revenue"
+        ),
+    )

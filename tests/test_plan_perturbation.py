@@ -191,6 +191,9 @@ PERTURBED = [
     # embedding drift: one conditional dimension-parallel aggregate,
     # int64 half-centroids, decimal-exact shift/cos on the cell panel.
     "d21_embedding_drift",
+    # range-clustered scan: disjoint per-file key ranges + min/max
+    # skipping; layout must be value-invisible under any plan.
+    "b35_range_clustered_scan",
 ]
 
 _PERTURB = {

@@ -30,7 +30,8 @@ swaps in for m09 (m10–m12 keep the multimodal family covered); then
 p23 swaps in for p01 (p12/p17–p23 keep the pipeline family covered);
 then c23 swaps in for c07 (c18–c23 keep the dedup family covered);
 then d21 swaps in for p12 (rows-only-by-design verdict stands from
-r06; p17–p23 keep the pipeline family covered).
+r06; p17–p23 keep the pipeline family covered); then b35 swaps in for
+b33 (b34/b35 keep the layout family covered).
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES
