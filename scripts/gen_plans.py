@@ -377,6 +377,12 @@ ANNOTATED = {
         "latency, |priorities|-bounded aggregate with exact "
         "PERCENTILE_CONT."
     ),
+    "b35_range_clustered_scan": (
+        "Liquid-lite: disjoint per-file key ranges from "
+        "repartitionByRange + in-partition sort; selective key slice "
+        "reads a strict minority of files, value-invisible vs the "
+        "unclustered oracle."
+    ),
     "d21_embedding_drift": (
         "Re-embed monitor: ONE conditional dimension-parallel "
         "aggregate builds both halves' centroids, int64 micro-unit "
