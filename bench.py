@@ -182,6 +182,7 @@ EXTRA = [
     "c23_simhash_bit_bias",
     "d21_embedding_drift",
     "b35_range_clustered_scan",
+    "f15_streaming_latest_state",
 ]
 
 

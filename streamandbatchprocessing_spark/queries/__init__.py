@@ -113,7 +113,9 @@ from .registry import ORACLES, QUERIES
 #: p17–p23 keep the pipeline family covered in-window). Fourteenth
 #: mid-round-7 update: b35 range-clustered scan swaps in for one more
 #: r06-green re-confirmation (b33 — b34/b35 keep the layout family
-#: covered in-window).
+#: covered in-window). Fifteenth mid-round-7 update: f15 streaming
+#: latest-state swaps in for one more r06-green re-confirmation (f08
+#: — f01/f12/f14/f15 keep the streaming family covered in-window).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -143,9 +145,8 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # f08/f12/f14 keep the join matrix and f04-style state covered;
     # f14 semi join completes the stream-stream join matrix)
     "f01_streaming_dashboard",
-    "f08_stream_left_outer_join",
     "f12_stream_full_outer_join",
-    "f14_stream_semi_join",
+    "f14_stream_semi_join", "f15_streaming_latest_state",
     # multimodal (m02/m05 rotated out green; m10 chunk dedup new —
     # d15/d03 keep the Arrow mapInPandas path in-window)
     "m10_chunk_dedup_profile", "m11_magic_byte_census",

@@ -873,3 +873,59 @@ def f14_stream_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     result = run_to_memory(joined, output_mode="append", name_prefix="f14_semi")
     return result.select("purchase_id", "user_id").orderBy("purchase_id")
+
+
+# ---------------------------------------------------------------------------
+# f15 — streaming latest-state materialization (CDC compaction)
+# ---------------------------------------------------------------------------
+@query(
+    "f15_streaming_latest_state",
+    oracle="""
+    SELECT user_id,
+           event_type AS last_event_type,
+           CAST(ts AS TIMESTAMP) AS last_ts,
+           value AS last_value
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                       ORDER BY CAST(ts AS TIMESTAMP) DESC,
+                                                event_id DESC) AS rn
+          FROM events)
+    WHERE rn = 1
+    ORDER BY user_id
+    """,
+)
+def f15_streaming_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming latest-state materialization: one row per user holding
+    their most recent event (argmax by event time, event_id tiebreak),
+    maintained incrementally as a streaming ``max(struct(...))``
+    aggregate in complete mode — the CDC log-compaction semantics
+    (Kafka compacted topics, Delta MERGE-latest) expressed INSIDE the
+    engine, and what f07's enrichment dim would be if the dimension
+    itself arrived as a stream.
+
+    Scale: state is ONE struct per distinct user (key-bounded, not
+    event-bounded) and the merge is associative — max over (ts,
+    event_id, ...) structs — so micro-batch boundaries cannot change
+    the result (the f11/f13 split-invariance argument; event_id
+    uniqueness makes the comparison never reach the non-key fields).
+    The batch oracle is the per-user ROW_NUMBER argmax. At 100 TB the
+    same plan runs update-mode into a keyed sink (foreach_batch_upsert,
+    streaming/transactions.py) instead of a complete-mode memory
+    table."""
+    src = events_stream(spark, sf_dir)
+    agg = src.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.col("event_type"), F.col("value"),
+            )
+        ).alias("m")
+    )
+    result = run_to_memory(
+        agg, output_mode="complete", name_prefix="f15_latest"
+    )
+    return result.select(
+        "user_id",
+        F.col("m.event_type").alias("last_event_type"),
+        F.col("m.ts").alias("last_ts"),
+        F.col("m.value").alias("last_value"),
+    ).orderBy("user_id")

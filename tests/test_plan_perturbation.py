@@ -194,6 +194,9 @@ PERTURBED = [
     # range-clustered scan: disjoint per-file key ranges + min/max
     # skipping; layout must be value-invisible under any plan.
     "b35_range_clustered_scan",
+    # streaming argmax: one struct of state per user, associative
+    # merge — micro-batch boundaries cannot change the result.
+    "f15_streaming_latest_state",
 ]
 
 _PERTURB = {

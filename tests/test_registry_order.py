@@ -31,7 +31,8 @@ p23 swaps in for p01 (p12/p17–p23 keep the pipeline family covered);
 then c23 swaps in for c07 (c18–c23 keep the dedup family covered);
 then d21 swaps in for p12 (rows-only-by-design verdict stands from
 r06; p17–p23 keep the pipeline family covered); then b35 swaps in for
-b33 (b34/b35 keep the layout family covered).
+b33 (b34/b35 keep the layout family covered); then f15 swaps in for
+f08 (f01/f12/f14/f15 keep the streaming family covered).
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES
