@@ -183,6 +183,7 @@ EXTRA = [
     "d21_embedding_drift",
     "b35_range_clustered_scan",
     "f15_streaming_latest_state",
+    "d22_nearest_centroid_confusion",
 ]
 
 

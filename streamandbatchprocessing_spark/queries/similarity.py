@@ -2425,3 +2425,117 @@ def d21_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("centroid_cos"),
     ).orderBy("label")
+
+
+# ---------------------------------------------------------------------------
+# d22 — nearest-centroid label confusion (label-quality audit)
+# ---------------------------------------------------------------------------
+@query(
+    "d22_nearest_centroid_confusion",
+    oracle="""
+    WITH x AS (SELECT vec_id, label, i - 1 AS pos,
+                      CAST(CAST(embedding AS DOUBLE[])[i]
+                           AS DECIMAL(25,6)) AS v
+               FROM embeddings,
+                    UNNEST(generate_series(1, len(embedding))) AS u(i)),
+    q AS (SELECT vec_id, label, pos,
+                 CAST(v * 1000000 AS BIGINT) AS qi
+          FROM x),
+    g AS (SELECT label AS clabel, pos,
+                 CAST(COUNT(*) AS BIGINT) AS n_vecs,
+                 CAST(SUM(v) * 1000000 AS BIGINT) AS s6
+          FROM x GROUP BY clabel, pos),
+    c AS (SELECT clabel, pos,
+                 CASE WHEN s6 < 0
+                      THEN -((2 * (-s6) + n_vecs) // (2 * n_vecs))
+                      ELSE (2 * s6 + n_vecs) // (2 * n_vecs)
+                 END AS c6
+          FROM g),
+    d AS (SELECT q.vec_id, q.label, c.clabel,
+                 SUM(CAST((q.qi - c.c6) * (q.qi - c.c6)
+                          AS DECIMAL(38,0))) AS dist
+          FROM q JOIN c ON c.pos = q.pos
+          GROUP BY q.vec_id, q.label, c.clabel),
+    a AS (SELECT vec_id, label, clabel AS predicted FROM (
+        SELECT vec_id, label, clabel,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, clabel) AS rn
+        FROM d) WHERE rn = 1)
+    SELECT label, predicted,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           label = predicted AS is_correct
+    FROM a
+    GROUP BY label, predicted
+    ORDER BY label, predicted
+    """,
+)
+def d22_nearest_centroid_confusion(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Nearest-class-mean confusion matrix: every vector is classified
+    to its nearest label centroid (integer L2, lowest-label tiebreak)
+    and tallied against its OWN label — the label-quality audit of the
+    embedding space (e06's langid confusion, geometric edition): an
+    off-diagonal mass between two labels says their regions overlap,
+    the signal for relabeling or merging classes before d08's
+    prototypes are trusted.
+
+    Scale: centroids are d08's dimension-parallel cells quantized to
+    int64 micro-units; classification joins the exploded (vec, pos,
+    qi) stream to the |labels|*dim cell panel ON DIMENSION — a
+    |labels|-bounded fan-out per component (the d04 probe shape,
+    never vector-vector pairs) — and reduces per (vec, candidate)
+    with exact DECIMAL(38,0) distance sums. The argmin is a
+    min(struct(dist, label)) aggregate (no window over the corpus),
+    and the confusion output is |labels|²-bounded."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = emb.select(
+        "vec_id", "label",
+        F.posexplode(as_double(F.col("embedding"))).alias("pos", "v"),
+    ).select(
+        "vec_id", "label", "pos",
+        F.col("v").cast("decimal(25,6)").alias("v"),
+    )
+    q = x.select(
+        "vec_id", "label", "pos",
+        F.expr("CAST(v * 1000000 AS BIGINT)").alias("qi"),
+    )
+    g = (
+        x.groupBy(F.col("label").alias("clabel"), "pos")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum("v").alias("dsum"),
+        )
+        .withColumn("s6", F.expr("CAST(dsum * 1000000 AS BIGINT)"))
+    )
+    cells = g.select(
+        "clabel", "pos",
+        F.expr(
+            "CASE WHEN s6 < 0"
+            " THEN -((2 * (-s6) + n_vecs) DIV (2 * n_vecs))"
+            " ELSE (2 * s6 + n_vecs) DIV (2 * n_vecs) END"
+        ).alias("c6"),
+    )
+    d = (
+        q.join(F.broadcast(cells), "pos")
+        .groupBy("vec_id", "label", "clabel")
+        .agg(
+            F.sum(
+                ((F.col("qi") - F.col("c6"))
+                 * (F.col("qi") - F.col("c6"))).cast("decimal(38,0)")
+            ).alias("dist")
+        )
+    )
+    a = d.groupBy("vec_id", "label").agg(
+        F.min(F.struct(F.col("dist"), F.col("clabel"))).alias("m")
+    )
+    return (
+        a.select("label", F.col("m.clabel").alias("predicted"))
+        .groupBy("label", "predicted")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vecs"))
+        .select(
+            "label", "predicted", "n_vecs",
+            (F.col("label") == F.col("predicted")).alias("is_correct"),
+        )
+        .orderBy("label", "predicted")
+    )

@@ -197,6 +197,9 @@ PERTURBED = [
     # streaming argmax: one struct of state per user, associative
     # merge — micro-batch boundaries cannot change the result.
     "f15_streaming_latest_state",
+    # nearest-centroid confusion: broadcast cell panel joined on
+    # dimension, decimal-exact distances, struct-min argmin.
+    "d22_nearest_centroid_confusion",
 ]
 
 _PERTURB = {

@@ -47,7 +47,15 @@ def test_priority_order_is_window_prefix():
 
 #: Never-scored queries deliberately registered BEYOND the 50-slot
 #: window. Additions here must say what covers them instead.
-_BEYOND_WINDOW_OK: set[str] = set()
+#: Round-7 overflow (the window is saturated with 44 never-scored
+#: entries + the three pinned events representatives): each overflow
+#: entry is covered by its strict local oracle test
+#: (tests/test_queries_oracle.py, bit-exact with the driver compare)
+#: and its perturbation slice, and is first in line for the round-8
+#: scoring window.
+_BEYOND_WINDOW_OK: set[str] = {
+    "d22_nearest_centroid_confusion",
+}
 
 
 def test_every_never_scored_query_inside_scoring_window():

@@ -896,3 +896,29 @@ def test_d21_drift_identities(spark, sf_dir):
         assert (r["n_ref"], r["n_cur"]) == totals[r["label"]]
         assert r["centroid_shift"] >= 0
         assert -1.000001 <= r["centroid_cos"] <= 1.000001
+
+
+def test_d22_confusion_identities(spark, sf_dir):
+    """Confusion cells must add back to the corpus, predicted labels
+    must come from the label set, is_correct must mirror the diagonal,
+    and — centroids being least-squares representatives — the diagonal
+    must hold a plurality overall."""
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = _q("d22_nearest_centroid_confusion")(spark, sf_dir).collect()
+    assert rows
+    n = load_table(spark, sf_dir, "embeddings").count()
+    labels = {
+        r["label"]
+        for r in load_table(spark, sf_dir, "embeddings")
+        .select("label").distinct().collect()
+    }
+    assert sum(r["n_vecs"] for r in rows) == n
+    diag = 0
+    for r in rows:
+        assert r["label"] in labels and r["predicted"] in labels
+        assert r["is_correct"] == (r["label"] == r["predicted"])
+        if r["is_correct"]:
+            diag += r["n_vecs"]
+    # better than the 1/|labels| random-assignment baseline
+    assert diag * len(labels) > n
