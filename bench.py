@@ -184,6 +184,7 @@ EXTRA = [
     "b35_range_clustered_scan",
     "f15_streaming_latest_state",
     "d22_nearest_centroid_confusion",
+    "m13_hrw_placement_plan",
 ]
 
 

@@ -9,7 +9,7 @@ is unit-tested separately (tests/test_multimodal.py).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.aggregates import pround
@@ -844,4 +844,117 @@ def m12_payload_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("reclaimable_bytes"),
         )
         .orderBy("log2_bucket")
+    )
+
+
+# ---------------------------------------------------------------------------
+# m13 — rendezvous-hash replica placement plan (content-addressable store)
+# ---------------------------------------------------------------------------
+#: Storage nodes and replicas per payload. HRW (highest-random-weight)
+#: hashing: payload p goes to the R nodes maximizing md5(digest||node)
+#: — adding/removing a node moves only ~1/N of payloads (no ring
+#: rebalance), and the placement is a pure function of the digest, so
+#: any writer computes it independently.
+_HRW_NODES = 8
+_HRW_REPLICAS = 2
+
+
+@query(
+    "m13_hrw_placement_plan",
+    oracle=f"""
+    WITH p AS (SELECT md5(text) AS digest,
+                      CAST(MAX(octet_length(encode(text))) AS BIGINT)
+                          AS n_bytes
+               FROM documents GROUP BY digest),
+    w AS (SELECT p.digest, p.n_bytes, CAST(g.node AS BIGINT) AS node,
+                 CAST(('0x' || substr(md5(p.digest || '#'
+                                          || CAST(g.node AS VARCHAR)),
+                                      1, 15)) AS BIGINT) AS weight
+          FROM p CROSS JOIN range(0, {_HRW_NODES}) g(node)),
+    r AS (SELECT digest, n_bytes, node,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY digest
+                                    ORDER BY weight DESC, node) AS BIGINT)
+                     AS replica_rank
+          FROM w),
+    a AS (SELECT * FROM r WHERE replica_rank <= {_HRW_REPLICAS}),
+    tot AS (SELECT CAST(SUM(n_bytes) AS BIGINT) * {_HRW_REPLICAS}
+                AS total_bytes
+            FROM p)
+    SELECT node, replica_rank,
+           CAST(COUNT(*) AS BIGINT) AS n_payloads,
+           CAST(SUM(n_bytes) AS BIGINT) AS node_bytes,
+           floor((CAST(SUM(n_bytes) AS DOUBLE) * {_HRW_NODES}
+                  * {_HRW_REPLICAS} / MAX(total_bytes))
+                 * 1000000.0 + 0.5) / 1000000.0 AS balance_ratio
+    FROM a, tot
+    GROUP BY node, replica_rank
+    ORDER BY node, replica_rank
+    """,
+)
+def m13_hrw_placement_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous-hash (HRW) replica placement for the deduplicated
+    payload store: every DISTINCT payload is assigned to the R=2 of
+    N=8 nodes maximizing md5(digest||node), and the plan reports each
+    node's payload count, byte load, and balance ratio vs the even
+    split — the placement layer under m06's content-addressable
+    catalog (HRW moves only ~1/N of keys when the node set changes,
+    and placement is a pure digest function, so any writer computes
+    it independently — no coordination service).
+
+    Scale: payloads collapse FIRST to distinct digests (the m06 move —
+    placement keys are content, not rows); the node fan-out is a
+    CONSTANT N per digest and the per-digest top-R window runs over
+    exactly N rows (key-bounded, never corpus-wide); the report is a
+    2·N-cell integer aggregate with one broadcast scalar. Weights are
+    the md5 integer prefix — the portable-hash discipline (hash60),
+    identical on both engines."""
+    from ..functions.hashing import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = (
+        docs.select(
+            F.md5("text").alias("digest"),
+            F.octet_length(F.encode("text", "UTF-8")).cast("long")
+            .alias("nb"),
+        )
+        .groupBy("digest")
+        .agg(F.max("nb").cast("long").alias("n_bytes"))
+    )
+    w = p.select(
+        "digest", "n_bytes",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"),
+                       F.lit(_HRW_NODES - 1).cast("long"))
+        ).alias("node"),
+    ).withColumn(
+        "weight",
+        hash60(F.concat(F.col("digest"), F.lit("#"),
+                        F.col("node").cast("string"))),
+    )
+    win = Window.partitionBy("digest").orderBy(
+        F.desc("weight"), F.asc("node")
+    )
+    a = (
+        w.withColumn("replica_rank", F.row_number().over(win).cast("long"))
+        .filter(F.col("replica_rank") <= _HRW_REPLICAS)
+    )
+    tot = p.agg(
+        (F.sum("n_bytes") * _HRW_REPLICAS).cast("long").alias("total_bytes")
+    )
+    return (
+        a.groupBy("node", "replica_rank")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_payloads"),
+            F.sum("n_bytes").cast("long").alias("node_bytes"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "node", "replica_rank", "n_payloads", "node_bytes",
+            pround(
+                F.col("node_bytes").cast("double") * _HRW_NODES
+                * _HRW_REPLICAS / F.col("total_bytes"),
+                6,
+            ).alias("balance_ratio"),
+        )
+        .orderBy("node", "replica_rank")
     )

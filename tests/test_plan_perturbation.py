@@ -200,6 +200,9 @@ PERTURBED = [
     # nearest-centroid confusion: broadcast cell panel joined on
     # dimension, decimal-exact distances, struct-min argmin.
     "d22_nearest_centroid_confusion",
+    # HRW placement: distinct-digest reduce, constant node fan-out,
+    # N-row per-key window, 2N-cell aggregate + scalar total.
+    "m13_hrw_placement_plan",
 ]
 
 _PERTURB = {

