@@ -185,6 +185,7 @@ EXTRA = [
     "f15_streaming_latest_state",
     "d22_nearest_centroid_confusion",
     "m13_hrw_placement_plan",
+    "p24_split_balance_audit",
 ]
 
 

@@ -1902,3 +1902,101 @@ def p23_length_quality_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("len_bucket", "quality_decile")
     )
+
+
+# ---------------------------------------------------------------------------
+# p24 — split balance audit (stratification-neutrality check on p08)
+# ---------------------------------------------------------------------------
+@query(
+    "p24_split_balance_audit",
+    oracle=f"""
+    WITH s AS (SELECT source,
+                      CASE WHEN CAST('0x' || substr(md5('split:'
+                                     || CAST(doc_id AS VARCHAR)), 1, 15)
+                                AS BIGINT) % 100 < {{val_pct}}
+                           THEN 'val' ELSE 'train' END AS split
+               FROM documents),
+    per AS (SELECT source,
+                   CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_train,
+                   CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_val
+            FROM s GROUP BY source),
+    tot AS (SELECT CAST(SUM(n_train) AS BIGINT) AS t_train,
+                   CAST(SUM(n_val) AS BIGINT) AS t_val,
+                   CAST(SUM(n_train + n_val) AS BIGINT) AS t_all
+            FROM per)
+    SELECT source, n_train, n_val,
+           floor((CAST(n_train AS DOUBLE) / t_train) * 1000000.0 + 0.5)
+               / 1000000.0 AS share_train,
+           floor((CAST(n_val AS DOUBLE) / t_val) * 1000000.0 + 0.5)
+               / 1000000.0 AS share_val,
+           floor((CAST(n_train + n_val AS DOUBLE) / t_all)
+                 * 1000000.0 + 0.5) / 1000000.0 AS share_overall,
+           floor(abs(CAST(n_val AS DOUBLE) / (n_train + n_val)
+                     - CAST(t_val AS DOUBLE) / t_all)
+                 * 1000000.0 + 0.5) / 1000000.0 AS val_rate_deviation
+    FROM per, tot
+    ORDER BY source
+    """.replace("{val_pct}", str(_VAL_PCT)),
+)
+def p24_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratification-neutrality audit of p08's hash split: per source,
+    the train/val counts, each split's source composition, the overall
+    composition, and how far the source's val rate deviates from the
+    global rate — the pre-training check that the validation set is
+    not silently over/under-sampling a source (a skewed val set makes
+    eval drift look like training regressions).
+
+    Scale: ONE linear scan with the SAME md5 split rule p08 registers
+    (shared constant, so the audit can never drift from the split it
+    audits) into a |sources|-bounded conditional-count aggregate; the
+    three totals broadcast as one scalar row. All integers until the
+    6dp shares, each from one identical double division."""
+    docs = load_table(spark, sf_dir, "documents")
+    split = F.when(
+        hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+        % 100 < _VAL_PCT,
+        F.lit("val"),
+    ).otherwise(F.lit("train"))
+    per = (
+        docs.select("source", split.alias("split"))
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("long").alias("n_train"),
+            F.sum(F.when(F.col("split") == "val", 1).otherwise(0))
+            .cast("long").alias("n_val"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_train").cast("long").alias("t_train"),
+        F.sum("n_val").cast("long").alias("t_val"),
+        (F.sum("n_train") + F.sum("n_val")).cast("long").alias("t_all"),
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source", "n_train", "n_val",
+            pround(
+                F.col("n_train").cast("double") / F.col("t_train"), 6
+            ).alias("share_train"),
+            pround(
+                F.col("n_val").cast("double") / F.col("t_val"), 6
+            ).alias("share_val"),
+            pround(
+                (F.col("n_train") + F.col("n_val")).cast("double")
+                / F.col("t_all"),
+                6,
+            ).alias("share_overall"),
+            pround(
+                F.abs(
+                    F.col("n_val").cast("double")
+                    / (F.col("n_train") + F.col("n_val"))
+                    - F.col("t_val").cast("double") / F.col("t_all")
+                ),
+                6,
+            ).alias("val_rate_deviation"),
+        )
+        .orderBy("source")
+    )

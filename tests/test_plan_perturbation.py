@@ -203,6 +203,9 @@ PERTURBED = [
     # HRW placement: distinct-digest reduce, constant node fan-out,
     # N-row per-key window, 2N-cell aggregate + scalar total.
     "m13_hrw_placement_plan",
+    # split balance audit: one conditional-count scan sharing p08's
+    # md5 split rule, |sources|-bounded cells, broadcast totals.
+    "p24_split_balance_audit",
 ]
 
 _PERTURB = {

@@ -56,6 +56,7 @@ def test_priority_order_is_window_prefix():
 _BEYOND_WINDOW_OK: set[str] = {
     "d22_nearest_centroid_confusion",
     "m13_hrw_placement_plan",
+    "p24_split_balance_audit",
 }
 
 

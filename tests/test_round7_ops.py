@@ -952,3 +952,22 @@ def test_m13_placement_identities(spark, sf_dir):
     total_weighted = sum(r["balance_ratio"] * r["node_bytes"] for r in rows)
     total_bytes = sum(r["node_bytes"] for r in rows)
     assert total_bytes > 0
+
+
+def test_p24_audit_matches_p08_split(spark, sf_dir):
+    """The audit's per-source counts must equal the actual p08 split's
+    counts (shared rule), shares must sum to 1 per split, and every
+    deviation must be a valid absolute difference."""
+    from collections import Counter
+
+    rows = _q("p24_split_balance_audit")(spark, sf_dir).collect()
+    assert rows
+    p08 = _q("p08_train_val_split")(spark, sf_dir).collect()
+    expect = Counter((r["source"], r["split"]) for r in p08)
+    for r in rows:
+        assert r["n_train"] == expect[(r["source"], "train")]
+        assert r["n_val"] == expect[(r["source"], "val")]
+        assert 0.0 <= r["val_rate_deviation"] <= 1.0
+    assert abs(sum(r["share_train"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["share_val"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["share_overall"] for r in rows) - 1.0) < 1e-3
