@@ -186,6 +186,7 @@ EXTRA = [
     "d22_nearest_centroid_confusion",
     "m13_hrw_placement_plan",
     "p24_split_balance_audit",
+    "c24_dup_label_conflicts",
 ]
 
 

@@ -2061,3 +2061,64 @@ def c23_simhash_bit_bias(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bit")
     )
+
+# ---------------------------------------------------------------------------
+# c24 — duplicate label-conflict audit (one-row CI gate)
+# ---------------------------------------------------------------------------
+@query(
+    "c24_dup_label_conflicts",
+    oracle="""
+    WITH g AS (SELECT md5(text) AS digest,
+                      CAST(COUNT(*) AS BIGINT) AS n_docs,
+                      CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+                      CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+               FROM documents GROUP BY digest)
+    SELECT CAST(SUM(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_dup_groups,
+           CAST(SUM(CASE WHEN n_docs > 1 THEN n_docs ELSE 0 END)
+                AS BIGINT) AS n_docs_in_dups,
+           CAST(SUM(CASE WHEN n_langs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_lang_conflicts,
+           CAST(SUM(CASE WHEN n_sources > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_source_conflicts,
+           CAST(MAX(n_langs) AS BIGINT) AS max_langs_per_group,
+           CAST(MAX(n_sources) AS BIGINT) AS max_sources_per_group
+    FROM g
+    """,
+)
+def c24_dup_label_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row label-conflict audit over exact-duplicate groups: how
+    many duplicate groups exist, how many carry CONFLICTING language
+    labels (identical bytes cannot be two languages — a direct label
+    error), and how many span multiple sources (legitimate syndication,
+    but the reason c01's keep-one changes per-source budgets). This is
+    the CI gate a curation pipeline asserts on before trusting c01's
+    canonicalization and p01's per-language/per-source budgets; m06
+    holds the per-group detail, this row is the alarm condition.
+
+    Scale: one content-keyed groupBy (digest, never payload, moves)
+    into per-group distinct-label counts, then ONE whole-table
+    aggregate to the single audit row — both map-side combinable,
+    output constant-size."""
+    docs = load_table(spark, sf_dir, "documents")
+    g = (
+        docs.select(F.md5("text").alias("digest"), "lang", "source")
+        .groupBy("digest")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.countDistinct("source").cast("long").alias("n_sources"),
+        )
+    )
+    return g.agg(
+        F.sum(F.when(F.col("n_docs") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_dup_groups"),
+        F.sum(F.when(F.col("n_docs") > 1, F.col("n_docs")).otherwise(0))
+        .cast("long").alias("n_docs_in_dups"),
+        F.sum(F.when(F.col("n_langs") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_lang_conflicts"),
+        F.sum(F.when(F.col("n_sources") > 1, 1).otherwise(0)).cast("long")
+        .alias("n_source_conflicts"),
+        F.max("n_langs").cast("long").alias("max_langs_per_group"),
+        F.max("n_sources").cast("long").alias("max_sources_per_group"),
+    )

@@ -206,6 +206,9 @@ PERTURBED = [
     # split balance audit: one conditional-count scan sharing p08's
     # md5 split rule, |sources|-bounded cells, broadcast totals.
     "p24_split_balance_audit",
+    # dup label-conflict audit: content-keyed groupBy then one
+    # whole-table reduce to a constant-size row.
+    "c24_dup_label_conflicts",
 ]
 
 _PERTURB = {

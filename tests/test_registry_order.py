@@ -57,6 +57,7 @@ _BEYOND_WINDOW_OK: set[str] = {
     "d22_nearest_centroid_confusion",
     "m13_hrw_placement_plan",
     "p24_split_balance_audit",
+    "c24_dup_label_conflicts",
 }
 
 

@@ -971,3 +971,39 @@ def test_p24_audit_matches_p08_split(spark, sf_dir):
     assert abs(sum(r["share_train"] for r in rows) - 1.0) < 1e-3
     assert abs(sum(r["share_val"] for r in rows) - 1.0) < 1e-3
     assert abs(sum(r["share_overall"] for r in rows) - 1.0) < 1e-3
+
+
+def test_c24_audit_consistent_with_content_groups(spark, sf_dir):
+    """The one-row audit must agree with an independent digest-level
+    recount: dup-group and conflict counts, and the maxima, recomputed
+    from scratch."""
+    from collections import defaultdict
+
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    row = _q("c24_dup_label_conflicts")(spark, sf_dir).collect()[0]
+    docs = load_table(spark, sf_dir, "documents").select(
+        "text", "lang", "source"
+    ).collect()
+    groups = defaultdict(lambda: [0, set(), set()])
+    for r in docs:
+        g = groups[r["text"]]
+        g[0] += 1
+        g[1].add(r["lang"])
+        g[2].add(r["source"])
+    assert row["n_dup_groups"] == sum(1 for g in groups.values() if g[0] > 1)
+    assert row["n_docs_in_dups"] == sum(
+        g[0] for g in groups.values() if g[0] > 1
+    )
+    assert row["n_lang_conflicts"] == sum(
+        1 for g in groups.values() if len(g[1]) > 1
+    )
+    assert row["n_source_conflicts"] == sum(
+        1 for g in groups.values() if len(g[2]) > 1
+    )
+    assert row["max_langs_per_group"] == max(
+        len(g[1]) for g in groups.values()
+    )
+    assert row["max_sources_per_group"] == max(
+        len(g[2]) for g in groups.values()
+    )
