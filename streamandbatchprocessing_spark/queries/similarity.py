@@ -2539,3 +2539,82 @@ def d22_nearest_centroid_confusion(
         )
         .orderBy("label", "predicted")
     )
+
+
+# ---------------------------------------------------------------------------
+# d23 — PQ quantization-distortion profile (reconstruction-error QA)
+# ---------------------------------------------------------------------------
+@query(
+    "d23_pq_distortion_profile",
+    oracle=f"""{_pq_codes_cte()},
+    err AS (SELECT s.vec_id, s.m,
+                   {_L2_SQL.format(a='s.sv', b='cb.sv')} AS e
+            FROM sub s
+            JOIN codes co ON co.vec_id = s.vec_id AND co.m = s.m
+            JOIN cb ON cb.m = co.m AND cb.code = co.code)
+    SELECT m,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(e) AS BIGINT) AS min_err,
+           CAST(MAX(e) AS BIGINT) AS max_err,
+           {pround_sql(
+               'CAST(SUM(CAST(e AS DECIMAL(38,0))) AS DOUBLE)'
+               ' / COUNT(*) / 1000000000000.0', 6)} AS mean_err,
+           CAST(SUM(CASE WHEN e = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact
+    FROM err GROUP BY m ORDER BY m
+    """,
+)
+def d23_pq_distortion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ reconstruction-error profile: per subspace, the integer
+    squared distance between every vector's subvector and its assigned
+    codeword (min/mean/max, plus exact hits) — the quantization
+    distortion d06's ADC distances inherit as bias, and the number a
+    PQ-vs-SQ8-vs-float recall tradeoff is argued from (a subspace with
+    outsized distortion wants its own finer codebook — OPQ's rotation
+    argument). Completes the PQ QA pair: d19 says which codes are
+    USED, d23 says how well they FIT.
+
+    Scale: one vectorized Arrow pass re-derives each row's assigned-
+    codeword error alongside encoding (the corpus never pairwise-
+    compares; the codebook tensor is broadcast in the closure); errors
+    are exact int64 (bounded by dim_sub*(2e6)^2 << 2^63) and the
+    M-row report accumulates them in DECIMAL(38,0) with ONE double
+    conversion, scaled back to the unquantized unit (1e-12 = the
+    squared 1e6 quantization scale)."""
+    ei, coded, CB, sd = _pq_encoded(spark, sf_dir)
+
+    def errors(it, CB=CB, sd=sd):
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.array(pdf["iv"].tolist(), dtype=np.int64)
+            S = X.reshape(len(X), _PQ_M, sd)
+            frames = []
+            for m in range(_PQ_M):
+                d2 = ((S[:, m, None, :] - CB[m][None, :, :]) ** 2).sum(axis=2)
+                e = d2.min(axis=1)  # error to the argmin codeword
+                frames.append(pd.DataFrame({"m": m, "e": e}))
+            yield pd.concat(frames, ignore_index=True)
+
+    err = ei.select("iv").mapInPandas(errors, "m long, e long")
+    return (
+        err.groupBy("m")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.min("e").cast("long").alias("min_err"),
+            F.max("e").cast("long").alias("max_err"),
+            F.sum(F.col("e").cast("decimal(38,0)")).alias("s"),
+            F.sum(F.when(F.col("e") == 0, 1).otherwise(0)).cast("long")
+            .alias("n_exact"),
+        )
+        .select(
+            "m", "n_vecs", "min_err", "max_err",
+            pround(
+                F.col("s").cast("double") / F.col("n_vecs")
+                / 1000000000000.0,
+                6,
+            ).alias("mean_err"),
+            "n_exact",
+        )
+        .orderBy("m")
+    )

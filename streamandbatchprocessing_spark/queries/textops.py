@@ -1594,3 +1594,84 @@ def e21_source_language_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# e22 — vocabulary growth curve (Heaps-law profile)
+# ---------------------------------------------------------------------------
+@query(
+    "e22_vocab_growth_curve",
+    oracle="""
+    WITH x AS (SELECT doc_id, unnest(list_distinct(string_split(text, ' ')))
+                   AS tok
+               FROM documents),
+    f AS (SELECT tok, CAST(MIN(doc_id) AS BIGINT) AS first_doc FROM x
+          GROUP BY tok),
+    b AS (SELECT CAST(length(bin(first_doc + 1)) AS INT) AS log2_bucket,
+                 CAST(COUNT(*) AS BIGINT) AS new_types
+          FROM f GROUP BY log2_bucket),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_tokens FROM x),
+    c AS (SELECT log2_bucket,
+                 (CAST(1 AS BIGINT) << log2_bucket) - 1 AS docs_prefix_hi,
+                 new_types,
+                 CAST(SUM(new_types) OVER (ORDER BY log2_bucket)
+                      AS BIGINT) AS vocab_size
+          FROM b)
+    SELECT c.log2_bucket, c.docs_prefix_hi, c.new_types, c.vocab_size,
+           floor((CAST(c.vocab_size AS DOUBLE) / t.n_tokens)
+                 * 1000000.0 + 0.5) / 1000000.0 AS type_token_ratio_bound
+    FROM c, t
+    ORDER BY c.log2_bucket
+    """,
+)
+def e22_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth: how many DISTINCT token types the
+    corpus has accumulated after each power-of-two doc-id prefix — the
+    curve that sizes tokenizer vocabularies and predicts how much new
+    vocabulary another 10x of data buys (sub-linear growth is the
+    Heaps regime; linear growth means unbounded noise tokens, a
+    quality smell).
+
+    Scale: the naive per-prefix countDistinct is K scans (or one
+    K-fold Expand); instead each TYPE reduces to its FIRST-occurrence
+    doc (one token-keyed min aggregate — the token stream's natural
+    shuffle), the curve is the cumulative histogram of first
+    occurrences over a <=~40-cell integer-bucket panel (p18's
+    binary-length move, no float log boundary), and the panel window
+    (panel_window on the bounded buckets) does the running sum. One
+    corpus scan, one linear shuffle, constant-size output."""
+    from ..functions.windows import panel_window
+
+    docs = load_table(spark, sf_dir, "documents")
+    x = docs.select(
+        "doc_id",
+        F.explode(F.array_distinct(F.split("text", " "))).alias("tok"),
+    )
+    x = persist_tracked(x)
+    f = x.groupBy("tok").agg(F.min("doc_id").cast("long").alias("first_doc"))
+    b = (
+        f.select(
+            F.length(F.bin(F.col("first_doc") + 1)).cast("int")
+            .alias("log2_bucket")
+        )
+        .groupBy("log2_bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("new_types"))
+    )
+    tot = x.agg(F.count(F.lit(1)).cast("long").alias("n_tokens"))
+    w = panel_window("log2_bucket", F.asc("log2_bucket"))
+    c = b.withColumn(
+        "vocab_size", F.sum("new_types").over(w).cast("long")
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "log2_bucket",
+            F.expr("shiftleft(CAST(1 AS BIGINT), log2_bucket) - 1")
+            .cast("long").alias("docs_prefix_hi"),
+            "new_types", "vocab_size",
+            pround(
+                F.col("vocab_size").cast("double") / F.col("n_tokens"), 6
+            ).alias("type_token_ratio_bound"),
+        )
+        .orderBy("log2_bucket")
+    )

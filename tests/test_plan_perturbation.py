@@ -209,6 +209,10 @@ PERTURBED = [
     # dup label-conflict audit: content-keyed groupBy then one
     # whole-table reduce to a constant-size row.
     "c24_dup_label_conflicts",
+    # vocab growth: token-keyed first-occurrence reduce + bucket panel
+    # cumulative; PQ distortion: Arrow error pass + M-row decimal mean.
+    "e22_vocab_growth_curve",
+    "d23_pq_distortion_profile",
 ]
 
 _PERTURB = {

@@ -58,6 +58,8 @@ _BEYOND_WINDOW_OK: set[str] = {
     "m13_hrw_placement_plan",
     "p24_split_balance_audit",
     "c24_dup_label_conflicts",
+    "e22_vocab_growth_curve",
+    "d23_pq_distortion_profile",
 }
 
 

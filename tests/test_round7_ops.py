@@ -1007,3 +1007,57 @@ def test_c24_audit_consistent_with_content_groups(spark, sf_dir):
     assert row["max_sources_per_group"] == max(
         len(g[2]) for g in groups.values()
     )
+
+
+def test_e22_growth_curve_identities(spark, sf_dir):
+    """vocab_size must be the running sum of new_types, must end at the
+    corpus's total distinct-type count, and must be strictly positive
+    and non-decreasing."""
+    from pyspark.sql import functions as F
+
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = sorted(
+        _q("e22_vocab_growth_curve")(spark, sf_dir).collect(),
+        key=lambda r: r["log2_bucket"],
+    )
+    assert rows
+    total_types = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .select("tok").distinct().count()
+    )
+    run = 0
+    prev = 0
+    for r in rows:
+        assert r["new_types"] >= 1
+        run += r["new_types"]
+        assert r["vocab_size"] == run
+        assert r["vocab_size"] > prev
+        prev = r["vocab_size"]
+        assert r["docs_prefix_hi"] == (1 << r["log2_bucket"]) - 1
+    assert rows[-1]["vocab_size"] == total_types
+
+
+def test_d23_distortion_identities(spark, sf_dir):
+    """Every subspace must account for every vector; min <= mean*1e12
+    <= max within rounding; codebook seed vectors (vec_id < ks) must
+    reconstruct exactly, so n_exact >= ks per subspace."""
+    from streamandbatchprocessing_spark.queries.similarity import (
+        _PQ_KS,
+        _PQ_M,
+    )
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = _q("d23_pq_distortion_profile")(spark, sf_dir).collect()
+    assert len(rows) == _PQ_M
+    n = load_table(spark, sf_dir, "embeddings").count()
+    for r in rows:
+        assert r["n_vecs"] == n
+        assert r["min_err"] == 0  # the seeds hit their own codeword
+        assert r["n_exact"] >= _PQ_KS
+        assert (
+            r["min_err"] / 1e12 - 1e-6
+            <= r["mean_err"]
+            <= r["max_err"] / 1e12 + 1e-6
+        )
