@@ -2437,3 +2437,81 @@ def g34_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_date", "day_offset")
     )
+
+
+# ---------------------------------------------------------------------------
+# g35 — purchase-frequency survival curve (k-or-more loyalty table)
+# ---------------------------------------------------------------------------
+_FREQ_MAX_K = 20
+
+
+@query(
+    "g35_purchase_frequency_curve",
+    oracle=f"""
+    WITH u AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases
+               FROM events WHERE event_type = 'purchase'
+               GROUP BY user_id),
+    h AS (SELECT n_purchases, CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM u GROUP BY n_purchases),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_buyers FROM u),
+    grid AS (SELECT CAST(k AS BIGINT) AS k
+             FROM range(1, {_FREQ_MAX_K} + 1) g(k)),
+    c AS (SELECT g.k,
+                 CAST(COALESCE(SUM(h.n_users), 0) AS BIGINT)
+                     AS users_k_or_more
+          FROM grid g LEFT JOIN h ON h.n_purchases >= g.k
+          GROUP BY g.k)
+    SELECT c.k, c.users_k_or_more,
+           floor((CAST(c.users_k_or_more AS DOUBLE) / t.total_buyers)
+                 * 1000000.0 + 0.5) / 1000000.0 AS buyer_share
+    FROM c, tot t
+    ORDER BY c.k
+    """,
+)
+def g35_purchase_frequency_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Purchase-frequency survival: for k = 1..20, how many buyers made
+    at least k purchases and their share of all buyers — the loyalty
+    curve behind g26's F score (RFM quantizes it to quartiles; this is
+    the raw distribution a retention target is set against).
+
+    Scale: the corpus collapses FIRST to one count per buyer (a
+    user-keyed map-side-combinable aggregate), then to a histogram
+    bounded by the maximum per-user count; the k-or-more rollup is a
+    K x |histogram| bounded panel join (the p22 cumulative shape) and
+    the buyer total broadcasts as one scalar. All integers until the
+    6dp share."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    u = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases")
+    )
+    h = u.groupBy("n_purchases").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    tot = u.agg(F.count(F.lit(1)).cast("long").alias("total_buyers"))
+    grid = spark.range(1, _FREQ_MAX_K + 1).select(
+        F.col("id").cast("long").alias("k")
+    )
+    c = (
+        grid.join(h, F.col("n_purchases") >= F.col("k"), "left")
+        .groupBy("k")
+        .agg(
+            F.coalesce(F.sum("n_users"), F.lit(0)).cast("long")
+            .alias("users_k_or_more")
+        )
+    )
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .select(
+            "k", "users_k_or_more",
+            pround(
+                F.col("users_k_or_more").cast("double")
+                / F.col("total_buyers"),
+                6,
+            ).alias("buyer_share"),
+        )
+        .orderBy("k")
+    )

@@ -213,6 +213,8 @@ PERTURBED = [
     # cumulative; PQ distortion: Arrow error pass + M-row decimal mean.
     "e22_vocab_growth_curve",
     "d23_pq_distortion_profile",
+    # k-or-more survival: buyer-count histogram + bounded grid join.
+    "g35_purchase_frequency_curve",
 ]
 
 _PERTURB = {

@@ -60,6 +60,7 @@ _BEYOND_WINDOW_OK: set[str] = {
     "c24_dup_label_conflicts",
     "e22_vocab_growth_curve",
     "d23_pq_distortion_profile",
+    "g35_purchase_frequency_curve",
 }
 
 

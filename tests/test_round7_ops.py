@@ -1061,3 +1061,29 @@ def test_d23_distortion_identities(spark, sf_dir):
             <= r["mean_err"]
             <= r["max_err"] / 1e12 + 1e-6
         )
+
+
+def test_g35_survival_is_monotone_and_anchored(spark, sf_dir):
+    """users_k_or_more must be non-increasing in k; k=1 must equal the
+    distinct-buyer count (share exactly 1)."""
+    from pyspark.sql import functions as F
+
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = sorted(
+        _q("g35_purchase_frequency_curve")(spark, sf_dir).collect(),
+        key=lambda r: r["k"],
+    )
+    assert [r["k"] for r in rows] == list(range(1, 21))
+    buyers = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("user_id").distinct().count()
+    )
+    assert rows[0]["users_k_or_more"] == buyers
+    assert rows[0]["buyer_share"] == pytest.approx(1.0, abs=1e-9)
+    prev = None
+    for r in rows:
+        if prev is not None:
+            assert r["users_k_or_more"] <= prev
+        prev = r["users_k_or_more"]
