@@ -190,6 +190,7 @@ EXTRA = [
     "e22_vocab_growth_curve",
     "d23_pq_distortion_profile",
     "g35_purchase_frequency_curve",
+    "c25_minhash_fn_stats",
 ]
 
 

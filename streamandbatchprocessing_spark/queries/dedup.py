@@ -2122,3 +2122,86 @@ def c24_dup_label_conflicts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_langs").cast("long").alias("max_langs_per_group"),
         F.max("n_sources").cast("long").alias("max_sources_per_group"),
     )
+
+
+# ---------------------------------------------------------------------------
+# c25 — minhash function-family health census (row-stats QA)
+# ---------------------------------------------------------------------------
+def _c25_oracle() -> str:
+    arms = "\n        UNION ALL\n".join(
+        f"        SELECT {i} AS fn_idx, h{i} AS hv FROM sig"
+        for i in range(_N_HASHES)
+    )
+    return f"""{_sig_cte()},
+    u AS (
+{arms}
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM sig),
+    topv AS (SELECT fn_idx, CAST(MAX(c) AS BIGINT) AS top_value_count
+             FROM (SELECT fn_idx, hv, COUNT(*) AS c FROM u
+                   GROUP BY fn_idx, hv)
+             GROUP BY fn_idx)
+    SELECT u.fn_idx,
+           CAST(COUNT(DISTINCT u.hv) AS BIGINT) AS n_distinct,
+           CAST(MIN(u.hv) AS BIGINT) AS min_value,
+           CAST(MAX(u.hv) AS BIGINT) AS max_value,
+           MAX(t.top_value_count) AS top_value_count,
+           floor((CAST(COUNT(DISTINCT u.hv) AS DOUBLE) / MAX(tot.n_docs))
+                 * 1000000.0 + 0.5) / 1000000.0 AS distinct_ratio
+    FROM u, tot JOIN topv t ON t.fn_idx = u.fn_idx
+    GROUP BY u.fn_idx
+    ORDER BY u.fn_idx
+    """
+
+
+@query("c25_minhash_fn_stats", oracle=_c25_oracle())
+def c25_minhash_fn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash function-family health census: for each of the 16 hash
+    functions, the distinct signature values across the corpus, the
+    value range, the heaviest single value's document count, and the
+    distinct-to-docs ratio — a degenerate function (few distinct
+    values, or one value absorbing a large doc mass) inflates c02's
+    band-collision rate with FALSE candidates, so this is the screen
+    that validates the family before trusting the LSH pair stream.
+    Completes the sketch-health series: c23 audits simhash bits, d19
+    PQ codes, d14 IVF cells — this audits the minhash rows themselves.
+
+    Scale: signatures are c02's shared one-shuffle build; the census
+    unpivots the 16 columns AT the projection (constant 16x fan-out of
+    |docs| signature rows, never token-scaled) into per-function
+    aggregates — the heavy-value probe is a (fn, value)-keyed count
+    (bounded by distinct signature values) reduced to 16 rows. All
+    integers until the one 6dp ratio."""
+    docs = load_table(spark, sf_dir, "documents")
+    sig = persist_tracked(_sig_df(docs))
+    stack_expr = "stack({n}, {args}) AS (fn_idx, hv)".format(
+        n=_N_HASHES,
+        args=", ".join(
+            f"CAST({i} AS BIGINT), h{i}" for i in range(_N_HASHES)
+        ),
+    )
+    u = sig.select(F.expr(stack_expr))
+    tot = sig.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    topv = (
+        u.groupBy("fn_idx", "hv")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("fn_idx")
+        .agg(F.max("c").cast("long").alias("top_value_count"))
+    )
+    stats = u.groupBy("fn_idx").agg(
+        F.countDistinct("hv").cast("long").alias("n_distinct"),
+        F.min("hv").cast("long").alias("min_value"),
+        F.max("hv").cast("long").alias("max_value"),
+    )
+    return (
+        stats.join(F.broadcast(topv), "fn_idx")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "fn_idx", "n_distinct", "min_value", "max_value",
+            "top_value_count",
+            pround(
+                F.col("n_distinct").cast("double") / F.col("n_docs"), 6
+            ).alias("distinct_ratio"),
+        )
+        .orderBy("fn_idx")
+    )

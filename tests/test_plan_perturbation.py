@@ -215,6 +215,9 @@ PERTURBED = [
     "d23_pq_distortion_profile",
     # k-or-more survival: buyer-count histogram + bounded grid join.
     "g35_purchase_frequency_curve",
+    # minhash family census: shared signature build, stack unpivot,
+    # (fn,value)-keyed heavy probe reduced to 16 rows.
+    "c25_minhash_fn_stats",
 ]
 
 _PERTURB = {

@@ -61,6 +61,7 @@ _BEYOND_WINDOW_OK: set[str] = {
     "e22_vocab_growth_curve",
     "d23_pq_distortion_profile",
     "g35_purchase_frequency_curve",
+    "c25_minhash_fn_stats",
 }
 
 

@@ -1087,3 +1087,22 @@ def test_g35_survival_is_monotone_and_anchored(spark, sf_dir):
         if prev is not None:
             assert r["users_k_or_more"] <= prev
         prev = r["users_k_or_more"]
+
+
+def test_c25_fn_stats_identities(spark, sf_dir):
+    """16 functions; distinct values can't exceed docs; the top value's
+    count can't exceed docs and must be >= docs/n_distinct (pigeonhole);
+    distinct_ratio consistent."""
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    rows = _q("c25_minhash_fn_stats")(spark, sf_dir).collect()
+    assert len(rows) == 16
+    n = load_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert 1 <= r["n_distinct"] <= n
+        assert r["min_value"] <= r["max_value"]
+        assert 1 <= r["top_value_count"] <= n
+        assert r["top_value_count"] * r["n_distinct"] >= n  # pigeonhole
+        assert r["distinct_ratio"] == pytest.approx(
+            r["n_distinct"] / n, abs=1e-6
+        )
