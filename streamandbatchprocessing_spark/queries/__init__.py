@@ -116,6 +116,16 @@ from .registry import ORACLES, QUERIES
 #: covered in-window). Fifteenth mid-round-7 update: f15 streaming
 #: latest-state swaps in for one more r06-green re-confirmation (f08
 #: — f01/f12/f14/f15 keep the streaming family covered in-window).
+#: Round-8 rotation: the eight operators registered beyond the
+#: saturated round-7 window (c24 dup label conflicts, c25 minhash
+#: fn-family census, d22 nearest-centroid confusion, d23 PQ distortion
+#: profile, e22 vocab growth curve, g35 purchase-frequency curve, m13
+#: HRW placement plan, p24 split balance audit) swap in for eight
+#: r07-greened re-confirmations (c21, c22, d13, d16, e20, g25, m11,
+#: p18 — every family keeps in-window siblings and every rotated-out
+#: query keeps its local strict-oracle test). After this rotation
+#: every registered query either carries a driver verdict or sits
+#: inside the scoring window.
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -125,22 +135,23 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # containment new)
     "c18_blocked_fuzzy_match",
     "c19_cross_source_dup_matrix", "c20_containment_pairs",
-    "c21_candidate_degree_profile", "c22_dup_group_histogram",
     "c23_simhash_bit_bias",
+    "c24_dup_label_conflicts", "c25_minhash_fn_stats",
     # similarity search (d04/d07 rotated out green; d10/d11 keep the
     # bucketed family covered; d12 filtered ANN + d13 norm profile +
     # d14 cell balance + d15 PQ rerank new)
     "d10_mutual_knn_graph",
-    "d12_filtered_ann", "d13_embedding_norm_profile",
+    "d12_filtered_ann",
     "d14_ivf_cell_balance", "d15_pq_rerank_topk",
-    "d16_retrieval_margin_profile", "d17_dim_variance_profile",
+    "d17_dim_variance_profile",
     "d18_centroid_separation", "d19_pq_code_utilization",
     "d20_ivf_assignment_margin", "d21_embedding_drift",
+    "d22_nearest_centroid_confusion", "d23_pq_distortion_profile",
     # text analysis (e12/e16 rotated out green; e17 novelty + e18
     # quality rules + e19 collocation lift new)
     "e10_pii_scrub",
     "e17_trigram_novelty", "e18_quality_rules", "e19_collocation_lift",
-    "e20_charclass_profile", "e21_source_language_purity",
+    "e21_source_language_purity", "e22_vocab_growth_curve",
     # streaming extensions (f02/f03/f06/f07/f09 rotate out green —
     # f08/f12/f14 keep the join matrix and f04-style state covered;
     # f14 semi join completes the stream-stream join matrix)
@@ -149,23 +160,25 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "f14_stream_semi_join", "f15_streaming_latest_state",
     # multimodal (m02/m05 rotated out green; m10 chunk dedup new —
     # d15/d03 keep the Arrow mapInPandas path in-window)
-    "m10_chunk_dedup_profile", "m11_magic_byte_census",
-    "m12_payload_size_histogram",
+    "m10_chunk_dedup_profile",
+    "m12_payload_size_histogram", "m13_hrw_placement_plan",
     # composed pipelines (p11 rotated out green; p17 dedup-adjusted
     # mix + p18 length histogram new)
-    "p17_dedup_adjusted_mix", "p18_token_length_histogram",
+    "p17_dedup_adjusted_mix",
     "p19_dataset_card", "p20_epoch_plan", "p21_shard_manifest",
     "p22_quality_survival_curve", "p23_length_quality_grid",
+    "p24_split_balance_audit",
     # physical layout (b30 bucketed + b33 DPP keep the layout family
     # driver-covered; b34 compaction plan new)
     "b34_compaction_plan", "b35_range_clustered_scan",
     # cross-series analytics (g13/g23 rotated out green; g25
     # hour-of-week profile and g30 new-vs-returning new)
-    "g25_hour_of_week_profile", "g26_rfm_segments",
+    "g26_rfm_segments",
     "g27_top_event_paths", "g28_rolling_active_users",
     "g29_revenue_pareto", "g30_new_returning_users",
     "g31_interarrival_profile", "g32_ship_latency_profile",
     "g33_brand_basket_lift", "g34_cohort_ltv",
+    "g35_purchase_frequency_curve",
 )
 
 

@@ -33,6 +33,14 @@ then d21 swaps in for p12 (rows-only-by-design verdict stands from
 r06; p17–p23 keep the pipeline family covered); then b35 swaps in for
 b33 (b34/b35 keep the layout family covered); then f15 swaps in for
 f08 (f01/f12/f14/f15 keep the streaming family covered).
+
+Round-8 window policy: CORRECTNESS_r07 greened all 50 round-7 window
+entries, so the eight operators that overflowed the saturated round-7
+window (c24, c25, d22, d23, e22, g35, m13, p24) rotate in, swapping
+out eight r07-green re-confirmations (c21, c22, d13, d16, e20, g25,
+m11, p18 — every family keeps in-window siblings; every rotated-out
+query keeps its local strict-oracle test). The overflow set is now
+empty: every registered query has a driver verdict or a window slot.
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES
@@ -47,42 +55,28 @@ def test_priority_order_is_window_prefix():
 
 #: Never-scored queries deliberately registered BEYOND the 50-slot
 #: window. Additions here must say what covers them instead.
-#: Round-7 overflow (the window is saturated with 44 never-scored
-#: entries + the three pinned events representatives): each overflow
-#: entry is covered by its strict local oracle test
-#: (tests/test_queries_oracle.py, bit-exact with the driver compare)
-#: and its perturbation slice, and is first in line for the round-8
-#: scoring window.
-_BEYOND_WINDOW_OK: set[str] = {
-    "d22_nearest_centroid_confusion",
-    "m13_hrw_placement_plan",
-    "p24_split_balance_audit",
-    "c24_dup_label_conflicts",
-    "e22_vocab_growth_curve",
-    "d23_pq_distortion_profile",
-    "g35_purchase_frequency_curve",
-    "c25_minhash_fn_stats",
-}
+#: Round 8: empty — the round-7 overflow (c24, c25, d22, d23, e22,
+#: g35, m13, p24) rotated into the window, and no new operators were
+#: registered beyond it.
+_BEYOND_WINDOW_OK: set[str] = set()
 
 
 def test_every_never_scored_query_inside_scoring_window():
-    # Queries greened by the driver through round 6 (cumulative
-    # CORRECTNESS_r01/r02/r04/r05/r06 — r06 closed the then-registered
-    # set at 49 hash-green + p12 rows-only by design); everything else
-    # must sit inside the 50-slot window until it has a verdict of its
-    # own. c18 is deliberately NOT in this set even though r06 greened
-    # it: its round-7 composite blocking key changed the output, so the
-    # old verdict no longer covers it.
+    # Queries greened by the driver through round 7 (cumulative
+    # CORRECTNESS_r01/r02/r04/r05/r06/r07 — r07 greened all 50 window
+    # entries: c18–c23, d12–d21, e17–e21, f14/f15, m10–m12, p17–p23,
+    # b34/b35, g25–g34 plus the re-confirmations); everything else must
+    # sit inside the 50-slot window until it has a verdict of its own.
     previously_green = (
         {f"a0{i}" for i in range(1, 10)}
-        | {f"b{i:02d}" for i in range(1, 34)}
-        | {f"g{i:02d}" for i in range(1, 25)}
-        | {f"c{i:02d}" for i in range(1, 19)} - {"c18"}
-        | {f"d{i:02d}" for i in range(1, 12)}
-        | {f"e{i:02d}" for i in range(1, 17)}
-        | {f"f{i:02d}" for i in range(1, 14)}
-        | {f"m{i:02d}" for i in range(1, 10)}
-        | {f"p{i:02d}" for i in range(1, 17)}
+        | {f"b{i:02d}" for i in range(1, 36)}
+        | {f"g{i:02d}" for i in range(1, 35)}
+        | {f"c{i:02d}" for i in range(1, 24)}
+        | {f"d{i:02d}" for i in range(1, 22)}
+        | {f"e{i:02d}" for i in range(1, 22)}
+        | {f"f{i:02d}" for i in range(1, 16)}
+        | {f"m{i:02d}" for i in range(1, 13)}
+        | {f"p{i:02d}" for i in range(1, 24)}
     )
     window = set(list(QUERIES)[:50])
     never_scored = [
