@@ -26,8 +26,11 @@ from pyspark.sql import functions as F
 
 
 def _const_key(anchor: Column | str) -> Column:
+    # coalesce: a NULL anchor would make crc32 NULL and silently split
+    # the supposed single bucket into two window partitions (NULL and 0),
+    # corrupting ranks/running sums for callers with nullable anchors.
     col = F.col(anchor) if isinstance(anchor, str) else anchor
-    return F.pmod(F.crc32(col.cast("string")), F.lit(1))
+    return F.pmod(F.crc32(F.coalesce(col.cast("string"), F.lit(""))), F.lit(1))
 
 
 def panel_window(anchor: Column | str, *order_cols: Column | str) -> WindowSpec:

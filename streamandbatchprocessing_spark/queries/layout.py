@@ -11,13 +11,12 @@ tests/test_plans.py::test_bucketed_join_has_no_exchange).
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.aggregates import dsum
 from ..sources.batch import load_table
+from ..sources.staging import staging_dir
 from ..sources.bucketed import colocated_fact_join
 from .registry import query
 
@@ -44,7 +43,7 @@ def bucketed_lineitem_orders_join(spark: SparkSession, sf_dir: str) -> DataFrame
     lineitem = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_extendedprice", "l_discount"
     )
-    base = tempfile.mkdtemp(prefix="sbp-bucketed-")
+    base = staging_dir("sbp-bucketed-")
     joined = colocated_fact_join(
         spark,
         lineitem,
@@ -116,15 +115,13 @@ def zordered_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     cached = _ZSTAGED.get(key)
     if cached is not None:
         return cached
-    import tempfile
-
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
         "l_discount",
     )
     out = write_zordered(
         li, "l_partkey", "l_orderkey",
-        tempfile.mkdtemp(prefix="sbp-zorder-") + "/lineitem",
+        staging_dir("sbp-zorder-") + "/lineitem",
     )
     _ZSTAGED[key] = out
     return out
@@ -191,7 +188,7 @@ def date_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").withColumn(
         "event_date", F.to_date("ts")
     )
-    base = tempfile.mkdtemp(prefix="sbp-datepart-") + "/events"
+    base = staging_dir("sbp-datepart-") + "/events"
     ev.write.partitionBy("event_date").mode("overwrite").parquet(base)
     out = spark.read.parquet(base)
     _PART_STAGED[key] = out
@@ -425,7 +422,7 @@ def range_clustered_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
         "l_discount",
     )
-    base = tempfile.mkdtemp(prefix="sbp-rangeclust-") + "/lineitem"
+    base = staging_dir("sbp-rangeclust-") + "/lineitem"
     (
         li.repartitionByRange(_RANGE_FILES, F.col("l_orderkey"))
         .sortWithinPartitions("l_orderkey")

@@ -21,7 +21,6 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
 import threading
 
 from pyspark.sql import DataFrame, SparkSession
@@ -34,6 +33,8 @@ from pyspark.sql.types import (
     StructType,
     TimestampNTZType,
 )
+
+from ..sources.staging import staging_dir
 
 _MEM_COUNTER = itertools.count()
 
@@ -168,7 +169,7 @@ def events_stream_staged(
             "(maxFilesPerTrigger=2), so a later sentinel-only batch "
             f"must exist for expired state to flush (got {n_sentinels})"
         )
-    stage = tempfile.mkdtemp(prefix="sbp-staged-events-")
+    stage = staging_dir("sbp-staged-events-")
     src = os.path.join(sf_dir, "events.parquet")
     if not os.path.isfile(src):
         raise ValueError(
@@ -243,7 +244,7 @@ def run_to_memory(
     """
     spark = df.sparkSession
     name = f"{name_prefix}_{next(_MEM_COUNTER)}"
-    checkpoint = tempfile.mkdtemp(prefix="sbp-stream-ckpt-")
+    checkpoint = staging_dir("sbp-stream-ckpt-")
     writer = (
         df.writeStream.format("memory")
         .queryName(name)

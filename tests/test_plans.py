@@ -672,3 +672,23 @@ def test_p21_manifest_is_single_shuffle_scan(spark, sf_dir):
     assert all(c in schemas[0] for c in ("doc_id", "text", "n_chars"))
     assert "source" not in schemas[0], schemas[0]
     assert "lang" not in schemas[0], schemas[0]
+
+
+def test_panel_window_null_anchor_stays_one_bucket(spark):
+    """A NULL anchor value must not split panel_window's single bucket:
+    _const_key coalesces before crc32, so NULL-anchor rows land in the
+    same partition as everything else and ranks stay 1..n."""
+    from pyspark.sql import functions as F
+
+    from streamandbatchprocessing_spark.functions.windows import panel_window
+
+    df = spark.createDataFrame(
+        [(None, 1), ("a", 2), (None, 3), ("b", 4)], "anchor string, ord int"
+    )
+    ranks = sorted(
+        r.rk
+        for r in df.select(
+            F.row_number().over(panel_window("anchor", "ord")).alias("rk")
+        ).collect()
+    )
+    assert ranks == [1, 2, 3, 4], ranks
