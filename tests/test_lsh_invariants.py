@@ -92,3 +92,25 @@ def test_hamming_le_block_count_minus_one_always_shares_a_block(fp, ham):
     for _ in range(min(ham, _SIM_BLOCKS - 1)):
         flipped ^= 1 << rng.randrange(32)
     assert any(_block(fp, k) == _block(flipped, k) for k in range(_SIM_BLOCKS))
+
+
+def test_token_hash_injective_on_fixture_vocab(spark, sf_dir):
+    """shared_toksets stores xxhash64(token) instead of token strings —
+    set SIZES (all the exact jaccard/containment measures read) are
+    preserved iff the hash is injective on the corpus vocabulary. Pin
+    that corpus-wide: distinct tokens == distinct token hashes. A
+    collision would silently shrink an intersection; this test is the
+    alarm (and the oracles intersect raw strings, so the driver's hash
+    compare cross-checks every round at sf0.01 too)."""
+    from pyspark.sql import functions as F
+
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(F.split("text", " ")).alias("tok")
+    )
+    row = tok.agg(
+        F.countDistinct("tok").alias("n_tok"),
+        F.countDistinct(F.xxhash64("tok")).alias("n_hash"),
+    ).first()
+    assert row.n_tok == row.n_hash, (row.n_tok, row.n_hash)
