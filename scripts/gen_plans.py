@@ -427,6 +427,55 @@ ANNOTATED = {
         "orders, no second basket shuffle), per-brand counts + scalar "
         "total broadcast back, |brands|^2-bounded output."
     ),
+    "c24_dup_label_conflicts": (
+        "Label-conflict CI gate: one content-digest groupBy (payload "
+        "never shuffles — md5 moves) with distinct-label counts, then "
+        "ONE whole-table reduce to the single audit row; both "
+        "map-side combinable."
+    ),
+    "c25_minhash_fn_stats": (
+        "Fn-family census: the session-shared signature cache unpivots "
+        "via stack (constant 16x of |docs| rows, never token-scaled); "
+        "heavy-value probe is a (fn,value)-keyed count reduced to 16 "
+        "rows; top counts and doc total arrive by broadcast."
+    ),
+    "d22_nearest_centroid_confusion": (
+        "Centroid confusion: dimension-parallel centroid cells "
+        "(|labels|*dim, int64 micro-units), classification joins the "
+        "exploded component stream to the cell panel ON DIMENSION "
+        "(|labels|-bounded fan-out, no vector-vector pairs), argmin as "
+        "min(struct) aggregate, |labels|^2-bounded output."
+    ),
+    "d23_pq_distortion_profile": (
+        "PQ distortion: ONE vectorized Arrow pass re-derives each "
+        "row's assigned-codeword error (codebook broadcast in the "
+        "closure, corpus never pairwise-compares); exact int64 errors "
+        "accumulate in DECIMAL(38,0) to the M-row report."
+    ),
+    "e22_vocab_growth_curve": (
+        "Heaps curve: each vocabulary TYPE reduces to its FIRST-"
+        "occurrence doc (one token-keyed min aggregate — no K-fold "
+        "Expand, no K scans), integer log2 bucketing, running sum on "
+        "the bounded bucket panel via panel_window."
+    ),
+    "g35_purchase_frequency_curve": (
+        "Frequency survival curve: corpus collapses FIRST to one "
+        "count per buyer, then to a <=K-bucket histogram; cumulative "
+        "tail via the bounded K x |histogram| panel join (p22's "
+        "shape); buyer total broadcasts as one scalar."
+    ),
+    "m13_hrw_placement_plan": (
+        "HRW placement: payloads collapse FIRST to distinct digests, "
+        "constant |nodes| fan-out per digest, per-digest top-R window "
+        "over N rows; per-node load reduces to a 2N-cell integer "
+        "aggregate with one broadcast scalar."
+    ),
+    "p24_split_balance_audit": (
+        "Split audit: ONE linear scan applying p08's literal md5 split "
+        "rule (shared constant — cannot drift) into a |sources|-bounded "
+        "conditional-count aggregate; three totals broadcast as one "
+        "scalar row."
+    ),
 }
 
 

@@ -692,3 +692,17 @@ def test_panel_window_null_anchor_stays_one_bucket(spark):
         ).collect()
     )
     assert ranks == [1, 2, 3, 4], ranks
+
+
+def test_c20_reads_shared_cache_without_pair_shuffle(spark, sf_dir):
+    """c20's pair stream must come from the session-shared persisted
+    candidate artifact (InMemoryTableScan) and flow through the two
+    token-set joins WITHOUT a pair-stream shuffle — at toy SF both
+    joins broadcast the metadata-sized toksets projection; a
+    ShuffleExchange of the O(pairs) relation is the regression this
+    pins against."""
+    plan = executed_plan(QUERIES["c20_containment_pairs"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan, plan[:2000]
+    pair_stage = plan.split("InMemoryRelation", 1)[0]
+    assert "Exchange hashpartitioning" not in pair_stage, pair_stage[:2000]
+    assert pair_stage.count("BroadcastHashJoin") == 2, pair_stage[:2000]
