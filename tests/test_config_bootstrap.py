@@ -94,7 +94,8 @@ def test_runtime_shutdown_ordering(spark, tmp_path):
     rt.spark = type("S", (), {"stop": lambda self: order.append("spark")})()
     log = rt.shutdown()
     assert order == ["streams", "pool", "spark"]
-    assert log == ["streams_stopped", "pool_drained", "spark_stopped"]
+    assert log == ["streams_stopped", "pool_drained",
+                   "artifacts_released", "spark_stopped"]
     # idempotent: a second call (atexit after SIGTERM) must not re-stop
     assert rt.shutdown() == log
     assert order == ["streams", "pool", "spark"]

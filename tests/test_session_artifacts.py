@@ -1,0 +1,92 @@
+"""Session-shared artifact discipline (queries/registry.session_artifact).
+
+The dedup family (signatures / candidate stream / token sets) and the
+ANN family (quantized vectors / k-means index / PQ encoding) read
+write-once session artifacts instead of rebuilding inside each query.
+These tests pin the three properties that sharing must not break:
+
+1. Artifact contents equal a cold inline rebuild bit-for-bit.
+2. The memo actually memoizes (same object back) — and is keyed on the
+   plan-perturbation confs, so the forced-SMJ sweep rebuilds.
+3. release_session_artifacts empties the memo and unpersists, so a
+   corpus-snapshot rotation cannot leak cached blocks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamandbatchprocessing_spark.queries import dedup
+from streamandbatchprocessing_spark.queries.registry import (
+    _SESSION_ARTIFACTS,
+    release_session_artifacts,
+    session_artifact,
+)
+from streamandbatchprocessing_spark.sources.batch import load_table
+
+
+def _rows(df):
+    return sorted(map(repr, df.collect()))
+
+
+def test_shared_pairs_equals_inline_rebuild(spark, sf_dir):
+    shared = dedup.shared_pairs(spark, sf_dir).select(
+        "da", "db", (F.col("agree") / 16.0).alias("est")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    inline = dedup._band_pairs(
+        dedup._sig_df(docs),
+        lambda pa, pb, band: [
+            (dedup._agree_col(pa, pb, band) / 16.0).alias("est")
+        ],
+    )
+    assert _rows(shared) == _rows(inline)
+
+
+def test_shared_toksets_sizes_match_string_sets(spark, sf_dir):
+    # int64-hashed sets must preserve SIZES exactly (the only thing the
+    # exact measures read) vs the raw string token sets.
+    hashed = dedup.shared_toksets(spark, sf_dir).select(
+        "doc_id", F.size("toks").alias("n")
+    )
+    strings = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.array_distinct(F.split("text", " "))).alias("n"),
+    )
+    assert _rows(hashed) == _rows(strings)
+
+
+def test_memo_hits_and_is_conf_keyed(spark, sf_dir):
+    a = dedup.shared_sig(spark, sf_dir)
+    b = dedup.shared_sig(spark, sf_dir)
+    assert a is b  # memo hit — no rebuild
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        c = dedup.shared_sig(spark, sf_dir)
+        assert c is not a  # perturbed conf gets its own build
+        assert _rows(c) == _rows(a)  # ...with identical contents
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+def test_release_empties_memo_and_allows_rebuild(spark, sf_dir):
+    before = dedup.shared_sig(spark, sf_dir)
+    assert _SESSION_ARTIFACTS
+    release_session_artifacts()
+    assert not _SESSION_ARTIFACTS
+    after = dedup.shared_sig(spark, sf_dir)
+    assert after is not before
+    assert _rows(after) == _rows(before)
+
+
+def test_tuple_artifacts_release_cleanly(spark, sf_dir):
+    # tuple-valued artifacts (DataFrames mixed with plain objects) must
+    # unpersist their DataFrame parts without raising
+    marker = session_artifact(
+        spark, sf_dir, "test_tuple",
+        lambda: (load_table(spark, sf_dir, "region").persist(), [1, 2, 3]),
+    )
+    assert marker[1] == [1, 2, 3]
+    release_session_artifacts()
+    assert not _SESSION_ARTIFACTS
