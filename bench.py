@@ -68,6 +68,16 @@ def _run(spark, name: str, sf_dir: str) -> float:
 #: a real checkpointed streaming drain, the Arrow/pandas feature path,
 #: and (round 3+) the newest extension ops so their perf is on record
 #: without disturbing the headline curve.
+#:
+#: Reading extras since round 8: the dedup/ANN families share
+#: session-lifetime index artifacts (queries/registry.session_artifact
+#: — MinHash signatures, banded candidate stream, k-means index, PQ
+#: encoding), so the FIRST consumer of each artifact in this run order
+#: pays its build and later consumers record their marginal cost.
+#: That mirrors production (indexes are built once per corpus
+#: snapshot, QA stages read them) and keeps the build cost visible in
+#: the timing table rather than hiding it — compare c14 (first
+#: candidate-stream consumer) with c19/c20/c21 behind it.
 EXTRA = [
     "f01_streaming_dashboard",
     "m02_payload_features_pandas",
