@@ -90,3 +90,31 @@ def test_tuple_artifacts_release_cleanly(spark, sf_dir):
     assert marker[1] == [1, 2, 3]
     release_session_artifacts()
     assert not _SESSION_ARTIFACTS
+
+
+def test_shared_kmeans_equals_cold_rebuild(spark, sf_dir):
+    """The shared k-means index (centroids + assignment) must be
+    bit-identical to a cold _integer_kmeans run — deterministic Lloyd
+    on integer arithmetic has no legitimate source of drift, so any
+    difference means the memo leaked state between builds."""
+    from streamandbatchprocessing_spark.queries import similarity as sim
+
+    centroids, assign = sim._shared_kmeans(spark, sf_dir)
+    _, ei = sim._quantized_vectors(spark, sf_dir)
+    cold_centroids, cold_assign = sim._integer_kmeans(ei)
+    assert centroids == cold_centroids
+    assert _rows(assign) == _rows(cold_assign)
+
+
+def test_shared_pq_encoding_equals_cold_rebuild(spark, sf_dir):
+    """The shared PQ encoding (codes per vector + codebook tensor)
+    must equal a cold rebuild."""
+    import numpy as np
+
+    from streamandbatchprocessing_spark.queries import similarity as sim
+
+    ei, coded, CB, sd = sim._pq_encoded(spark, sf_dir)
+    ei2, coded2, CB2, sd2 = sim._pq_encoded_build(spark, sf_dir)
+    assert sd == sd2
+    assert np.array_equal(CB, CB2)
+    assert _rows(coded) == _rows(coded2)
