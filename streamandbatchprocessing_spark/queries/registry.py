@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -40,6 +41,14 @@ _ARTIFACT_PLAN_CONF = (
     "spark.sql.autoBroadcastJoinThreshold",
     "spark.sql.shuffle.partitions",
 )
+#: Serializes memo check-then-act: the service runs concurrent batch
+#: queries on one session (3-deep pool, test_service's concurrency
+#: bar), and an unsynchronized miss would double-build — the losing
+#: build's persisted DataFrame then sits orphaned in the block manager
+#: with no release path. RLock because builders compose (shared_pairs
+#: builds shared_sig; _pq_adc_scores builds _pq_encoded) and re-enter
+#: on the same thread.
+_ARTIFACT_LOCK = threading.RLock()
 
 
 def _conf_or_default(spark: SparkSession, key: str) -> str:
@@ -60,27 +69,37 @@ def session_artifact(spark: SparkSession, sf_dir: str, kind: str, build):
         kind,
         *(_conf_or_default(spark, k) for k in _ARTIFACT_PLAN_CONF),
     )
-    value = _SESSION_ARTIFACTS.get(key)
-    if value is None:
-        value = build()
-        _SESSION_ARTIFACTS[key] = value
+    with _ARTIFACT_LOCK:
+        value = _SESSION_ARTIFACTS.get(key)
+        if value is None:
+            value = build()
+            _SESSION_ARTIFACTS[key] = value
     return value
 
 
-def release_session_artifacts() -> None:
-    """Unpersist and forget every session-lifetime artifact — for a
-    long-lived service rotating to a NEW corpus snapshot (the memo is
-    keyed by sf_dir, so stale snapshots would otherwise hold their
-    cached blocks until session end) and for tests that need a cold
-    rebuild."""
-    while _SESSION_ARTIFACTS:
-        _, value = _SESSION_ARTIFACTS.popitem()
-        for part in value if isinstance(value, tuple) else (value,):
-            if isinstance(part, DataFrame):
-                try:
-                    part.unpersist()
-                except Exception:
-                    pass  # session already stopped
+def release_session_artifacts(application_id: str | None = None) -> None:
+    """Unpersist and forget session-lifetime artifacts. With
+    ``application_id``, releases only that Spark application's entries
+    (Runtime.shutdown passes its own id, so an embedding host running
+    two Runtimes in one process cannot unpersist the other's live
+    caches); with no argument, releases everything (tests, or a host
+    that owns the whole process). A host that rotates corpus snapshots
+    within one session should call this at the rotation point — the
+    memo is keyed by sf_dir, so a stale snapshot's artifacts otherwise
+    stay cached until session end."""
+    with _ARTIFACT_LOCK:
+        keys = [
+            k for k in _SESSION_ARTIFACTS
+            if application_id is None or k[0] == application_id
+        ]
+        for k in keys:
+            value = _SESSION_ARTIFACTS.pop(k)
+            for part in value if isinstance(value, tuple) else (value,):
+                if isinstance(part, DataFrame):
+                    try:
+                        part.unpersist()
+                    except Exception:
+                        pass  # session already stopped
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:

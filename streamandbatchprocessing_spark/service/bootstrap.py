@@ -55,10 +55,16 @@ class Runtime:
         self.shutdown_log.append("streams_stopped")
         self.pool.shutdown(wait=True)
         self.shutdown_log.append("pool_drained")
-        # Release the session-lifetime artifact cache (shared dedup/ANN
-        # index builds) before stopping Spark, so the shutdown path
-        # leaves no persisted blocks behind if the JVM outlives us.
-        release_session_artifacts()
+        # Release THIS application's session-lifetime artifacts (shared
+        # dedup/ANN index builds) before stopping Spark, so the shutdown
+        # path leaves no persisted blocks behind if the JVM outlives us;
+        # scoped by applicationId so an embedding host running a second
+        # Runtime in the same process keeps its own caches.
+        try:
+            app_id = self.spark.sparkContext.applicationId
+        except Exception:  # stubbed session in tests — release everything
+            app_id = None
+        release_session_artifacts(app_id)
         self.shutdown_log.append("artifacts_released")
         self.spark.stop()
         self.shutdown_log.append("spark_stopped")

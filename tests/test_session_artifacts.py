@@ -115,6 +115,50 @@ def test_shared_pq_encoding_equals_cold_rebuild(spark, sf_dir):
 
     ei, coded, CB, sd = sim._pq_encoded(spark, sf_dir)
     ei2, coded2, CB2, sd2 = sim._pq_encoded_build(spark, sf_dir)
-    assert sd == sd2
-    assert np.array_equal(CB, CB2)
-    assert _rows(coded) == _rows(coded2)
+    try:
+        assert sd == sd2
+        assert np.array_equal(CB, CB2)
+        assert _rows(coded) == _rows(coded2)
+    finally:
+        # the cold rebuild's persist is outside both release registries
+        coded2.unpersist()
+
+
+def test_concurrent_builds_memoize_once(spark, sf_dir):
+    """Concurrent first-touch must not double-build (the losing build's
+    persisted DataFrame would be orphaned in the block manager): all
+    threads must get the SAME object back."""
+    import threading
+
+    release_session_artifacts()
+    results = []
+    barrier = threading.Barrier(4)
+
+    def touch():
+        barrier.wait()
+        results.append(dedup.shared_sig(spark, sf_dir))
+
+    threads = [threading.Thread(target=touch) for _ in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    assert len(results) == 4
+    assert all(r is results[0] for r in results)
+
+
+def test_release_scopes_by_application_id(spark, sf_dir):
+    from streamandbatchprocessing_spark.queries.registry import (
+        session_artifact as sa,
+    )
+
+    release_session_artifacts()
+    sa(spark, sf_dir, "scope_probe", lambda: "mine")
+    # a foreign application's entry must survive a scoped release
+    _SESSION_ARTIFACTS[("other-app", sf_dir, "scope_probe")] = "theirs"
+    release_session_artifacts(spark.sparkContext.applicationId)
+    assert ("other-app", sf_dir, "scope_probe") in _SESSION_ARTIFACTS
+    assert not any(
+        k[0] == spark.sparkContext.applicationId for k in _SESSION_ARTIFACTS
+    )
+    release_session_artifacts()
