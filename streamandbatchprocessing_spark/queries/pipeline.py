@@ -495,6 +495,14 @@ def p06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inlined form re-splits the full text inside the transform lambda
     # (once per gram — the e07 no-CSE gotcha; CollapseProject keeps the
     # projection because the non-cheap split is referenced 3×).
+    #
+    # Grams stay concatenated STRINGS deliberately (measured, round 8):
+    # hashing the 5 tokens to an int64 gram key inside the transform
+    # lambda (i -> xxhash64(toks[i], ..., toks[i+4])) — the
+    # shared_toksets trick applied to n-grams — benched 11.7 s vs 3.9 s
+    # at sf0.1: five array subscripts + a 5-arg hash per lambda call
+    # evaluate interpreted inside the higher-order function, losing far
+    # more than the narrower join key wins. concat_ws(slice(...)) stays.
     grams = F.array_distinct(
         F.expr(
             f"CASE WHEN size(toks) < {_CONTAM_N} THEN array() "
