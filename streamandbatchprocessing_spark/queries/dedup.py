@@ -481,14 +481,32 @@ _MAX_SHINGLE_DF = 64
 def shingles_col():
     """Per-document distinct 3-shingle array — THE single definition
     shared by c04 (the pair join), c16 (the DF spectrum that justifies
-    c04's cap), and the c16 accounting test, so the spectrum can never
-    drift from the cost model it describes."""
+    c04's cap), e17 (novelty), and the c16 accounting test, so the
+    spectrum can never drift from the cost model it describes."""
     return F.array_distinct(
         F.expr(
             "CASE WHEN size(split(text, ' ')) < 3 THEN array() "
             "ELSE transform(sequence(0, size(split(text, ' ')) - 3), "
             "i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3))) END"
         )
+    )
+
+
+def shared_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared exploded distinct-3-shingle stream ``(doc_id,
+    source, g)``. Shingle GENERATION (higher-order transform/slice/
+    concat — Catalyst interprets these) dominates every consumer's
+    downstream work, and three operators read the same stream: c04's
+    posting lists, c16's DF spectrum, e17's novelty join. One persisted
+    pass — the shingle table a production dedup pipeline materializes
+    alongside its signatures. Docs under 3 tokens emit no rows;
+    consumers that must report them restore via a doc-panel left join
+    (e17's move)."""
+    return _session_artifact(
+        spark, sf_dir, "shingles",
+        lambda: load_table(spark, sf_dir, "documents").select(
+            "doc_id", "source", F.explode(shingles_col()).alias("g")
+        ),
     )
 
 
@@ -532,11 +550,13 @@ def c04_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     output-bound exactly like the join (a k-doc posting yields k(k-1)/2
     pairs either way). Union sizes come from per-doc set sizes, so no
     pairwise set materialization."""
-    docs = load_table(spark, sf_dir, "documents")
-    sh = shingles_col()
-    s = docs.select("doc_id", "source", sh.alias("sh"))
-    sz = s.select("doc_id", F.size("sh").alias("n"))
-    x = s.select("doc_id", "source", F.explode("sh").alias("g"))
+    # The exploded shingle stream is the session-shared artifact; the
+    # per-doc set size comes from a count over it (shingles_col is
+    # array_distinct'd, so rows per doc == set size) — only docs that
+    # appear in a pair need a size, and pair members have shingles by
+    # construction.
+    x = shared_shingles(spark, sf_dir)
+    sz = x.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     posts = (
         x.groupBy("source", "g")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
@@ -1537,8 +1557,7 @@ def c16_shingle_df_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the exploded shingle set shuffles once (the DF groupBy —
     same key c04 groups on), then a |DF-levels|-bounded second
     aggregate. Pure counting; no posting list is ever materialized."""
-    docs = load_table(spark, sf_dir, "documents")
-    x = docs.select("source", F.explode(shingles_col()).alias("g"))
+    x = shared_shingles(spark, sf_dir).select("source", "g")
     d = x.groupBy("source", "g").agg(F.count(F.lit(1)).alias("df"))
     return (
         d.groupBy("source", "df")

@@ -1218,17 +1218,16 @@ def e17_trigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the novel tail. Same shingle definition as c04/c16 (shared
     expression), so the novelty report and the dedup cost model
     describe the same objects."""
-    from .dedup import shingles_col
+    from .dedup import shared_shingles
 
     docs = load_table(spark, sf_dir, "documents")
     # Shingle GENERATION (higher-order transform/slice/concat — Catalyst
     # interprets these, ~8 s/pass at sf0.1) dominates everything
-    # downstream, and three consumers need the exploded stream (per-doc
-    # sizes, the global df count, the df=1 join back). Materialize it
-    # once; each consumer is then a linear aggregate of hash-sized rows.
-    x = persist_tracked(
-        docs.select("doc_id", F.explode(shingles_col()).alias("g"))
-    )
+    # downstream, and three consumers in THIS query need the exploded
+    # stream (per-doc sizes, the global df count, the df=1 join back) —
+    # plus c04/c16 read the same stream in the same session. It is the
+    # session-shared shingle artifact (dedup.shared_shingles).
+    x = shared_shingles(spark, sf_dir).select("doc_id", "g")
     # shingles_col is array_distinct'd, so per-doc rows of x ARE the
     # distinct shingles — size == count. Docs under 3 tokens emit no
     # rows; the left join from the doc panel restores them with 0.
