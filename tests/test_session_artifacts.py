@@ -162,3 +162,24 @@ def test_release_scopes_by_application_id(spark, sf_dir):
         k[0] == spark.sparkContext.applicationId for k in _SESSION_ARTIFACTS
     )
     release_session_artifacts()
+
+
+def test_shared_artifacts_are_spill_safe(spark, sf_dir):
+    """Every persisted shared artifact must keep persist()'s default
+    MEMORY_AND_DISK level — a MEMORY_ONLY artifact would silently drop
+    partitions (recompute churn) or OOM when the candidate stream
+    outgrows executor memory at large SF."""
+    from streamandbatchprocessing_spark.queries import similarity as sim
+
+    frames = {
+        "sig": dedup.shared_sig(spark, sf_dir),
+        "pairs": dedup.shared_pairs(spark, sf_dir),
+        "toksets": dedup.shared_toksets(spark, sf_dir),
+        "shingles": dedup.shared_shingles(spark, sf_dir),
+        "kmeans_assign": sim._shared_kmeans(spark, sf_dir)[1],
+        "pq_coded": sim._pq_encoded(spark, sf_dir)[1],
+        "adc_scored": sim._pq_adc_scores(spark, sf_dir)[1],
+    }
+    for name, df in frames.items():
+        lvl = df.storageLevel
+        assert lvl.useMemory and lvl.useDisk, (name, str(lvl))
