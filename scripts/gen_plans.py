@@ -279,10 +279,11 @@ ANNOTATED = {
         "TakeOrderedAndProject — no global sort ever materializes."
     ),
     "d10_mutual_knn_graph": (
-        "Mutual k-NN: the pairing is an equi-join on the sign bucket "
-        "(vec inequality as residual condition — never BNLJ), per-src "
-        "window, then a reversed-key self-join of the k*N directed "
-        "edge list."
+        "Mutual k-NN: ONE bucket-keyed exchange into a per-cell Arrow "
+        "pass (FlatMapGroupsInPandas) that computes the in-cell cosine "
+        "block dimension-sequentially (bit-identical to the fold), "
+        "top-k, and mutuality — no pair-stream join, no window, no "
+        "mutual self-join; cell size is held flat by sign_bits_for."
     ),
     "d11_nprobe_recall_curve": (
         "nprobe sweep: cell ranking is panel x 16 cells (broadcast); "

@@ -1377,21 +1377,38 @@ def d10_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: pairing is CONFINED to the 16 sign-bucket cells (one
     co-partitioned equi-join on bucket — never all-pairs, same
     containment argument as c09/d02); the per-source top-k window
-    partitions by src (parallel); mutuality is a self-equi-join of the
-    k·N-bounded directed edge list on the reversed key. Fold-based
-    cosine is symmetric bit-for-bit (the zip_with product list is
-    identical either direction), so the two directions of an edge carry
-    the same double and the oracle's hash matches.
+    partitions by src (parallel); mutuality is decided INSIDE the cell
+    (both directions of an edge live in the same bucket by
+    construction), so the whole graph is ONE groupBy(bucket) +
+    applyInPandas — no pair-stream window, no mutual self-join, no
+    persisted edge list.
+
+    Cosine arithmetic is bit-identical to the fold/oracle by
+    construction: the per-cell Arrow pass accumulates the dot and
+    norms DIMENSION-SEQUENTIALLY (``D += X[:,k,None]*X[None,:,k]`` for
+    k = 0..dim-1 — one correctly-rounded multiply and one add per
+    dimension, in dimension order, exactly the left-to-right fold /
+    DuckDB's list_cosine_similarity loop), then applies the identical
+    sqrt/multiply/divide expression; IEEE ops are deterministic, so
+    the raw doubles hash-match. Tie-break (cos DESC, dst ASC) is
+    np.lexsort — same as the ROW_NUMBER ordering; degenerate
+    zero-norm vectors would NaN on both engines alike (d13's norm
+    profile is the audit that the corpus has none). Measured A/B
+    history at sf0.1: scalar-codegen expansion 9.5 s (r07, rejected) >
+    interpreted fold 4.3–6.3 s (r07 shape) > this per-cell Arrow pass
+    0.7–0.9 s (r08) — the fold evaluates ~45 µs/call interpreted per
+    pair while numpy runs the whole cell's quadratic block vectorized.
 
     Sizing rule — CODE, not prose: in-bucket work is Σ|cell|², so the
     bucket BITS grow with log₂(N) to hold the per-cell population (and
-    the per-cell quadratic cost) at ~_KNN_CELL_TARGET. ``sign_bits_for``
-    derives the width from a metadata-cheap corpus count with
-    integer-exact shift-and-compare arithmetic, and the oracle derives
-    the identical width in SQL (``sign_bits_sql``) from the same
-    count — both engines bucket identically at every SF. A 100 TB
-    corpus lands at the 16-bit cap (or swaps in k-means cells, c09's
-    partitioner) under the same containment argument."""
+    the per-cell quadratic cost, and the (cell × cell) numpy block) at
+    ~_KNN_CELL_TARGET. ``sign_bits_for`` derives the width from a
+    metadata-cheap corpus count with integer-exact shift-and-compare
+    arithmetic, and the oracle derives the identical width in SQL
+    (``sign_bits_sql``) from the same count — both engines bucket
+    identically at every SF. A 100 TB corpus lands at the 16-bit cap
+    (or swaps in k-means cells, c09's partitioner) under the same
+    containment argument."""
     emb_raw = load_table(spark, sf_dir, "embeddings")
     # Parquet COUNT(*) is answered from row-group metadata — no data
     # pages are read, so this stays cheap at any corpus size.
@@ -1401,48 +1418,43 @@ def d10_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_double(F.col("embedding")).alias("v"),
         sign_bucket(F.col("embedding"), bits).alias("bucket"),
     )
-    a, b = emb.alias("a"), emb.alias("b")
-    # Fold-based cosine, deliberately: the dot_fixed/norm_fixed scalar
-    # expansion (the c09 move) was measured SLOWER here — 9.5 s vs
-    # 4.3 s at sf0.1 — because the 64-term chain is evaluated inside
-    # the join projection where its generated code defeats the JIT,
-    # while c09 amortizes it through a persisted projection + Arrow
-    # pass. Measured, not assumed.
-    scored = a.join(
-        b,
-        (F.col("b.bucket") == F.col("a.bucket"))
-        & (F.col("b.vec_id") != F.col("a.vec_id")),
-    ).select(
-        F.col("a.vec_id").alias("src"),
-        F.col("b.vec_id").alias("dst"),
-        cosine(F.col("a.v"), F.col("b.v")).alias("cos_sim"),
-    )
-    w = Window.partitionBy("src").orderBy(F.desc("cos_sim"), F.asc("dst"))
-    # Persist the k*N directed edge list: both sides of the mutuality
-    # self-join reference it, and without materialization each side
-    # recomputes the full pairing join + top-k chain (observed doubled
-    # subtree in the captured plan) — the edge list is tiny next to
-    # the pairing work it memoizes.
-    directed = persist_tracked(
-        scored.withColumn("rank", F.row_number().over(w).cast("long"))
-        .filter(F.col("rank") <= _KNN_K)
-    )
-    d1, d2 = directed.alias("d1"), directed.alias("d2")
-    return (
-        d1.join(
-            d2,
-            (F.col("d2.src") == F.col("d1.dst"))
-            & (F.col("d2.dst") == F.col("d1.src")),
+
+    def cell(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                columns=["vec_a", "vec_b", "cos_sim", "rank_ab", "rank_ba"]
+            )
+        ids = pdf["vec_id"].to_numpy()
+        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        D = np.zeros((n, n))
+        nrm = np.zeros(n)
+        for k in range(X.shape[1]):  # dimension-sequential: fold order
+            col = X[:, k]
+            D += col[:, None] * col[None, :]
+            nrm += col * col
+        s = np.sqrt(nrm)
+        C = D / (s[:, None] * s[None, :])
+        topk: dict = {}
+        for i in range(n):
+            order = np.lexsort((ids, -C[i]))  # cos DESC, then dst ASC
+            order = order[order != i][:_KNN_K]
+            topk[ids[i]] = {
+                ids[j]: (r + 1, C[i, j]) for r, j in enumerate(order)
+            }
+        rows = []
+        for a_id, nbrs in topk.items():
+            for b_id, (rank_ab, cos) in nbrs.items():
+                if a_id < b_id and a_id in topk.get(b_id, {}):
+                    rows.append(
+                        (a_id, b_id, cos, rank_ab, topk[b_id][a_id][0])
+                    )
+        return pd.DataFrame(
+            rows, columns=["vec_a", "vec_b", "cos_sim", "rank_ab", "rank_ba"]
         )
-        .filter(F.col("d1.src") < F.col("d1.dst"))
-        .select(
-            F.col("d1.src").alias("vec_a"),
-            F.col("d1.dst").alias("vec_b"),
-            F.col("d1.cos_sim").alias("cos_sim"),
-            F.col("d1.rank").alias("rank_ab"),
-            F.col("d2.rank").alias("rank_ba"),
-        )
-        .orderBy("vec_a", "vec_b")
+
+    return emb.groupBy("bucket").applyInPandas(
+        cell, "vec_a long, vec_b long, cos_sim double, rank_ab long, rank_ba long"
     )
 
 

@@ -515,16 +515,16 @@ def test_p14_skew_report_take_ordered(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan
 
 
-def test_d10_knn_join_is_equi_not_bnlj(spark, sf_dir):
-    """d10's pairing must hash/sort-merge on the bucket key with the
-    vec_id inequality as a residual condition — a BroadcastNestedLoop
-    join here would mean the bucket confinement never reached the
-    planner and the join is all-pairs."""
+def test_d10_knn_is_cell_confined_arrow_pass(spark, sf_dir):
+    """d10's pairing, top-k, and mutuality all happen INSIDE the
+    per-cell Arrow pass: the plan must be one bucket-keyed exchange
+    into FlatMapGroupsInPandas — no join of any kind (the r07 shape's
+    pair-stream equi-join + window + mutual self-join are gone), and
+    certainly no BroadcastNestedLoopJoin (all-pairs)."""
     plan = executed_plan(QUERIES["d10_mutual_knn_graph"](spark, sf_dir))
-    assert "BroadcastNestedLoopJoin" not in plan, plan
-    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
-        "BroadcastHashJoin" in plan
-    ), plan
+    assert "FlatMapGroupsInPandas" in plan, plan[:2000]
+    assert "Join" not in plan, plan[:2000]
+    assert "windowspecdefinition(" not in plan, plan[:2000]
 
 
 def test_g22_totals_join_broadcasts(spark, sf_dir):
