@@ -126,27 +126,39 @@ from .registry import ORACLES, QUERIES
 #: query keeps its local strict-oracle test). After this rotation
 #: every registered query either carries a driver verdict or sits
 #: inside the scoring window.
+#: Round-9 rotation: the 13 queries whose PHYSICAL BUILD moved onto the
+#: round-8 ``session_artifact`` plumbing AFTER their last driver verdict
+#: (c02, c03, c04, c07, c08, c09, c10, c14, c15, c16 — consumers of the
+#: shared MinHash signature / banded-candidate / token-set artifacts in
+#: queries/dedup.py — and d04, d05, d06 — consumers of the shared
+#: quantized-vector / k-means / PQ artifacts in queries/similarity.py)
+#: rotate in for fresh verdicts on the rewritten plumbing, per the c18
+#: precedent (rewritten queries earn fresh verdicts even when outputs
+#: are pinned bit-identical by tests/test_session_artifacts.py). They
+#: swap out 13 r08-greened re-confirmations whose code is UNCHANGED
+#: since their verdict: c18, c19, c20, c23, c24, c25, d14, d17, d18,
+#: d19, d20, d21, d23 — dedup keeps 10 in-window siblings, similarity
+#: keeps d04/d05/d06/d10/d12/d15/d22, and every rotated-out query keeps
+#: its local strict-oracle test.
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
-    # dedup + sketches (c15/c16 rotate out green; c02+c07 keep
-    # MinHash-LSH and canonicalization driver-covered; c18 re-scores
-    # its new composite blocking key; c19 source matrix + c20
-    # containment new)
-    "c18_blocked_fuzzy_match",
-    "c19_cross_source_dup_matrix", "c20_containment_pairs",
-    "c23_simhash_bit_bias",
-    "c24_dup_label_conflicts", "c25_minhash_fn_stats",
-    # similarity search (d04/d07 rotated out green; d10/d11 keep the
-    # bucketed family covered; d12 filtered ANN + d13 norm profile +
-    # d14 cell balance + d15 PQ rerank new)
+    # dedup + sketches: the shared-artifact consumers re-score their
+    # rewritten physical build (signatures/pairs/toksets now session
+    # artifacts, dedup.py:226-282)
+    "c02_minhash_lsh_pairs", "c03_simhash_neighbors",
+    "c04_ngram_jaccard_pairs", "c07_dup_clusters",
+    "c08_candidate_verify", "c09_semantic_dedup",
+    "c10_incremental_neardup", "c14_minhash_calibration",
+    "c15_band_canonical_keep_best", "c16_shingle_df_spectrum",
+    # similarity search: the shared-artifact consumers re-score their
+    # rewritten physical build (quantized vectors / k-means / PQ now
+    # session artifacts, similarity.py); d10/d12/d15/d22 keep the
+    # Arrow-pass, filtered-ANN and rerank shapes driver-covered
+    "d04_ivf_kmeans_ann", "d05_sq8_topk", "d06_pq_adc_topk",
     "d10_mutual_knn_graph",
-    "d12_filtered_ann",
-    "d14_ivf_cell_balance", "d15_pq_rerank_topk",
-    "d17_dim_variance_profile",
-    "d18_centroid_separation", "d19_pq_code_utilization",
-    "d20_ivf_assignment_margin", "d21_embedding_drift",
-    "d22_nearest_centroid_confusion", "d23_pq_distortion_profile",
+    "d12_filtered_ann", "d15_pq_rerank_topk",
+    "d22_nearest_centroid_confusion",
     # text analysis (e12/e16 rotated out green; e17 novelty + e18
     # quality rules + e19 collocation lift new)
     "e10_pii_scrub",

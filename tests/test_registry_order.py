@@ -41,6 +41,19 @@ out eight r07-green re-confirmations (c21, c22, d13, d16, e20, g25,
 m11, p18 — every family keeps in-window siblings; every rotated-out
 query keeps its local strict-oracle test). The overflow set is now
 empty: every registered query has a driver verdict or a window slot.
+
+Round-9 window policy: all 200 registered queries carry a green driver
+verdict cumulatively (r08 closed the set 50/50), but 13 of them had
+their physical build rewritten onto the round-8 session_artifact
+plumbing AFTER their last verdict: c02, c03, c04, c07, c08, c09, c10,
+c14, c15, c16 (shared signature/pairs/tokset consumers in dedup.py)
+and d04, d05, d06 (shared quantized/k-means/PQ consumers in
+similarity.py). Per the c18 precedent (rewritten queries earn fresh
+verdicts), they rotate in, swapping out 13 r08-green re-confirmations
+whose code is unchanged since their verdict (c18, c19, c20, c23, c24,
+c25, d14, d17, d18, d19, d20, d21, d23 — dedup keeps 10 in-window
+siblings, similarity keeps d04/d05/d06/d10/d12/d15/d22; every
+rotated-out query keeps its local strict-oracle test).
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES
@@ -62,21 +75,23 @@ _BEYOND_WINDOW_OK: set[str] = set()
 
 
 def test_every_never_scored_query_inside_scoring_window():
-    # Queries greened by the driver through round 7 (cumulative
-    # CORRECTNESS_r01/r02/r04/r05/r06/r07 — r07 greened all 50 window
-    # entries: c18–c23, d12–d21, e17–e21, f14/f15, m10–m12, p17–p23,
-    # b34/b35, g25–g34 plus the re-confirmations); everything else must
-    # sit inside the 50-slot window until it has a verdict of its own.
+    # Queries greened by the driver through round 8 (cumulative
+    # CORRECTNESS_r01/r02/r04–r08 — r08 closed the set: all 200
+    # registered queries now carry a verdict, r08's window greened the
+    # final eight c24/c25/d22/d23/e22/g35/m13/p24); everything else
+    # must sit inside the 50-slot window until it has a verdict of its
+    # own. (Rewritten-after-verdict queries are pinned separately by
+    # test_artifact_rewritten_queries_hold_window_slots.)
     previously_green = (
         {f"a0{i}" for i in range(1, 10)}
         | {f"b{i:02d}" for i in range(1, 36)}
-        | {f"g{i:02d}" for i in range(1, 35)}
-        | {f"c{i:02d}" for i in range(1, 24)}
-        | {f"d{i:02d}" for i in range(1, 22)}
-        | {f"e{i:02d}" for i in range(1, 22)}
+        | {f"g{i:02d}" for i in range(1, 36)}
+        | {f"c{i:02d}" for i in range(1, 26)}
+        | {f"d{i:02d}" for i in range(1, 24)}
+        | {f"e{i:02d}" for i in range(1, 23)}
         | {f"f{i:02d}" for i in range(1, 16)}
-        | {f"m{i:02d}" for i in range(1, 13)}
-        | {f"p{i:02d}" for i in range(1, 24)}
+        | {f"m{i:02d}" for i in range(1, 14)}
+        | {f"p{i:02d}" for i in range(1, 25)}
     )
     window = set(list(QUERIES)[:50])
     never_scored = [
@@ -85,6 +100,25 @@ def test_every_never_scored_query_inside_scoring_window():
     ]
     out = [n for n in never_scored if n not in window]
     assert not out, f"never-scored queries outside driver scoring window: {out}"
+
+
+#: Round-9: queries whose physical build was rewritten onto the
+#: session_artifact plumbing after their last driver verdict — each
+#: must hold a window slot until CORRECTNESS_r09 re-greens it.
+_REWRITTEN_NEED_FRESH_VERDICT = (
+    "c02_minhash_lsh_pairs", "c03_simhash_neighbors",
+    "c04_ngram_jaccard_pairs", "c07_dup_clusters",
+    "c08_candidate_verify", "c09_semantic_dedup",
+    "c10_incremental_neardup", "c14_minhash_calibration",
+    "c15_band_canonical_keep_best", "c16_shingle_df_spectrum",
+    "d04_ivf_kmeans_ann", "d05_sq8_topk", "d06_pq_adc_topk",
+)
+
+
+def test_artifact_rewritten_queries_hold_window_slots():
+    window = set(list(QUERIES)[:50])
+    out = [n for n in _REWRITTEN_NEED_FRESH_VERDICT if n not in window]
+    assert not out, f"artifact-rewritten queries outside scoring window: {out}"
 
 
 def test_window_retains_events_representatives():
