@@ -50,12 +50,17 @@ def c01_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5) rather than shuffling full document bodies."""
     docs = load_table(spark, sf_dir, "documents")
     canon = docs.groupBy("text").agg(F.min("doc_id").alias("canonical_id"))
+    # Explicit aliases: canon derives from docs, and an unaliased
+    # same-lineage equi-join makes Spark log a "trivially true equals
+    # predicate" self-join warning while auto-disambiguating. Keeping
+    # the plan alias-clean means a REAL ambiguity would stand out.
     return (
-        docs.join(canon, "text")
+        docs.alias("d")
+        .join(canon.alias("c"), F.col("d.text") == F.col("c.text"))
         .select(
-            "doc_id",
-            "canonical_id",
-            (F.col("doc_id") != F.col("canonical_id")).alias("is_dup"),
+            F.col("d.doc_id").alias("doc_id"),
+            F.col("c.canonical_id").alias("canonical_id"),
+            (F.col("d.doc_id") != F.col("c.canonical_id")).alias("is_dup"),
         )
         .orderBy("doc_id")
     )

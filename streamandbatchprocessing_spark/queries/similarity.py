@@ -1314,16 +1314,22 @@ def d09_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= _REC_K)
         .select("qid", F.col("nid").alias("a_nid"))
     )
+    # Explicit aliases: truth and ann share lineage (both derive from
+    # emb), and the unaliased equi-join made Spark log a "trivially
+    # true equals predicate" warning while auto-disambiguating —
+    # alias-clean plans keep a REAL ambiguity visible.
     hits = (
-        truth.join(
-            ann,
-            (truth["qid"] == ann["qid"]) & (truth["nid"] == ann["a_nid"]),
+        truth.alias("t")
+        .join(
+            ann.alias("a"),
+            (F.col("t.qid") == F.col("a.qid"))
+            & (F.col("t.nid") == F.col("a.a_nid")),
             "left",
         )
-        .groupBy(truth["qid"].alias("qid"))
+        .groupBy(F.col("t.qid").alias("qid"))
         .agg(
             F.count(F.lit(1)).alias("n_truth"),
-            F.count("a_nid").alias("n_hits"),
+            F.count("a.a_nid").alias("n_hits"),
         )
     )
     return hits.select(
