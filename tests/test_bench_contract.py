@@ -36,6 +36,12 @@ def test_bench_emits_compact_final_headline_line():
     )
     # Every extra must have actually run (-1.0 marks a tracked failure).
     assert all(v >= 0 for v in extras["extra"].values()), extras["extra"]
+    # Round 9: the headline loop is best-of-N (default 3 reps) so the
+    # driver-read number is robust to ambient host load; the per-rep
+    # totals document the spread.
+    assert extras["reps"] == 3
+    assert len(extras["headline_run_totals"]) == 3
+    assert all(t > 0 for t in extras["headline_run_totals"])
 
     payload = json.loads(lines[-1])
     assert payload["metric"] == "headline_query_wall_time_total"
