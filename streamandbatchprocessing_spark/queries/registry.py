@@ -41,14 +41,32 @@ _ARTIFACT_PLAN_CONF = (
     "spark.sql.autoBroadcastJoinThreshold",
     "spark.sql.shuffle.partitions",
 )
-#: Serializes memo check-then-act: the service runs concurrent batch
-#: queries on one session (3-deep pool, test_service's concurrency
-#: bar), and an unsynchronized miss would double-build — the losing
-#: build's persisted DataFrame then sits orphaned in the block manager
-#: with no release path. RLock because builders compose (shared_pairs
-#: builds shared_sig; _pq_adc_scores builds _pq_encoded) and re-enter
-#: on the same thread.
+#: Guards the memo DICTS only (never held across a build). The service
+#: runs concurrent batch queries on one session (3-deep pool,
+#: test_service's concurrency bar), and an unsynchronized miss would
+#: double-build — the losing build's persisted DataFrame then sits
+#: orphaned in the block manager with no release path. Builds
+#: themselves serialize on a PER-KEY lock so a thread touching an
+#: unrelated artifact never blocks behind another key's first-touch
+#: build (a build runs driver actions — collect()s for k-means/PQ —
+#: that can take seconds). Per-key RLock because builders compose
+#: (shared_pairs builds shared_sig; _pq_adc_scores builds _pq_encoded)
+#: and re-enter on the same thread; the composition graph is a DAG, so
+#: cross-key lock order is acyclic and cannot deadlock.
 _ARTIFACT_LOCK = threading.RLock()
+_ARTIFACT_KEY_LOCKS: dict[tuple, threading.RLock] = {}
+
+#: Most-variants kept per (application, sf_dir, kind): artifacts are
+#: keyed on plan-conf values, so every conf variant builds its own
+#: persisted copy, and an unbounded memo would accumulate one per conf
+#: combination a long session sweeps. Two is the working set of the
+#: plan-perturbation protocol (scripts/perturb_sweep.py alternates
+#: default/perturbed per query — an LRU of 2 never thrashes it) while
+#: bounding any sweep to two persisted copies per artifact; a session
+#: rotating 3+ conf variants round-robin will rebuild on re-entry
+#: (cold-rebuild equality is pinned by tests/test_session_artifacts.py,
+#: so that costs time, never correctness).
+_ARTIFACT_VARIANTS_CAP = 2
 
 
 def _conf_or_default(spark: SparkSession, key: str) -> str:
@@ -58,11 +76,23 @@ def _conf_or_default(spark: SparkSession, key: str) -> str:
         return "<default>"
 
 
+def _unpersist_value(value) -> None:
+    for part in value if isinstance(value, tuple) else (value,):
+        if isinstance(part, DataFrame):
+            try:
+                part.unpersist()
+            except Exception:
+                pass  # session already stopped
+
+
 def session_artifact(spark: SparkSession, sf_dir: str, kind: str, build):
     """Memoized session-lifetime artifact: ``build()`` runs once per
     (application, corpus dir, artifact kind, plan-conf variant); its
     value (a DataFrame, or any tuple of DataFrames / plain objects) is
-    returned verbatim afterwards."""
+    returned verbatim afterwards. At most ``_ARTIFACT_VARIANTS_CAP``
+    conf variants are retained per (application, corpus dir, kind) —
+    least-recently-used beyond that are unpersisted and rebuilt on
+    re-entry."""
     key = (
         spark.sparkContext.applicationId,
         sf_dir,
@@ -70,10 +100,34 @@ def session_artifact(spark: SparkSession, sf_dir: str, kind: str, build):
         *(_conf_or_default(spark, k) for k in _ARTIFACT_PLAN_CONF),
     )
     with _ARTIFACT_LOCK:
-        value = _SESSION_ARTIFACTS.get(key)
-        if value is None:
-            value = build()
+        if key in _SESSION_ARTIFACTS:
+            # Refresh LRU position for the variant cap.
+            value = _SESSION_ARTIFACTS.pop(key)
             _SESSION_ARTIFACTS[key] = value
+            return value
+        key_lock = _ARTIFACT_KEY_LOCKS.setdefault(key, threading.RLock())
+    with key_lock:
+        # Double-checked: another thread may have finished this key's
+        # build while we waited on its lock.
+        with _ARTIFACT_LOCK:
+            if key in _SESSION_ARTIFACTS:
+                value = _SESSION_ARTIFACTS.pop(key)
+                _SESSION_ARTIFACTS[key] = value
+                return value
+        value = build()
+        with _ARTIFACT_LOCK:
+            _SESSION_ARTIFACTS[key] = value
+            group = key[:3]
+            variants = [
+                k for k in _SESSION_ARTIFACTS if k[:3] == group
+            ]
+            evicted = []
+            while len(variants) > _ARTIFACT_VARIANTS_CAP:
+                oldest = variants.pop(0)  # dict order = LRU order
+                evicted.append(_SESSION_ARTIFACTS.pop(oldest))
+                _ARTIFACT_KEY_LOCKS.pop(oldest, None)
+        for old in evicted:
+            _unpersist_value(old)
     return value
 
 
@@ -92,14 +146,11 @@ def release_session_artifacts(application_id: str | None = None) -> None:
             k for k in _SESSION_ARTIFACTS
             if application_id is None or k[0] == application_id
         ]
+        values = [_SESSION_ARTIFACTS.pop(k) for k in keys]
         for k in keys:
-            value = _SESSION_ARTIFACTS.pop(k)
-            for part in value if isinstance(value, tuple) else (value,):
-                if isinstance(part, DataFrame):
-                    try:
-                        part.unpersist()
-                    except Exception:
-                        pass  # session already stopped
+            _ARTIFACT_KEY_LOCKS.pop(k, None)
+    for value in values:
+        _unpersist_value(value)
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:

@@ -183,3 +183,75 @@ def test_shared_artifacts_are_spill_safe(spark, sf_dir):
     for name, df in frames.items():
         lvl = df.storageLevel
         assert lvl.useMemory and lvl.useDisk, (name, str(lvl))
+
+
+def test_variant_cap_evicts_lru_conf_variants(spark, sf_dir):
+    """Artifacts are keyed on plan-conf values, so a session sweeping
+    many conf combinations would otherwise accumulate one persisted
+    copy per variant per kind. The memo retains at most TWO variants
+    per (app, sf_dir, kind) — exactly the perturb_sweep working set —
+    and unpersists least-recently-used beyond that."""
+    release_session_artifacts()
+    builds = []
+
+    def touch(tag):
+        return session_artifact(
+            spark, sf_dir, "cap_probe", lambda: builds.append(tag) or tag
+        )
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for parts in ("5", "7", "11"):
+            spark.conf.set("spark.sql.shuffle.partitions", parts)
+            touch(parts)
+        # three variants built, only the last two retained
+        assert builds == ["5", "7", "11"]
+        probe_keys = [
+            k for k in _SESSION_ARTIFACTS if k[2] == "cap_probe"
+        ]
+        assert len(probe_keys) == 2
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        assert touch("7-again") == "7"  # still memoized (no rebuild)
+        spark.conf.set("spark.sql.shuffle.partitions", "5")
+        assert touch("5-again") == "5-again"  # evicted -> rebuilt
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+        release_session_artifacts()
+
+
+def test_unrelated_artifact_builds_do_not_serialize(spark, sf_dir):
+    """Builds hold a PER-KEY lock, not the global memo lock: a thread
+    touching kind B must not wait for kind A's slow first-touch build
+    (ADVICE r08: the service's 3-deep pool serialized on the single
+    global lock)."""
+    import threading
+    import time as _t
+
+    release_session_artifacts()
+    a_started = threading.Event()
+    a_release = threading.Event()
+    b_done_at = []
+
+    def slow_a():
+        def build():
+            a_started.set()
+            assert a_release.wait(timeout=30)
+            return "A"
+        session_artifact(spark, sf_dir, "slow_kind_a", build)
+
+    def fast_b():
+        assert a_started.wait(timeout=30)
+        session_artifact(spark, sf_dir, "fast_kind_b", lambda: "B")
+        b_done_at.append(_t.monotonic())
+
+    ta = threading.Thread(target=slow_a)
+    tb = threading.Thread(target=fast_b)
+    ta.start()
+    tb.start()
+    tb.join(timeout=30)
+    finished_before_a_released = not ta.is_alive() or bool(b_done_at)
+    a_release.set()
+    ta.join(timeout=30)
+    assert b_done_at, "kind-B build blocked behind kind-A's build"
+    assert finished_before_a_released
+    release_session_artifacts()
