@@ -17,6 +17,7 @@ Scale design notes (the whole point of these operators at 100 TB):
 
 from __future__ import annotations
 
+import os
 from functools import reduce
 
 from pyspark.sql import DataFrame, SparkSession
@@ -272,16 +273,40 @@ def shared_toksets(spark: SparkSession, sf_dir: str) -> DataFrame:
     <3e-4 collision probability — a trillion-token deployment would
     widen to two independent 64-bit hashes). The DuckDB oracles keep
     intersecting the raw STRING lists, so the hash compare
-    cross-checks the mapping every round."""
-    return _session_artifact(
-        spark, sf_dir, "toksets",
-        lambda: load_table(spark, sf_dir, "documents").select(
+    cross-checks the mapping every round. For real corpora (no oracle
+    cross-check, no fixture test), set
+    ``SBP_VERIFY_TOKEN_HASH_INJECTIVITY=1``: the artifact build then
+    runs one corpus-wide ``countDistinct(token) ==
+    countDistinct(xxhash64(token))`` audit and raises on any
+    collision — one extra aggregation per corpus snapshot, paid once
+    at build, never per consumer."""
+
+    def build() -> DataFrame:
+        docs = load_table(spark, sf_dir, "documents")
+        if os.environ.get("SBP_VERIFY_TOKEN_HASH_INJECTIVITY") == "1":
+            audit = (
+                docs.select(F.explode(F.split("text", " ")).alias("tok"))
+                .agg(
+                    F.countDistinct("tok").alias("n_tok"),
+                    F.countDistinct(F.xxhash64("tok")).alias("n_hash"),
+                )
+                .first()
+            )
+            if audit["n_tok"] != audit["n_hash"]:
+                raise RuntimeError(
+                    "shared_toksets: xxhash64 collided on this corpus "
+                    f"vocabulary ({audit['n_tok']} distinct tokens -> "
+                    f"{audit['n_hash']} distinct hashes); widen to the "
+                    "two-hash mapping before trusting set-size measures"
+                )
+        return docs.select(
             "doc_id",
             F.array_distinct(
                 F.transform(F.split("text", " "), lambda t: F.xxhash64(t))
             ).alias("toks"),
-        ),
-    )
+        )
+
+    return _session_artifact(spark, sf_dir, "toksets", build)
 
 
 @query("c02_minhash_lsh_pairs", oracle=_minhash_oracle())

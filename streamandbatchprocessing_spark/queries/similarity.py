@@ -1397,9 +1397,14 @@ def d10_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB's list_cosine_similarity loop), then applies the identical
     sqrt/multiply/divide expression; IEEE ops are deterministic, so
     the raw doubles hash-match. Tie-break (cos DESC, dst ASC) is
-    np.lexsort — same as the ROW_NUMBER ordering; degenerate
-    zero-norm vectors would NaN on both engines alike (d13's norm
-    profile is the audit that the corpus has none). Measured A/B
+    np.lexsort — same as the ROW_NUMBER ordering. Degenerate zero-norm
+    vectors RAISE inside the cell pass: cosine is undefined there, and
+    the two engines would not merely both produce NaN — they would
+    ORDER it differently (np.lexsort places NaN last/worst, DuckDB
+    ORDER BY cos_sim DESC sorts NaN first), silently diverging the
+    top-k sets. The explicit guard makes that divergence unreachable
+    by construction; d13's norm profile is the corpus-level audit
+    that the gate should never fire. Measured A/B
     history at sf0.1: scalar-codegen expansion 9.5 s (r07, rejected) >
     interpreted fold 4.3–6.3 s (r07 shape) > this per-cell Arrow pass
     0.7–0.9 s (r08) — the fold evaluates ~45 µs/call interpreted per
@@ -1439,6 +1444,13 @@ def d10_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             col = X[:, k]
             D += col[:, None] * col[None, :]
             nrm += col * col
+        if not np.all(nrm > 0.0):
+            raise ValueError(
+                "d10_mutual_knn_graph: zero-norm embedding vector in "
+                "cell — cosine similarity is undefined and NaN ordering "
+                "diverges between engines; run d13's norm audit and "
+                "filter the corpus"
+            )
         s = np.sqrt(nrm)
         C = D / (s[:, None] * s[None, :])
         topk: dict = {}

@@ -114,3 +114,34 @@ def test_token_hash_injective_on_fixture_vocab(spark, sf_dir):
         F.countDistinct(F.xxhash64("tok")).alias("n_hash"),
     ).first()
     assert row.n_tok == row.n_hash, (row.n_tok, row.n_hash)
+
+
+def test_tokset_injectivity_runtime_guard(spark, sf_dir, monkeypatch):
+    """shared_toksets grows an OPT-IN runtime audit for corpora with no
+    oracle cross-check (SBP_VERIFY_TOKEN_HASH_INJECTIVITY=1): the build
+    runs countDistinct(token) == countDistinct(xxhash64(token)) once
+    and raises on any collision. Pin both paths: the fixture vocabulary
+    passes the audit, and a colliding mapping (forced by patching the
+    hash to a constant) raises instead of silently shrinking set
+    intersections."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from streamandbatchprocessing_spark.queries import dedup
+    from streamandbatchprocessing_spark.queries.registry import (
+        release_session_artifacts,
+    )
+
+    monkeypatch.setenv("SBP_VERIFY_TOKEN_HASH_INJECTIVITY", "1")
+    release_session_artifacts()
+    try:
+        assert dedup.shared_toksets(spark, sf_dir).count() > 0
+
+        release_session_artifacts()
+        monkeypatch.setattr(
+            dedup.F, "xxhash64", lambda c: F.lit(1).cast("bigint")
+        )
+        with pytest.raises(RuntimeError, match="collided"):
+            dedup.shared_toksets(spark, sf_dir)
+    finally:
+        release_session_artifacts()

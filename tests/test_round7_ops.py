@@ -1106,3 +1106,24 @@ def test_c25_fn_stats_identities(spark, sf_dir):
         assert r["distinct_ratio"] == pytest.approx(
             r["n_distinct"] / n, abs=1e-6
         )
+
+
+def test_d10_zero_norm_vector_raises(spark, tmp_path):
+    """d10's per-cell Arrow pass must REFUSE zero-norm vectors: cosine
+    is undefined there and NaN ordering diverges between engines
+    (np.lexsort places NaN last, DuckDB ORDER BY DESC places NaN
+    first), so the guard makes the divergence unreachable rather than
+    producing a silently different top-k set."""
+    import pytest
+    from pyspark.sql import Row
+
+    from streamandbatchprocessing_spark.queries import QUERIES
+
+    fixture = str(tmp_path / "zero_norm")
+    rows = [
+        Row(vec_id=i, embedding=[float(i + 1), 1.0, 0.5, 2.0])
+        for i in range(4)
+    ] + [Row(vec_id=4, embedding=[0.0, 0.0, 0.0, 0.0])]
+    spark.createDataFrame(rows).write.parquet(f"{fixture}/embeddings.parquet")
+    with pytest.raises(Exception, match="zero-norm"):
+        QUERIES["d10_mutual_knn_graph"](spark, fixture).collect()
