@@ -428,6 +428,14 @@ _CONTAM_N = 5
 #: guard, similarity.py — the other bounded-panel collect).
 _MAX_PANEL_BROADCAST_ROWS = 5_000_000
 
+#: Ceiling on the DISTINCT panel grams embedded as a literal array for
+#: p06's intersect-before-explode fast path. A literal array lives in
+#: the plan itself (analysis + task-binary cost scales with it), so the
+#: cap is far smaller than the broadcast ceiling; above it p06 falls
+#: back to the explode + broadcast-hash-join shape, which carries the
+#: same 100-TB argument (train side streams map-side, never shuffles).
+_MAX_PANEL_LITERAL_GRAMS = 20_000
+
 
 def _guarded_panel_broadcast(
     panel: DataFrame, cap: int = _MAX_PANEL_BROADCAST_ROWS
@@ -483,13 +491,29 @@ def p06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     how many train documents touch it.
 
     Scale design: the eval panel is BOUNDED (a benchmark suite is
-    thousands of docs, not billions), so its exploded gram set is
-    broadcast and the 100-TB train side streams through a map-side hash
-    join — the big side is never shuffled and never re-scanned. The
-    per-eval-doc rollup aggregates the join output (distinct grams /
-    distinct train docs), 2-phase like any countDistinct. Output volume
-    is linear in matching train rows — no pair expansion exists in this
-    shape (contrast c04, which must enumerate doc PAIRS)."""
+    thousands of docs, not billions), so the 100-TB train side streams
+    map-side — never shuffled, never re-scanned — in one of two
+    regimes. When the distinct panel-gram set fits a plan literal
+    (<= _MAX_PANEL_LITERAL_GRAMS), each train doc's gram array is
+    intersected with it BEFORE exploding, so only HIT grams ever
+    materialize as rows; the tiny hit stream then joins the broadcast
+    panel for eval-doc attribution. Above the cap, the train grams
+    explode into a broadcast hash join against the panel (the r08
+    shape). Both regimes aggregate identically (distinct grams /
+    distinct train docs per eval doc, 2-phase like any countDistinct)
+    and output volume is linear in matching train rows — no pair
+    expansion exists in this shape (contrast c04, which must enumerate
+    doc PAIRS).
+
+    Measured A/B chain at sf0.1 (round 9): explode-all + BHJ ran
+    ~3.9 s quiet, and profiling showed the EXPLODE materialization
+    (~3.4 s for the 249k-row train gram stream) dominating, not the
+    gram-building HOF (~0.6 s); the intersect-before-explode path cut
+    the full query to ~1.3 s by materializing only the 156 hit rows.
+    The int64-gram-key variant (hash the 5 tokens inside the transform
+    lambda) stays REJECTED from round 8: 11.7 s vs 3.9 s — per-element
+    hashing inside a HOF lambda evaluates interpreted and loses more
+    than the narrower join key wins."""
     docs = load_table(spark, sf_dir, "documents")
     # Project the token array ONCE before building grams from it: the
     # inlined form re-splits the full text inside the transform lambda
@@ -518,21 +542,38 @@ def p06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev_sz = ev.select(
         F.col("doc_id").alias("eval_doc"), F.size("gs").cast("long").alias("n_grams")
     )
-    # persist: the guard's count() and the broadcast build both read
-    # the panel subtree; uncached it would run the gram transform twice.
+    # persist: the regime-pick count(), the panel-gram collect / the
+    # broadcast build, and the attribution join all read the panel
+    # subtree; uncached it would run the gram transform repeatedly.
     ev_g = persist_tracked(
         ev.select(F.col("doc_id").alias("eval_doc"), F.explode("gs").alias("g"))
     )
-    tr_g = g.filter(F.col("doc_id") >= _EVAL_N).select(
-        F.col("doc_id").alias("train_doc"), F.explode("gs").alias("g")
+    tr = g.filter(F.col("doc_id") >= _EVAL_N).select(
+        F.col("doc_id").alias("train_doc"), "gs"
     )
-    hits = (
-        tr_g.join(_guarded_panel_broadcast(ev_g), "g")
-        .groupBy("eval_doc")
-        .agg(
-            F.countDistinct("g").alias("n_hit_grams"),
-            F.countDistinct("train_doc").alias("n_train_docs"),
+    # Regime pick (one cheap action on the pushdown-pruned panel side;
+    # the train side is never touched by it). The distinct-gram count
+    # is <= the exploded panel row count, so one count decides both
+    # the literal cap and the broadcast cap.
+    n_panel_rows = ev_g.count()
+    if n_panel_rows <= _MAX_PANEL_LITERAL_GRAMS:
+        panel_grams = [
+            r.g for r in ev_g.select("g").distinct().collect()
+        ]
+        lit_panel = F.array(*[F.lit(x) for x in panel_grams])
+        tr_hits = tr.select(
+            "train_doc",
+            F.explode(F.array_intersect("gs", lit_panel)).alias("g"),
         )
+        hits_src = tr_hits.join(F.broadcast(ev_g), "g")
+    else:
+        tr_g = tr.select("train_doc", F.explode("gs").alias("g"))
+        # ev_g is persisted, so the guard's second count is a cached
+        # metadata-cheap action in this (rare, huge-panel) regime.
+        hits_src = tr_g.join(_guarded_panel_broadcast(ev_g), "g")
+    hits = hits_src.groupBy("eval_doc").agg(
+        F.countDistinct("g").alias("n_hit_grams"),
+        F.countDistinct("train_doc").alias("n_train_docs"),
     )
     return (
         ev_sz.join(hits, "eval_doc", "left")

@@ -1127,3 +1127,21 @@ def test_d10_zero_norm_vector_raises(spark, tmp_path):
     spark.createDataFrame(rows).write.parquet(f"{fixture}/embeddings.parquet")
     with pytest.raises(Exception, match="zero-norm"):
         QUERIES["d10_mutual_knn_graph"](spark, fixture).collect()
+
+
+def test_p06_literal_and_broadcast_regimes_agree(spark, sf_dir, monkeypatch):
+    """p06 picks between intersect-before-explode (panel grams fit a
+    plan literal) and explode + broadcast-hash-join (huge panel). Both
+    regimes must produce identical rows — pin it by forcing the
+    fallback with a zero literal cap."""
+    from streamandbatchprocessing_spark.queries import QUERIES
+    from streamandbatchprocessing_spark.queries import pipeline as pl
+
+    fast = sorted(
+        map(repr, QUERIES["p06_contamination_check"](spark, sf_dir).collect())
+    )
+    monkeypatch.setattr(pl, "_MAX_PANEL_LITERAL_GRAMS", 0)
+    slow = sorted(
+        map(repr, QUERIES["p06_contamination_check"](spark, sf_dir).collect())
+    )
+    assert fast == slow
