@@ -1327,14 +1327,69 @@ def c13_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: sample bounds the expensive token-set joins at any corpus size while
 #: every estimate level keeps a representative population; the modulus
 #: is the accuracy/cost knob a production run tunes.
+#: Floor of c14's deterministic pair-sample modulus (1/16 at the gate
+#: SFs), and the sampled-pair budget that GROWS it: the modulus is the
+#: smallest power of two >= candidate_pairs / _CAL_SAMPLE_TARGET (never
+#: below the floor), derived with integer shift-and-compare from the
+#: candidate-stream count on BOTH engines (the sign_bits_for
+#: discipline), so the calibration sample — and therefore the exact
+#: token-set measure, the expensive stage — stays ~bounded at any
+#: corpus size. Round-9 10x scale check: the fixed 1/16 fraction made
+#: c14 scale 48x on a 100x candidate stream; the derived modulus keeps
+#: the sample <= ~500k pairs while leaving every gate-SF output
+#: byte-identical (sf0.001/0.01/0.1 all derive 16).
 _CAL_SAMPLE_MOD = 16
+_CAL_SAMPLE_TARGET = 500_000
+
+
+def _cal_sample_mod(n_pairs: int) -> int:
+    mod = _CAL_SAMPLE_MOD
+    while mod * _CAL_SAMPLE_TARGET < n_pairs and mod < (1 << 40):
+        mod <<= 1
+    return mod
+
+
+def _cal_sample_mod_sql() -> str:
+    """DuckDB twin of :func:`_cal_sample_mod` over the ``cand`` CTE —
+    same integer shift-and-compare, same floor, so both engines derive
+    the identical modulus from the same candidate count."""
+    return (
+        "COALESCE((SELECT MIN(CAST(1 AS BIGINT) << b) "
+        "FROM range(4, 41) t(b) "
+        f"WHERE (CAST(1 AS BIGINT) << b) * {_CAL_SAMPLE_TARGET} >= "
+        "(SELECT COUNT(*) FROM cand)), CAST(1 AS BIGINT) << 40)"
+    )
+
+
+#: Carter-Wegman pair hash for c14's sample predicate:
+#: h = ((da mod P)*C1 mod P + (db mod P)*C2 mod P) mod P with P the
+#: Mersenne prime 2^31-1 — pairwise-uniform over (da, db), and every
+#: intermediate product is < 2^62, so the arithmetic is EXACT int64 on
+#: both engines (Spark wraps on overflow, DuckDB errors — neither is
+#: reachable). Replaces the md5-of-concat pair hash (round 9, measured
+#: at sf1.0): the sampling scan over the 782M-pair candidate stream
+#: cost 35.8 s with per-pair md5 vs ~0.3 s for plain integer
+#: predicates — the hash WAS the scan cost, and a calibration sample
+#: needs pairwise uniformity, not cryptographic mixing.
+_CAL_P = (1 << 31) - 1
+_CAL_C1 = 1_103_515_245
+_CAL_C2 = 747_796_405
+
+
+def _pair_sample_hash():
+    ha = F.pmod(F.pmod(F.col("da"), F.lit(_CAL_P)) * _CAL_C1, F.lit(_CAL_P))
+    hb = F.pmod(F.pmod(F.col("db"), F.lit(_CAL_P)) * _CAL_C2, F.lit(_CAL_P))
+    return F.pmod(ha + hb, F.lit(_CAL_P))
+
+
+def _pair_sample_hash_sql(da: str = "e.da", db: str = "e.db") -> str:
+    return (
+        f"((({da} % {_CAL_P}) * {_CAL_C1} % {_CAL_P}) + "
+        f"(({db} % {_CAL_P}) * {_CAL_C2} % {_CAL_P})) % {_CAL_P}"
+    )
 
 
 def _calibration_oracle() -> str:
-    pair_hash = (
-        "CAST(('0x' || substr(md5(CAST(e.da AS VARCHAR) || ':' "
-        "|| CAST(e.db AS VARCHAR)), 1, 15)) AS BIGINT)"
-    )
     return f"""
     {_sig_cte()},
     {_cand_cte()},
@@ -1345,7 +1400,7 @@ def _calibration_oracle() -> str:
         JOIN sig sb ON sb.doc_id = c.db
     ),
     est AS (SELECT * FROM est0 e
-            WHERE {pair_hash} % {_CAL_SAMPLE_MOD} = 0),
+            WHERE ({_pair_sample_hash_sql()}) % ({_cal_sample_mod_sql()}) = 0),
     toksets AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
                 FROM documents),
     iu AS (SELECT e.est_jaccard,
@@ -1389,33 +1444,34 @@ def c14_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: identical join shape to c08 (exact measure confined to the
     LSH candidate set; two doc_id equi-joins) but applied only to a
-    DETERMINISTIC 1/16 pair sample (md5 pair hash — the filter runs
-    on columns the band join already holds, BEFORE the token-set joins,
-    so the expensive stage is sample-bounded at any corpus size; the
-    modulus is the cost/precision knob). The final aggregate is
-    map-side-combinable over at most 17 groups, and per-pair values are
-    6dp-rounded BEFORE the decimal-sum average, so the report is
+    DETERMINISTIC pair sample (Carter-Wegman integer pair hash — the
+    filter runs on columns the band join already holds, BEFORE the
+    token-set joins). Two round-9 scale fixes, both measured on the
+    782M-pair sf1.0 candidate stream: (1) the sample MODULUS is
+    derived from the candidate-stream count (smallest power of two
+    holding the sample under ~500k pairs, floor 1/16 — see
+    _cal_sample_mod; the oracle derives the identical value in SQL),
+    so the expensive token-set stage is genuinely sample-bounded at
+    any corpus size — the old FIXED 1/16 fraction scaled 48x on a
+    100x candidate stream; (2) the sample predicate's per-pair md5
+    was itself the scan cost at that size (35.8 s vs 0.3 s for integer
+    predicates over the same persisted stream), so the hash is now
+    exact int64 arithmetic (see _pair_sample_hash) — pairwise-uniform,
+    which is what a calibration sample needs. The final aggregate is
+    map-side-combinable over at most 17 groups, and per-pair values
+    are 6dp-rounded BEFORE the decimal-sum average, so the report is
     bit-identical under any partitioning — mergeable across a 1000-
     executor fleet by construction."""
     # Candidate stream and hashed token sets are the session-shared
     # pipeline artifacts (shared_pairs / shared_toksets); the sample
     # filter runs on the persisted pair stream BEFORE the token-set
-    # joins, so the expensive stage stays sample-bounded.
-    est = shared_pairs(spark, sf_dir).select(
+    # joins. The modulus count() is an action on the persisted
+    # artifact (first toucher pays the build, which c14 needs anyway).
+    pairs = shared_pairs(spark, sf_dir)
+    mod = _cal_sample_mod(pairs.count())
+    est = pairs.select(
         "da", "db", (F.col("agree") / 16.0).alias("est_jaccard")
-    ).filter(
-        F.pmod(
-            hash60(
-                F.concat(
-                    F.col("da").cast("string"),
-                    F.lit(":"),
-                    F.col("db").cast("string"),
-                )
-            ),
-            F.lit(_CAL_SAMPLE_MOD),
-        )
-        == 0
-    )
+    ).filter(F.pmod(_pair_sample_hash(), F.lit(mod)) == 0)
     toksets = shared_toksets(spark, sf_dir)
     ta, tb = toksets.alias("ta"), toksets.alias("tb")
     inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
@@ -1738,7 +1794,15 @@ def c18_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     through round 6). At 100 TB the key sharpens the same way LSH
     bands do — add first-k-chars / phonetic codes per token to hold
     per-block population flat; edit distance is integer-exact on both
-    engines, so the candidate set is hash-gated, not approximated."""
+    engines, so the candidate set is hash-gated, not approximated.
+
+    Round-9 10x scale check (sf0.1 -> sf1.0, part names drawn from the
+    fixture's FIXED name space, so matches densify quadratically): the
+    OUTPUT grew 100.2x (3.90 M -> 390.7 M matched pairs) while wall
+    time grew 63.8x (1.87 -> 119.6 s) — sub-linear in output, which is
+    the floor for a query whose result IS the pair set. No operator
+    fix applies; on a real catalog the name space grows with the data
+    and the blocking key bounds matches near-linearly."""
     part = load_table(spark, sf_dir, "part")
     toks = F.split("p_name", " ")
     p = part.select(
@@ -1915,7 +1979,17 @@ def c20_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     (a) reading the session-shared persisted candidate stream instead
     of rebuilding it and (b) intersecting int64-hashed token sets
     instead of string arrays (see shared_toksets — sizes are all the
-    containment ratios need): 7.3 s -> ~2.5 s at sf0.1."""
+    containment ratios need): 7.3 s -> ~2.5 s at sf0.1.
+
+    Round-9 10x scale check (sf0.1 -> sf1.0): the candidate stream
+    grew 100.7x (7.76 M -> 782 M pairs — the fixture's 30-token
+    vocabulary puts random-pair jaccard near 0.7, so band collisions
+    densify quadratically) and the OUTPUT grew 101.7x (6.79 M ->
+    690 M pairs), while wall time grew 76.6x (2.43 -> 186 s) —
+    sub-linear in both, which is the floor for a query whose result
+    IS the qualifying pair set. The scale lever is upstream: band
+    width / _CONT_MIN bound the candidate stream on a real
+    (large-vocabulary) corpus near-linearly."""
     cand = shared_pairs(spark, sf_dir).select("da", "db")
     toksets = shared_toksets(spark, sf_dir)
     ta, tb = toksets.alias("ta"), toksets.alias("tb")

@@ -217,15 +217,22 @@ def test_c15_kept_doc_has_max_quality_in_bucket(spark, sf_dir):
 
 def test_c14_calibration_aggregates_c08(spark, sf_dir):
     """The calibration table must be exactly the per-level aggregation
-    of c08's per-pair report RESTRICTED to c14's deterministic 1/16
-    pair sample: same pair totals per estimate level and max error
-    never below any sampled pair's error."""
-    import hashlib
-
-    from streamandbatchprocessing_spark.queries.dedup import _CAL_SAMPLE_MOD
+    of c08's per-pair report RESTRICTED to c14's deterministic pair
+    sample (Carter-Wegman integer hash, derived modulus — the floor
+    1/16 at fixture scale): same pair totals per estimate level and
+    max error never below any sampled pair's error."""
+    from streamandbatchprocessing_spark.queries.dedup import (
+        _CAL_C1,
+        _CAL_C2,
+        _CAL_P,
+        _CAL_SAMPLE_MOD,
+    )
 
     def sampled(da: int, db: int) -> bool:
-        h = int(hashlib.md5(f"{da}:{db}".encode()).hexdigest()[:15], 16)
+        h = (
+            (da % _CAL_P) * _CAL_C1 % _CAL_P
+            + (db % _CAL_P) * _CAL_C2 % _CAL_P
+        ) % _CAL_P
         return h % _CAL_SAMPLE_MOD == 0
 
     pairs = [
