@@ -119,10 +119,14 @@ def p01_training_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("ltoks", lambda x: x.isin(*LANG_STOPWORDS["en"]))) > 0
     )
     canon = s2.groupBy("text").agg(F.min("doc_id").alias("kid"))
+    # Explicit aliases: canon derives from s2, and the unaliased
+    # same-lineage equi-join logs a "trivially true equals predicate"
+    # warning while auto-disambiguating (c01's fix, applied here).
     s3 = (
-        s2.join(canon, "text")
-        .filter(F.col("doc_id") == F.col("kid"))
-        .drop("kid")
+        s2.alias("s")
+        .join(canon.alias("cn"), F.col("s.text") == F.col("cn.text"))
+        .filter(F.col("s.doc_id") == F.col("cn.kid"))
+        .select("s.*")
     )
     sig = persist_tracked(_sig_df(s3))
     losers = (
