@@ -97,10 +97,12 @@ ANNOTATED = {
         "zero shuffles before the presentation sort."
     ),
     "p06_contamination_check": (
-        "Decontamination: eval-panel grams broadcast (BroadcastHashJoin "
-        "on g); the train-side scan streams through map-side — the big "
-        "side is never shuffled, aggregation is per-eval-doc "
-        "countDistinct."
+        "Decontamination: train-doc gram arrays intersect a literal "
+        "panel-gram set BEFORE exploding (only hit grams materialize "
+        "as rows); the tiny hit stream broadcast-joins the panel for "
+        "eval-doc attribution. The big side is never shuffled; "
+        "aggregation is per-eval-doc countDistinct. Falls back to "
+        "explode + guarded broadcast above the literal cap."
     ),
     "p07_temperature_mix": (
         "Temperature mix: one |sources|-row aggregate, then two "
@@ -303,8 +305,10 @@ ANNOTATED = {
     ),
     "c14_minhash_calibration": (
         "Calibration: c08's join shape (exact jaccard confined to LSH "
-        "candidates) plus a <=17-group map-side-combinable aggregate "
-        "with decimal-sum averages."
+        "candidates) restricted to a Carter-Wegman integer pair sample "
+        "whose modulus is derived from the candidate count (sample "
+        "stays ~500k pairs at any corpus size), plus a <=17-group "
+        "map-side-combinable aggregate with decimal-sum averages."
     ),
     "c15_band_canonical_keep_best": (
         "Keep-best canonical: signatures stack to (band, bucket_md5) "
