@@ -1390,8 +1390,19 @@ def p17_dedup_adjusted_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split("text", " ")).cast("long").alias("n_toks"),
     )
     canon = d.groupBy("text").agg(F.min("doc_id").alias("kid"))
-    k = d.join(canon, (d["text"] == canon["text"]) & (d["doc_id"] == canon["kid"])) \
-        .select(d["source"], d["n_toks"])
+    # Explicit aliases: canon derives from d (the c01/p01 same-lineage
+    # join fix — keeps the "trivially true equals predicate" warning
+    # out of the plan log).
+    k = (
+        d.alias("dd")
+        .join(
+            canon.alias("cn"),
+            (F.col("dd.text") == F.col("cn.text"))
+            & (F.col("dd.doc_id") == F.col("cn.kid")),
+        )
+        .select(F.col("dd.source").alias("source"),
+                F.col("dd.n_toks").alias("n_toks"))
+    )
     raw = d.groupBy("source").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs_raw"),
         F.sum("n_toks").cast("long").alias("tokens_raw"),
