@@ -11,7 +11,10 @@ LINEAR in its input. The sf1.0 files also have ~122k-row row groups
 group, so scan-bound queries can legitimately scale BETTER than 10x
 (more parallelism at the source).
 
-Usage: python scripts/scale_check.py [reps]   (default 2; best-of-reps)
+Usage: python scripts/scale_check.py [reps] [full]
+  reps: best-of-N per SF (default 2)
+  full: also sweep EVERY tracked bench extra (breadth pass — use
+        reps=1 and deep-measure anything it flags)
 Prints a markdown table; exit 1 if any query ERRORS at either SF.
 """
 
@@ -28,7 +31,7 @@ SF01 = "/root/testdata/sf0.1"
 SF1 = os.path.join(REPO, ".scale", "sf1.0")
 WARM = "/root/testdata/sf0.001"
 
-from bench import HEADLINE  # noqa: E402
+from bench import EXTRA, HEADLINE  # noqa: E402
 from streamandbatchprocessing_spark.queries import QUERIES  # noqa: E402
 from streamandbatchprocessing_spark.session import build_spark  # noqa: E402
 
@@ -59,6 +62,7 @@ def run_once(spark, name: str, sf_dir: str) -> float:
 
 def main() -> int:
     reps = int(sys.argv[1]) if len(sys.argv) > 1 else 2
+    full = len(sys.argv) > 2 and sys.argv[2] == "full"
     if not os.path.isdir(SF1):
         print(f"staged fixture missing at {SF1}; run gen_scale_fixture.py")
         return 1
@@ -67,7 +71,14 @@ def main() -> int:
         enable_fair_scheduler=False,
         extra_conf={"spark.ui.enabled": "false"},
     )
-    names = [n for n in HEADLINE + SLOW_EXTRAS if n in QUERIES]
+    pool = HEADLINE + SLOW_EXTRAS + (
+        [n for n in EXTRA if n not in SLOW_EXTRAS] if full else []
+    )
+    seen: set[str] = set()
+    names = [
+        n for n in pool
+        if n in QUERIES and not (n in seen or seen.add(n))
+    ]
     for n in names:  # JIT/codegen warmup
         try:
             run_once(spark, n, WARM)
