@@ -73,12 +73,12 @@ ANNOTATED = {
         "scan, then one top-k window shuffle."
     ),
     "c09_semantic_dedup": (
-        "SemDeDup within-cluster prune: salted equi-join on (cid, salt) "
-        "generates candidates; the cosine runs as a vectorized "
-        "ArrowEvalPython stage AFTER the join (a JVM expression would be "
-        "pushed into the join condition and interpreted per pair) — "
-        "Σ|cluster|² work, bounded by the quantizer's k, never a data "
-        "column's skew."
+        "SemDeDup within-cluster prune: one groupBy(cid) "
+        "FlatMapGroupsInPandas pass per cell (each vector crosses the "
+        "Arrow boundary once, numpy runs the cell's quadratic block "
+        "vectorized — the d10 shape) — Σ|cluster|² work, bounded by "
+        "the DERIVED quantizer k (~n/512 cells), never a data column's "
+        "skew."
     ),
     "d06_pq_adc_topk": (
         "PQ/ADC: one ArrowEvalPython encode pass (vectors → M codes), "
