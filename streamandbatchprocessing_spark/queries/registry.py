@@ -115,8 +115,17 @@ def session_artifact(spark: SparkSession, sf_dir: str, kind: str, build):
                 _SESSION_ARTIFACTS[key] = value
                 return value
         value = build()
+        orphan = None
         with _ARTIFACT_LOCK:
-            _SESSION_ARTIFACTS[key] = value
+            existing = _SESSION_ARTIFACTS.get(key)
+            if existing is not None:
+                # A waiter on an EVICTED key-lock object can race a
+                # rebuilder holding the key's fresh lock; keep the
+                # first-inserted value and unpersist the loser so no
+                # persisted DataFrame is orphaned in the block manager.
+                orphan, value = value, existing
+            else:
+                _SESSION_ARTIFACTS[key] = value
             group = key[:3]
             variants = [
                 k for k in _SESSION_ARTIFACTS if k[:3] == group
@@ -126,6 +135,8 @@ def session_artifact(spark: SparkSession, sf_dir: str, kind: str, build):
                 oldest = variants.pop(0)  # dict order = LRU order
                 evicted.append(_SESSION_ARTIFACTS.pop(oldest))
                 _ARTIFACT_KEY_LOCKS.pop(oldest, None)
+        if orphan is not None:
+            _unpersist_value(orphan)
         for old in evicted:
             _unpersist_value(old)
     return value
