@@ -219,6 +219,73 @@ def test_variant_cap_evicts_lru_conf_variants(spark, sf_dir):
         release_session_artifacts()
 
 
+def test_evicted_lock_race_keeps_first_insert(spark, sf_dir):
+    """A thread waiting on a key lock that eviction just removed from
+    the lock map races the key's rebuilder (which holds a FRESH lock
+    for the same key). Both builds run; the first insert must win, all
+    callers must get that same object back, and the losing build's
+    persisted DataFrame must be unpersisted — never orphaned in the
+    block manager."""
+    import threading
+
+    from streamandbatchprocessing_spark.queries.registry import (
+        _ARTIFACT_KEY_LOCKS,
+    )
+    from streamandbatchprocessing_spark.sources.batch import load_table
+
+    release_session_artifacts()
+    slow_entered = threading.Event()
+    slow_release = threading.Event()
+    results = {}
+    built = {}
+
+    def slow_build():
+        # Simulates the waiter that acquired the STALE lock object:
+        # while it builds, eviction has already popped its lock, so a
+        # second caller builds concurrently under a fresh lock.
+        slow_entered.set()
+        assert slow_release.wait(timeout=30)
+        built["loser"] = load_table(spark, sf_dir, "region").persist()
+        return built["loser"]
+
+    def slow_caller():
+        results["slow"] = session_artifact(
+            spark, sf_dir, "race_probe", slow_build
+        )
+
+    def fast_caller():
+        results["fast"] = session_artifact(
+            spark, sf_dir, "race_probe",
+            lambda: load_table(spark, sf_dir, "nation").persist(),
+        )
+
+    t_slow = threading.Thread(target=slow_caller)
+    t_slow.start()
+    assert slow_entered.wait(timeout=30)
+    # Simulate the eviction that races the in-flight build: pop the
+    # key's lock so the next caller mints a fresh one and builds.
+    with_probe = [k for k in _ARTIFACT_KEY_LOCKS if k[2] == "race_probe"]
+    assert with_probe, "slow build should have registered its key lock"
+    for k in with_probe:
+        _ARTIFACT_KEY_LOCKS.pop(k, None)
+    t_fast = threading.Thread(target=fast_caller)
+    t_fast.start()
+    t_fast.join(timeout=30)
+    assert "fast" in results, "fresh-lock build should not block"
+    slow_release.set()
+    t_slow.join(timeout=30)
+    # First insert (the fast caller's) wins; the slow loser gets the
+    # same object back and its own build is unpersisted.
+    assert results["slow"] is results["fast"]
+    assert results["fast"].storageLevel.useMemory  # winner stays persisted
+    assert not built["loser"].storageLevel.useMemory  # loser unpersisted
+    memo_values = [
+        v for k, v in _SESSION_ARTIFACTS.items() if k[2] == "race_probe"
+    ]
+    assert memo_values == [results["fast"]]
+    release_session_artifacts()
+
+
 def test_unrelated_artifact_builds_do_not_serialize(spark, sf_dir):
     """Builds hold a PER-KEY lock, not the global memo lock: a thread
     touching kind B must not wait for kind A's slow first-touch build
