@@ -34,6 +34,53 @@ from .registry import persist_tracked, query, session_artifact
 
 _BUCKET_SQL = sign_bucket_sql("embedding", 4)
 
+#: Scratch-memory bound for the per-cell pairwise cosine passes (c09
+#: SemDeDup, d10 mutual k-NN). The in-cell WORK is inherently
+#: Σ|cell|² — that's what the derived cell counts keep linear — but
+#: the MEMORY need not be: a skewed cell must never materialize an
+#: n × n matrix (8 bytes × n² is 8 GB at n = 32 k), so the cosine
+#: block is computed in row blocks of at most this many bytes and each
+#: block is consumed before the next is built.
+_CELL_BLOCK_BYTES = 64 << 20
+
+
+def _cos_row_blocks(X: "np.ndarray", query_name: str):
+    """Yield ``(row_slice, C_block)`` over the pairwise cosine matrix of
+    ``X`` (n × dim), bounding scratch memory to ``_CELL_BLOCK_BYTES``
+    per block instead of the full n × n matrix.
+
+    Arithmetic is BLOCK-INVARIANT and bit-identical to the codegen'd
+    fold / DuckDB's ``list_cosine_similarity``: every C[i, j] element
+    accumulates its dot product DIMENSION-SEQUENTIALLY (one
+    correctly-rounded multiply and one add per dimension, in dimension
+    order — the left-to-right fold), then applies the identical
+    sqrt/multiply/divide, regardless of which block row i lands in.
+    Zero-norm vectors raise — cosine is undefined there, and NaN
+    ORDERING diverges between engines (np.lexsort places NaN last,
+    DuckDB ORDER BY DESC sorts NaN first), so the guard makes the
+    divergence unreachable; d13's norm profile is the corpus audit."""
+    n = X.shape[0]
+    nrm = np.zeros(n)
+    for k in range(X.shape[1]):  # dimension-sequential: fold order
+        col = X[:, k]
+        nrm += col * col
+    if not np.all(nrm > 0.0):
+        raise ValueError(
+            f"{query_name}: zero-norm embedding vector in cell — cosine "
+            "similarity is undefined and NaN ordering diverges between "
+            "engines; run d13's norm audit and filter the corpus"
+        )
+    s = np.sqrt(nrm)
+    rows = max(1, _CELL_BLOCK_BYTES // (8 * n))
+    for start in range(0, n, rows):
+        blk = slice(start, min(start + rows, n))
+        cols = X[blk]
+        D = np.zeros((blk.stop - blk.start, n))
+        for k in range(X.shape[1]):  # dimension-sequential: fold order
+            col = X[:, k]
+            D += cols[:, k][:, None] * col[None, :]
+        yield blk, D / (s[blk][:, None] * s[None, :])
+
 
 @query(
     "d01_topk_bruteforce",
@@ -661,23 +708,14 @@ def c09_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         if n < 2:
             return pd.DataFrame({"vec_id": ids[:0]})
         X = np.array(pdf["v"].tolist(), dtype=np.float64)
-        D = np.zeros((n, n))
-        nrm = np.zeros(n)
-        for k_ in range(X.shape[1]):  # dimension-sequential: fold order
-            col = X[:, k_]
-            D += col[:, None] * col[None, :]
-            nrm += col * col
-        if not np.all(nrm > 0.0):
-            raise ValueError(
-                "c09_semantic_dedup: zero-norm embedding vector in "
-                "cluster — cosine similarity is undefined; run d13's "
-                "norm audit and filter the corpus"
-            )
-        s = np.sqrt(nrm)
-        C = D / (s[:, None] * s[None, :])
-        lower = ids[:, None] < ids[None, :]
-        dropped = ids[np.any(lower & (C >= _SEM_TAU), axis=0)]
-        return pd.DataFrame({"vec_id": dropped})
+        # Row-blocked cosine (see _cos_row_blocks): a skewed cell costs
+        # O(|cell|²) WORK — inherent to SemDeDup — but never O(|cell|²)
+        # MEMORY. Identical doubles block-split or not.
+        dropped_any = np.zeros(n, dtype=bool)
+        for blk, C in _cos_row_blocks(X, "c09_semantic_dedup"):
+            lower = ids[blk][:, None] < ids[None, :]
+            dropped_any |= np.any(lower & (C >= _SEM_TAU), axis=0)
+        return pd.DataFrame({"vec_id": ids[dropped_any]})
 
     losers = (
         w.groupBy("cid")
@@ -1455,28 +1493,17 @@ def d10_mutual_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ids = pdf["vec_id"].to_numpy()
         X = np.array(pdf["v"].tolist(), dtype=np.float64)
-        D = np.zeros((n, n))
-        nrm = np.zeros(n)
-        for k in range(X.shape[1]):  # dimension-sequential: fold order
-            col = X[:, k]
-            D += col[:, None] * col[None, :]
-            nrm += col * col
-        if not np.all(nrm > 0.0):
-            raise ValueError(
-                "d10_mutual_knn_graph: zero-norm embedding vector in "
-                "cell — cosine similarity is undefined and NaN ordering "
-                "diverges between engines; run d13's norm audit and "
-                "filter the corpus"
-            )
-        s = np.sqrt(nrm)
-        C = D / (s[:, None] * s[None, :])
+        # Row-blocked cosine (see _cos_row_blocks): per-row top-k needs
+        # one row of C at a time, so a skewed cell never materializes
+        # the n × n matrix. Identical doubles block-split or not.
         topk: dict = {}
-        for i in range(n):
-            order = np.lexsort((ids, -C[i]))  # cos DESC, then dst ASC
-            order = order[order != i][:_KNN_K]
-            topk[ids[i]] = {
-                ids[j]: (r + 1, C[i, j]) for r, j in enumerate(order)
-            }
+        for blk, C in _cos_row_blocks(X, "d10_mutual_knn_graph"):
+            for bi, i in enumerate(range(blk.start, blk.stop)):
+                order = np.lexsort((ids, -C[bi]))  # cos DESC, dst ASC
+                order = order[order != i][:_KNN_K]
+                topk[ids[i]] = {
+                    ids[j]: (r + 1, C[bi, j]) for r, j in enumerate(order)
+                }
         rows = []
         for a_id, nbrs in topk.items():
             for b_id, (rank_ab, cos) in nbrs.items():

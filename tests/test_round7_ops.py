@@ -1129,6 +1129,26 @@ def test_d10_zero_norm_vector_raises(spark, tmp_path):
         QUERIES["d10_mutual_knn_graph"](spark, fixture).collect()
 
 
+def test_cell_cosine_row_blocking_is_invariant(spark, sf_dir, monkeypatch):
+    """The per-cell pairwise passes (c09 SemDeDup, d10 mutual k-NN)
+    compute their cosine blocks in row blocks bounded by
+    _CELL_BLOCK_BYTES so a skewed cell costs O(|cell|²) WORK but never
+    O(|cell|²) MEMORY. Splitting must be invisible: forcing one-row
+    blocks must reproduce the default output bit-for-bit (every C[i,j]
+    element accumulates dimension-sequentially regardless of which
+    block row i lands in)."""
+    from streamandbatchprocessing_spark.queries import QUERIES
+    from streamandbatchprocessing_spark.queries import similarity as sim
+
+    def run(name):
+        return sorted(map(repr, QUERIES[name](spark, sf_dir).collect()))
+
+    default = {n: run(n) for n in ("c09_semantic_dedup", "d10_mutual_knn_graph")}
+    monkeypatch.setattr(sim, "_CELL_BLOCK_BYTES", 1)  # rows-of-1 blocks
+    for name, want in default.items():
+        assert run(name) == want, name
+
+
 def test_p06_literal_and_broadcast_regimes_agree(spark, sf_dir, monkeypatch):
     """p06 picks between intersect-before-explode (panel grams fit a
     plan literal) and explode + broadcast-hash-join (huge panel). Both
