@@ -493,7 +493,10 @@ def _integer_kmeans(ei: DataFrame, k: int = _IVF_K) -> tuple[list, DataFrame]:
 
     init = {
         r["vec_id"]: list(r["iv"])
-        for r in ei.filter(F.col("vec_id") < k).collect()
+        # Seed collect is k rows x dim longs — project away ei's other
+        # columns (v doubles) so the driver's share stays exactly the
+        # k·dim the docstring budgets.
+        for r in ei.select("vec_id", "iv").filter(F.col("vec_id") < k).collect()
     }
     centroids = [(cid, init[cid]) for cid in sorted(init)]
 
