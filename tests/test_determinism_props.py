@@ -188,3 +188,55 @@ def test_oracle_floor_rounding_formulas_are_self_consistent():
             assert float(mul) == float(div), (name, mul, div)
             checked += 1
     assert checked >= 40  # the formula is load-bearing across families
+
+
+# ---------------------------------------------------------------------------
+# _cos_row_blocks: row blocking must be invisible in the doubles
+# ---------------------------------------------------------------------------
+@settings(max_examples=120, deadline=None)
+@given(
+    st.integers(min_value=2, max_value=24),   # n vectors
+    st.integers(min_value=1, max_value=8),    # dim
+    st.integers(min_value=0, max_value=2**31),
+)
+def test_cos_row_blocks_bitwise_block_invariant(n, dim, seed):
+    """The per-cell cosine generator (c09/d10's memory bound) must
+    produce bit-identical doubles for ANY block split: every C[i,j]
+    accumulates dimension-sequentially regardless of which block row i
+    lands in, so forcing one-row blocks must equal the single-block
+    matrix exactly — not approximately."""
+    import numpy as np
+
+    from streamandbatchprocessing_spark.queries import similarity as sim
+
+    rng = np.random.default_rng(seed)
+    X = rng.normal(size=(n, dim))
+    # Reject zero-norm rows (the generator raises on them by design).
+    X[np.sqrt((X * X).sum(axis=1)) == 0.0] += 1.0
+
+    def full(block_bytes):
+        orig = sim._CELL_BLOCK_BYTES
+        sim._CELL_BLOCK_BYTES = block_bytes
+        try:
+            out = np.empty((n, n))
+            for blk, C in sim._cos_row_blocks(X, "prop"):
+                out[blk] = C
+            return out
+        finally:
+            sim._CELL_BLOCK_BYTES = orig
+
+    one_block = full(8 * n * n + 1024)  # everything in a single block
+    row_blocks = full(1)                # one row per block
+    assert one_block.shape == (n, n)
+    assert np.array_equal(one_block, row_blocks)  # bitwise, no tolerance
+
+
+def test_cos_row_blocks_rejects_zero_norm():
+    import numpy as np
+    import pytest
+
+    from streamandbatchprocessing_spark.queries import similarity as sim
+
+    X = np.array([[1.0, 2.0], [0.0, 0.0], [3.0, 1.0]])
+    with pytest.raises(ValueError, match="zero-norm"):
+        list(sim._cos_row_blocks(X, "prop"))
