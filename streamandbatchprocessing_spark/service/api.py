@@ -88,7 +88,19 @@ def create_app(
                 start_date=start, end_date=end, filters=filters,
             )
         )
-        pool.submit(runner.run, batch_id, start, end, analysis, filters)
+        try:
+            pool.submit(runner.run, batch_id, start, end, analysis, filters)
+        except RuntimeError:
+            # Pool already shut down (/stop raced this submit). Surface
+            # the error model's 503 instead of Flask's generic 500, and
+            # fail the just-registered record so it can't sit PENDING
+            # forever with no thread ever running it.
+            registry.update(
+                batch_id, status=BatchStatus.FAILED,
+                completed_at=time.time(),
+                error="service shutting down; batch pool closed",
+            )
+            return _error("SERVICE_UNAVAILABLE", "service shutting down", 503)
         return jsonify({"batchId": batch_id, "status": "PENDING"}), 202
 
     @app.get("/batch/status/<batch_id>")
@@ -109,6 +121,13 @@ def create_app(
         path = record.raw_path if which == "raw" else record.agg_path
         offset = request.args.get("offset", 0, type=int)
         limit = min(request.args.get("limit", DEFAULT_PAGE, type=int), MAX_PAGE)
+        if offset < 0 or limit < 0:
+            # Spark's in-plan offset/limit reject negatives with an
+            # AnalysisException — map to the error model's 400 instead
+            # of a generic 500.
+            return _error(
+                "INVALID_REQUEST", "offset and limit must be >= 0", 400
+            )
         rows, total = runner.page(path, offset=offset, limit=limit)
         return jsonify(
             {
@@ -133,7 +152,9 @@ def create_app(
     @app.get("/batch/list")
     def batch_list():
         status = request.args.get("status")
-        limit = request.args.get("limit", 50, type=int)
+        # Clamp: a negative limit would silently slice from the END of
+        # the listing (records[:-n]) — never what a caller meant.
+        limit = max(request.args.get("limit", 50, type=int), 0)
         if status:
             try:
                 parsed = BatchStatus(status)

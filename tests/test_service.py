@@ -114,6 +114,56 @@ def test_error_model(client):
     assert client.get("/health").status_code == 200
 
 
+def test_negative_paging_params_are_rejected_400(client, runner):
+    """Spark's in-plan offset/limit raise AnalysisException on
+    negatives — the endpoint must map that to the error model's 400,
+    never a generic 500."""
+    done = [
+        r for r in runner.registry.list_all()
+        if r.status.value == "COMPLETED" and r.agg_path
+    ]
+    assert done, "lifecycle test should have left a COMPLETED batch"
+    batch_id = done[0].batch_id
+    for qs in ("offset=-1", "limit=-5"):
+        resp = client.get(f"/batch/data/{batch_id}?{qs}")
+        assert resp.status_code == 400
+        assert resp.get_json()["error"] == "INVALID_REQUEST"
+
+
+def test_list_negative_limit_returns_empty_not_tail(client):
+    """records[:-n] would silently return the END of the listing."""
+    resp = client.get("/batch/list?limit=-3")
+    assert resp.status_code == 200
+    assert resp.get_json()["batches"] == []
+
+
+def test_submit_after_pool_shutdown_is_503_and_fails_record(runner):
+    """A /batch/run racing /stop's pool shutdown must surface the error
+    model's 503 and fail the just-registered record — never leave it
+    PENDING with no thread to run it."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    pool = ThreadPoolExecutor(max_workers=1)
+    pool.shutdown(wait=True)
+    app = create_app(runner, pool=pool)
+    resp = app.test_client().post(
+        "/batch/run",
+        json={
+            "analysisType": "revenue_by_category",
+            "startDate": "2024-03-01",
+            "endDate": "2024-03-31",
+        },
+    )
+    assert resp.status_code == 503
+    assert resp.get_json()["error"] == "SERVICE_UNAVAILABLE"
+    failed = [
+        r for r in runner.registry.list_all()
+        if r.error == "service shutting down; batch pool closed"
+    ]
+    assert len(failed) == 1
+    assert failed[0].status.value == "FAILED"
+
+
 def test_not_ready_conflict(client, runner):
     batch_id = new_batch_id()
     runner.registry.register(
