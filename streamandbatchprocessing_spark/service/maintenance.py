@@ -125,7 +125,11 @@ class VersionedTable:
         return version
 
     def _commit_dirs(
-        self, dirs: list[str], operation: str, params: dict | None = None
+        self,
+        dirs: list[str],
+        operation: str,
+        params: dict | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Commit a new version that only re-points at EXISTING data
         directories — a metadata-only transaction (no bytes move), the
@@ -138,12 +142,37 @@ class VersionedTable:
                 "committed_at": time.time(),
                 "dirs": list(dirs),
                 "operation": operation,
+                **({"partition_by": partition_by} if partition_by else {}),
                 **({"params": params} if params else {}),
             }
         )
         manifest["current"] = version
         self._write_manifest(manifest)
         return version
+
+    def _effective_partition_by(
+        self, manifest: dict, version: int
+    ) -> list[str] | None:
+        """The physical layout in force at ``version``: its own recorded
+        ``partition_by`` if any, else follow lineage — a RESTORE
+        inherits from the version it restored (NOT from whatever was
+        committed in between, which may carry a different layout), any
+        other layout-silent commit (append, metadata op) inherits from
+        its predecessor. Dead-ends (vacuumed ancestors) resolve to
+        None."""
+        live = {v["version"]: v for v in manifest["versions"]}
+        seen: set[int] = set()
+        while version in live and version not in seen:
+            seen.add(version)
+            entry = live[version]
+            if "partition_by" in entry:
+                return entry["partition_by"]
+            params = entry.get("params") or {}
+            if entry.get("operation") == "RESTORE" and "restored_from" in params:
+                version = params["restored_from"]
+            else:
+                version -= 1
+        return None
 
     @staticmethod
     def _dirs_of(entry: dict) -> list[str]:
@@ -203,6 +232,10 @@ class VersionedTable:
             self._dirs_of(live[version]),
             operation="RESTORE",
             params={"restored_from": version},
+            # Record the restored version's layout on the new entry so
+            # it survives even if the source version is later vacuumed
+            # (and so OPTIMIZE compacts within the RIGHT partitions).
+            partition_by=self._effective_partition_by(manifest, version),
         )
 
     def optimize(
@@ -232,13 +265,12 @@ class VersionedTable:
         )
         target_files = max(1, math.ceil(total / target_file_bytes))
         # Preserve the table's partitioning (Delta OPTIMIZE compacts
-        # WITHIN partitions, never flattens them): take the most recent
-        # version that recorded a layout — metadata-only commits
-        # (RESTORE) carry none and inherit.
-        part_by: list[str] | None = None
-        for v in manifest["versions"]:
-            if v["version"] <= manifest["current"] and "partition_by" in v:
-                part_by = v["partition_by"]
+        # WITHIN partitions, never flattens them). Resolution follows
+        # LINEAGE, not recency: after RESTORE the layout in force is
+        # the restored version's, not whatever a later-but-abandoned
+        # commit recorded — a "most recent recorded" rule would
+        # silently re-layout restored data.
+        part_by = self._effective_partition_by(manifest, manifest["current"])
         df = self.read(spark)
         df = (
             df.repartition(target_files, *part_by)

@@ -316,3 +316,35 @@ def test_optimize_preserves_partitioning(spark, nation, tmp_path):
         for r in t.read(spark).collect()
     }
     assert after == before
+
+
+def test_optimize_after_restore_uses_restored_layout(spark, nation, tmp_path):
+    """Layout resolution follows LINEAGE, not recency: after RESTORE to
+    a version partitioned by X, OPTIMIZE must compact within X — not
+    within whatever layout an abandoned later commit recorded. The
+    RESTORE entry itself records the resolved layout, so it also
+    survives vacuuming its source version."""
+    import os
+
+    t = VersionedTable(str(tmp_path / "tbl"))
+    t.write(nation, partition_by=["n_regionkey"])           # v0: by region
+    t.write(nation.limit(5), partition_by=["n_nationkey"])  # v1: by nation
+    v2 = t.restore(0)                                       # back to v0
+    entry = [e for e in t.manifest()["versions"] if e["version"] == v2][0]
+    assert entry.get("partition_by") == ["n_regionkey"]
+    before = {
+        (r["n_nationkey"], r["n_regionkey"])
+        for r in t.read(spark).collect()
+    }
+    v3 = t.optimize(spark)
+    cur = [e for e in t.manifest()["versions"] if e["version"] == v3][0]
+    assert cur.get("partition_by") == ["n_regionkey"]
+    vdir = os.path.join(str(tmp_path / "tbl"), cur["dirs"][0])
+    assert any(
+        d.startswith("n_regionkey=") for d in os.listdir(vdir)
+    ), os.listdir(vdir)
+    after = {
+        (r["n_nationkey"], r["n_regionkey"])
+        for r in t.read(spark).collect()
+    }
+    assert after == before
