@@ -178,7 +178,12 @@ def create_app(
         if stream_manager.is_active():
             return _error("STREAM_ALREADY_RUNNING", "stop it first", 409)
         body = request.get_json(silent=True) or {}
-        query_ids = stream_manager.start(body.get("topic"))
+        try:
+            query_ids = stream_manager.start(body.get("topic"))
+        except RuntimeError:
+            # Lost the start race to a concurrent request (the manager
+            # re-checks under its lock) — same 409 as the fast path.
+            return _error("STREAM_ALREADY_RUNNING", "stop it first", 409)
         return jsonify({"status": "STARTED", "queryIds": query_ids})
 
     @app.post("/stream/stop")

@@ -55,30 +55,38 @@ def start_transaction_pipeline(
             enriched, "raw_transactions", "append", ["event_date"]
         ).start(os.path.join(base_dir, "stream", "transactions"))
 
-        # Complete-mode aggregate sinks can't write files; parquet keeps
-        # append-only sinks, so the dashboard lands in a memory table
-        # when file formats are used (Delta supports complete mode and
-        # is chosen automatically when its JARs are present).
-        dash = realtime_dashboard(enriched)
-        dash_writer = (
-            dash.writeStream.queryName("stream_aggregations")
-            .outputMode("complete")
-            .option(
-                "checkpointLocation",
-                os.path.join(base_dir, "checkpoints", "stream_aggregations"),
+        try:
+            # Complete-mode aggregate sinks can't write files; parquet
+            # keeps append-only sinks, so the dashboard lands in a
+            # memory table when file formats are used (Delta supports
+            # complete mode and is chosen automatically when its JARs
+            # are present).
+            dash = realtime_dashboard(enriched)
+            dash_writer = (
+                dash.writeStream.queryName("stream_aggregations")
+                .outputMode("complete")
+                .option(
+                    "checkpointLocation",
+                    os.path.join(base_dir, "checkpoints", "stream_aggregations"),
+                )
             )
-        )
-        if fmt == "delta":
-            dash_writer = dash_writer.format("delta")
-            target = os.path.join(base_dir, "stream", "stream_aggregations")
-            if trigger_available_now:
-                dash_writer = dash_writer.trigger(availableNow=True)
-            dash_query = dash_writer.start(target)
-        else:
-            dash_writer = dash_writer.format("memory")
-            if trigger_available_now:
-                dash_writer = dash_writer.trigger(availableNow=True)
-            dash_query = dash_writer.start()
+            if fmt == "delta":
+                dash_writer = dash_writer.format("delta")
+                target = os.path.join(base_dir, "stream", "stream_aggregations")
+                if trigger_available_now:
+                    dash_writer = dash_writer.trigger(availableNow=True)
+                dash_query = dash_writer.start(target)
+            else:
+                dash_writer = dash_writer.format("memory")
+                if trigger_available_now:
+                    dash_writer = dash_writer.trigger(availableNow=True)
+                dash_query = dash_writer.start()
+        except Exception:
+            # A half-started pipeline is worse than none: the raw query
+            # would keep running with no handle anyone tracks, and its
+            # queryName/checkpoint would block every future start.
+            raw_query.stop()
+            raise
         return [raw_query, dash_query]
     finally:
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", None)
@@ -92,21 +100,33 @@ class StreamManager:
         self, spark: SparkSession, source_factory: Callable[[str | None], DataFrame],
         base_dir: str, fmt: str = "parquet",
     ) -> None:
+        import threading
+
         self.spark = spark
         self.source_factory = source_factory
         self.base_dir = base_dir
         self.fmt = fmt
         self._queries = []
+        # The reference holds its handles in an AtomicReference
+        # (StreamingJob.scala:20-21); the route-level is_active() check
+        # alone is a TOCTOU — two concurrent starts would both pass it,
+        # and the first pipeline's handles would be overwritten
+        # (running queries nobody can stop). start() re-checks under
+        # this lock.
+        self._lock = threading.Lock()
 
     def is_active(self) -> bool:
         return any(q.isActive for q in self._queries)
 
     def start(self, topic: str | None = None) -> list[str]:
-        source = self.source_factory(topic)
-        self._queries = start_transaction_pipeline(
-            self.spark, source, self.base_dir, fmt=self.fmt
-        )
-        return [str(q.id) for q in self._queries]
+        with self._lock:
+            if self.is_active():
+                raise RuntimeError("streaming pipeline already running")
+            source = self.source_factory(topic)
+            self._queries = start_transaction_pipeline(
+                self.spark, source, self.base_dir, fmt=self.fmt
+            )
+            return [str(q.id) for q in self._queries]
 
     def stop(self) -> int:
         """Stop all active queries; returns how many were ACTUALLY
@@ -114,13 +134,14 @@ class StreamManager:
         q.isActive at stop time — deriving the count from a status()
         snapshot taken before stopping can drift if a query terminates
         or starts in between)."""
-        stopped = 0
-        for q in self._queries:
-            if q.isActive:
-                q.stop()
-                stopped += 1
-        self._queries = []
-        return stopped
+        with self._lock:
+            stopped = 0
+            for q in self._queries:
+                if q.isActive:
+                    q.stop()
+                    stopped += 1
+            self._queries = []
+            return stopped
 
     def status(self) -> dict:
         return {

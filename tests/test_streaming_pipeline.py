@@ -87,6 +87,66 @@ def test_stream_manager_lifecycle(spark, tx_source_dir, tmp_path):
     assert not manager.is_active()
 
 
+def test_stream_manager_start_race_starts_exactly_one_pipeline(
+    spark, tx_source_dir, tmp_path
+):
+    """Two concurrent starts must not both pass the route's is_active
+    check and orphan the first pipeline's handles: the manager
+    re-checks under its lock, so exactly one start wins and the loser
+    raises (the API maps it to STREAM_ALREADY_RUNNING)."""
+    import threading
+
+    manager = StreamManager(
+        spark,
+        source_factory=lambda topic: _file_stream(spark, tx_source_dir),
+        base_dir=str(tmp_path / "race"),
+    )
+    barrier = threading.Barrier(2)
+    wins, losses = [], []
+
+    def try_start():
+        barrier.wait()
+        try:
+            wins.append(manager.start(None))
+        except RuntimeError:
+            losses.append(1)
+
+    threads = [threading.Thread(target=try_start) for _ in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    try:
+        assert len(wins) == 1 and len(losses) == 1
+        assert len(manager.status()["queries"]) == 2
+    finally:
+        manager.stop()
+    assert not manager.is_active()
+
+
+def test_failed_second_query_start_stops_the_first(
+    spark, tx_source_dir, tmp_path, monkeypatch
+):
+    """If the dashboard query fails to start, the already-started raw
+    query must be stopped — a half-started pipeline would keep running
+    with no tracked handle and block every future start on its
+    queryName/checkpoint."""
+    from streamandbatchprocessing_spark.streaming import transactions as tx
+
+    def boom(_df):
+        raise ValueError("dashboard plan failed")
+
+    monkeypatch.setattr(tx, "realtime_dashboard", boom)
+    with pytest.raises(ValueError, match="dashboard plan failed"):
+        start_transaction_pipeline(
+            spark,
+            _file_stream(spark, tx_source_dir),
+            str(tmp_path / "halfstart"),
+        )
+    active_names = {q.name for q in spark.streams.active}
+    assert "raw_transactions" not in active_names
+
+
 def test_dedup_within_watermark_bounds_state(spark, sf_dir):
     # Same key set as the unbounded dedup (single availableNow pass over
     # the fixture: nothing ages past the watermark, so results match the
