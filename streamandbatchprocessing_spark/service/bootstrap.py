@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import atexit
 import signal
+import threading
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
@@ -43,32 +44,39 @@ class Runtime:
     #: ordered log of shutdown steps, for observability and tests
     shutdown_log: list[str] = field(default_factory=list)
     _stopped: bool = False
+    _stop_lock: threading.Lock = field(default_factory=threading.Lock)
 
     def shutdown(self) -> list[str]:
         """Reference ordering (Main.scala:74-80): stop streaming queries
         → drain the batch pool (waits on in-flight jobs) → stop Spark.
-        Idempotent — /stop, SIGTERM and atexit can all race into it."""
-        if self._stopped:
+        Idempotent — /stop, SIGTERM and atexit can all race into it;
+        the lock makes the gate atomic (a bare check-then-set has a
+        window where two paths both enter) AND makes a racing caller
+        BLOCK until the winner finishes, so atexit can never let the
+        process die mid-shutdown with the log half-written."""
+        with self._stop_lock:
+            if self._stopped:
+                return self.shutdown_log
+            self._stopped = True
+            self.stream_manager.stop()
+            self.shutdown_log.append("streams_stopped")
+            self.pool.shutdown(wait=True)
+            self.shutdown_log.append("pool_drained")
+            # Release THIS application's session-lifetime artifacts
+            # (shared dedup/ANN index builds) before stopping Spark, so
+            # the shutdown path leaves no persisted blocks behind if
+            # the JVM outlives us; scoped by applicationId so an
+            # embedding host running a second Runtime in the same
+            # process keeps its own caches.
+            try:
+                app_id = self.spark.sparkContext.applicationId
+            except Exception:  # stubbed session in tests — release all
+                app_id = None
+            release_session_artifacts(app_id)
+            self.shutdown_log.append("artifacts_released")
+            self.spark.stop()
+            self.shutdown_log.append("spark_stopped")
             return self.shutdown_log
-        self._stopped = True
-        self.stream_manager.stop()
-        self.shutdown_log.append("streams_stopped")
-        self.pool.shutdown(wait=True)
-        self.shutdown_log.append("pool_drained")
-        # Release THIS application's session-lifetime artifacts (shared
-        # dedup/ANN index builds) before stopping Spark, so the shutdown
-        # path leaves no persisted blocks behind if the JVM outlives us;
-        # scoped by applicationId so an embedding host running a second
-        # Runtime in the same process keeps its own caches.
-        try:
-            app_id = self.spark.sparkContext.applicationId
-        except Exception:  # stubbed session in tests — release everything
-            app_id = None
-        release_session_artifacts(app_id)
-        self.shutdown_log.append("artifacts_released")
-        self.spark.stop()
-        self.shutdown_log.append("spark_stopped")
-        return self.shutdown_log
 
 
 def build_runtime(
