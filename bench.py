@@ -210,6 +210,16 @@ EXTRA = [
     "d23_pq_distortion_profile",
     "g35_purchase_frequency_curve",
     "c25_minhash_fn_stats",
+    # mid-round-9 additions
+    "c26_lsh_band_plan_curve",
+    "d24_cosine_label_reliability",
+    "e23_token_burstiness",
+    "g36_order_value_reconciliation",
+    "m14_hrw_rebalance_audit",
+    "p25_context_length_fit",
+    "c27_dedup_threshold_sweep",
+    "e24_source_vocab_jsd",
+    "g37_order_status_consistency",
 ]
 
 

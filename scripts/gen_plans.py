@@ -481,6 +481,67 @@ ANNOTATED = {
         "conditional-count aggregate; three totals broadcast as one "
         "scalar row."
     ),
+    "c26_lsh_band_plan_curve": (
+        "Band-plan S-curve: rides the shared candidate/tokset "
+        "artifacts (InMemoryTableScan, zero new corpus scans); the "
+        "derived integer sample predicate bounds the exact-jaccard "
+        "joins at ~500k pairs, the 4-config stack multiplies only the "
+        "bounded sample; report is a <=40-cell decimal aggregate."
+    ),
+    "d24_cosine_label_reliability": (
+        "Reliability curve: ONE per-cell Arrow pass over the k-means "
+        "cells (d10's row-blocked fold-identical cosine) bins AND "
+        "partially aggregates inside the cell — only <=40 integer "
+        "cells per k-means cell cross Arrow, never the pair stream; "
+        "measured 3.85->0.78 s at sf0.1 vs the cell-join shape."
+    ),
+    "e23_token_burstiness": (
+        "Burstiness census: one explode into a (doc, token) count "
+        "(map-side combinable), then a |vocab|-row collapse carrying "
+        "ALL moments as exact int64 sums — variance is algebraic, no "
+        "second scan, no per-token window."
+    ),
+    "g36_order_value_reconciliation": (
+        "Header-vs-detail audit: lineitem collapses per orderkey "
+        "BEFORE the join (partial decimal agg map-side — one row per "
+        "order enters the join); the orderkey equi-join is unhinted "
+        "(AQE broadcasts the header side at toy SF, SMJ at scale); "
+        "5-cell priority rollup."
+    ),
+    "m14_hrw_rebalance_audit": (
+        "Node-loss rebalance: m13's digest-distinct collapse, constant "
+        "|nodes| fan-out, PERSISTED once so both per-digest rankings "
+        "(windows over <=N rows) read one computed copy; before/after "
+        "compare is a same-key full-outer join of two <=R·|digests| "
+        "streams; report is an N-row integer aggregate."
+    ),
+    "p25_context_length_fit": (
+        "Ctx-fit table: ONE linear scan collapses map-side into a "
+        "|sources|-row aggregate carrying every ladder arm as "
+        "conditional int64 sums — the ladder fans out via stack on the "
+        "bounded aggregate, never an Expand over the corpus."
+    ),
+    "c27_dedup_threshold_sweep": (
+        "Threshold sweep: one pass over the shared candidate stream "
+        "(InMemoryTableScan) into a per-victim MAX reduce + a 16-cell "
+        "agree histogram, each collapsed to ONE row of conditional "
+        "int64 ladder arms; 9-row table stacked from two one-row "
+        "aggregates against a broadcast doc total — the ladder never "
+        "multiplies the pair stream."
+    ),
+    "e24_source_vocab_jsd": (
+        "JSD matrix: one exploded scan collapses map-side to (source, "
+        "token) counts; everything after is metadata-sized — dense "
+        "|sources|x|vocab| grid, token-keyed pair fan-out, "
+        "|sources|²-cell report; one ln() per term on identical "
+        "doubles, nano-unit int64 quantization before the exact sum."
+    ),
+    "g37_order_status_consistency": (
+        "State-machine audit: detail collapses per orderkey FIRST "
+        "(two conditional int64 counts map-side); unhinted orderkey "
+        "equi-join (AQE broadcast at toy SF, SMJ at scale); <=9-cell "
+        "(recorded, derived) confusion grid with one broadcast total."
+    ),
 }
 
 

@@ -140,6 +140,19 @@ from .registry import ORACLES, QUERIES
 #: d19, d20, d21, d23 — dedup keeps 10 in-window siblings, similarity
 #: keeps d04/d05/d06/d10/d12/d15/d22, and every rotated-out query keeps
 #: its local strict-oracle test.
+#: Mid-round-9 update: six NEW operators (c26 LSH band-plan S-curve,
+#: d24 cosine→label reliability curve, e23 token burstiness, g36
+#: order-value reconciliation, m14 HRW rebalance audit, p25
+#: context-length fit) swap in for six green re-confirmations whose
+#: code is unchanged since their verdict (d22, e22 — both r08-green —
+#: m12, p20, g26, g27 — r07-green; every family keeps in-window
+#: siblings and every rotated-out query keeps its local strict-oracle
+#: test). The 13 artifact-rewritten queries all keep their slots.
+#: Second mid-round-9 update: three more NEW operators (c27 dedup
+#: threshold sweep, e24 source vocabulary JSD matrix, g37 order-status
+#: consistency audit) swap in for three more green re-confirmations
+#: unchanged since their verdict (m10, g28, b34 — all r07-green;
+#: m13/m14 keep multimodal covered, g29–g37 analytics, b35 layout).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -151,6 +164,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "c08_candidate_verify", "c09_semantic_dedup",
     "c10_incremental_neardup", "c14_minhash_calibration",
     "c15_band_canonical_keep_best", "c16_shingle_df_spectrum",
+    # new this round: the (bands, rows) S-curve planner over the shared
+    # candidate sample, and the threshold-vs-corpus-mass sweep
+    "c26_lsh_band_plan_curve", "c27_dedup_threshold_sweep",
     # similarity search: the shared-artifact consumers re-score their
     # rewritten physical build (quantized vectors / k-means / PQ now
     # session artifacts, similarity.py); d10/d12/d15/d22 keep the
@@ -158,12 +174,17 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "d04_ivf_kmeans_ann", "d05_sq8_topk", "d06_pq_adc_topk",
     "d10_mutual_knn_graph",
     "d12_filtered_ann", "d15_pq_rerank_topk",
-    "d22_nearest_centroid_confusion",
+    # new this round: cosine→same-label reliability curve (the
+    # threshold chooser) over the shared k-means cells
+    "d24_cosine_label_reliability",
     # text analysis (e12/e16 rotated out green; e17 novelty + e18
-    # quality rules + e19 collocation lift new)
+    # quality rules + e19 collocation lift new; e23 burstiness new
+    # this round)
     "e10_pii_scrub",
     "e17_trigram_novelty", "e18_quality_rules", "e19_collocation_lift",
-    "e21_source_language_purity", "e22_vocab_growth_curve",
+    "e21_source_language_purity", "e23_token_burstiness",
+    # new this round: pairwise source vocabulary JSD matrix
+    "e24_source_vocab_jsd",
     # streaming extensions (f02/f03/f06/f07/f09 rotate out green —
     # f08/f12/f14 keep the join matrix and f04-style state covered;
     # f14 semi join completes the stream-stream join matrix)
@@ -172,25 +193,27 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "f14_stream_semi_join", "f15_streaming_latest_state",
     # multimodal (m02/m05 rotated out green; m10 chunk dedup new —
     # d15/d03 keep the Arrow mapInPandas path in-window)
-    "m10_chunk_dedup_profile",
-    "m12_payload_size_histogram", "m13_hrw_placement_plan",
+    "m13_hrw_placement_plan",
+    # new this round: the HRW node-loss rebalance audit (m13's twin)
+    "m14_hrw_rebalance_audit",
     # composed pipelines (p11 rotated out green; p17 dedup-adjusted
-    # mix + p18 length histogram new)
+    # mix + p18 length histogram new; p25 ctx-fit new this round)
     "p17_dedup_adjusted_mix",
-    "p19_dataset_card", "p20_epoch_plan", "p21_shard_manifest",
+    "p19_dataset_card", "p21_shard_manifest",
     "p22_quality_survival_curve", "p23_length_quality_grid",
-    "p24_split_balance_audit",
-    # physical layout (b30 bucketed + b33 DPP keep the layout family
-    # driver-covered; b34 compaction plan new)
-    "b34_compaction_plan", "b35_range_clustered_scan",
+    "p24_split_balance_audit", "p25_context_length_fit",
+    # physical layout (b30 bucketed + b33 DPP + b34 rotated out green;
+    # b35 keeps the family driver-covered)
+    "b35_range_clustered_scan",
     # cross-series analytics (g13/g23 rotated out green; g25
     # hour-of-week profile and g30 new-vs-returning new)
-    "g26_rfm_segments",
-    "g27_top_event_paths", "g28_rolling_active_users",
     "g29_revenue_pareto", "g30_new_returning_users",
     "g31_interarrival_profile", "g32_ship_latency_profile",
     "g33_brand_basket_lift", "g34_cohort_ltv",
     "g35_purchase_frequency_curve",
+    # new this round: header-vs-detail billing reconciliation audit and
+    # its state-machine twin
+    "g36_order_value_reconciliation", "g37_order_status_consistency",
 )
 
 

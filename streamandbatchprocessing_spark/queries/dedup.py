@@ -2380,3 +2380,275 @@ def c25_minhash_fn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("fn_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# c26 — LSH band-plan S-curve (the (bands, rows) knob-planning table)
+# ---------------------------------------------------------------------------
+#: Alternative (bands, rows-per-band) splits of the 16-hash signature.
+#: The deployed config is 4x4 (c02); the curve evaluates every split
+#: against the OBSERVED pair-similarity mass so re-banding is a table
+#: read, not a guess.
+_CURVE_CONFIGS = ((2, 8), (4, 4), (8, 2), (16, 1))
+
+
+def _sq_chain(base: str, n: int) -> str:
+    """``base`` raised to power-of-two ``n`` by textual repeated
+    squaring — every step an exactly-specified IEEE multiply, and the
+    SAME generated text feeds both engines, so the doubles match
+    bit-for-bit (no libm ``pow``, whose rounding is engine-specific)."""
+    expr, k = base, 1
+    while k < n:
+        expr = f"({expr} * {expr})"
+        k *= 2
+    return expr
+
+
+def _curve_exprs(b: int, r: int) -> tuple[str, str]:
+    """(capture6, miss6) expression strings over column ``exact_r`` for
+    the S-curve P[caught] = 1 - (1 - s^r)^b at config (b, r)."""
+    miss = _sq_chain(f"(1.0 - {_sq_chain('exact_r', r)})", b)
+    from ..functions.aggregates import pround_sql
+
+    return pround_sql(f"1.0 - {miss}", 6), pround_sql(miss, 6)
+
+
+def _c26_oracle() -> str:
+    arms = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({b} AS INT) AS n_bands,"
+        f" CAST({r} AS INT) AS rows_per_band, exact_r,"
+        f" {_curve_exprs(b, r)[0]} AS cap6,"
+        f" {_curve_exprs(b, r)[1]} AS miss6 FROM per"
+        for b, r in _CURVE_CONFIGS
+    )
+    return f"""
+    {_sig_cte()},
+    {_cand_cte()},
+    sample AS (SELECT e.da, e.db FROM cand e
+               WHERE ({_pair_sample_hash_sql()})
+                     % ({_cal_sample_mod_sql()}) = 0),
+    toksets AS (SELECT doc_id, list_distinct(string_split(text, ' '))
+                    AS toks
+                FROM documents),
+    per AS (SELECT floor((len(list_intersect(ta.toks, tb.toks)) * 1.0
+                          / (len(ta.toks) + len(tb.toks)
+                             - len(list_intersect(ta.toks, tb.toks))))
+                         * 1000000.0 + 0.5) / 1000000.0 AS exact_r
+            FROM sample s
+            JOIN toksets ta ON ta.doc_id = s.da
+            JOIN toksets tb ON tb.doc_id = s.db),
+    u AS (
+    {arms}
+    )
+    SELECT n_bands, rows_per_band,
+           LEAST(CAST(floor(exact_r * 10) AS INT), 9) AS jac_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           floor((CAST(SUM(CAST(cap6 AS DECIMAL(25,6))) AS DOUBLE)
+                  / COUNT(*)) * 1000000.0 + 0.5) / 1000000.0
+               AS mean_capture,
+           CAST(SUM(CAST(miss6 AS DECIMAL(25,6))) AS DOUBLE)
+               AS expected_missed
+    FROM u
+    GROUP BY n_bands, rows_per_band, jac_decile
+    ORDER BY n_bands, jac_decile
+    """
+
+
+@query("c26_lsh_band_plan_curve", oracle=_c26_oracle())
+def c26_lsh_band_plan_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding S-curve evaluated on the corpus itself: for every
+    split of the 16-hash signature into (bands × rows-per-band) —
+    16×1, 8×2, 4×4 (deployed, c02), 2×8 — and every exact-jaccard
+    decile of the calibration pair sample, the theoretical capture
+    probability P[candidate] = 1 − (1 − s^r)^b averaged over the
+    OBSERVED similarity mass, plus the expected number of sampled
+    pairs each config would miss. c14 reports how far the estimator
+    sits from truth; THIS table says what re-banding buys: how much
+    of the corpus's actual similarity distribution each (b, r) knob
+    would catch — the planner read before changing c02's band layout
+    or c18's blocking keys. (The sample is conditioned on the deployed
+    4×4 candidate stream — the standard planner frame when corpus-wide
+    ground-truth pair similarity is unaffordable; c25's per-function
+    health census guards the signature family itself.)
+
+    Scale: rides the session-shared candidate stream and token sets
+    (shared_pairs / shared_toksets — zero new corpus scans) and
+    re-uses c14's DERIVED sample modulus (Carter-Wegman int64 pair
+    hash, sample bounded ~500k at ANY corpus size), so the expensive
+    exact-jaccard stage is sample-bounded; the 4-config fan-out
+    multiplies the bounded SAMPLE (stack on ≤500k rows), never the
+    corpus. The S-curve powers are TEXTUALLY GENERATED repeated-square
+    multiplies evaluated identically on both engines (no libm pow);
+    per-pair probabilities are 6dp floor-quantized, then accumulated
+    as exact DECIMAL(25,6) into a ≤ 4·10-row report — bit-portable
+    and mergeable across any partitioning."""
+    pairs = shared_pairs(spark, sf_dir)
+    mod = _cal_sample_mod(pairs.count())
+    sample = pairs.select("da", "db").filter(
+        F.pmod(_pair_sample_hash(), F.lit(mod)) == 0
+    )
+    toksets = shared_toksets(spark, sf_dir)
+    ta, tb = toksets.alias("ta"), toksets.alias("tb")
+    inter = F.size(F.array_intersect(F.col("ta.toks"), F.col("tb.toks")))
+    union = F.size(F.col("ta.toks")) + F.size(F.col("tb.toks")) - inter
+    per = (
+        sample.join(ta, F.col("da") == F.col("ta.doc_id"))
+        .join(tb, F.col("db") == F.col("tb.doc_id"))
+        .select(pround(inter * 1.0 / union, 6).alias("exact_r"))
+    )
+    proj = per.select(
+        "exact_r",
+        *[
+            F.expr(e).alias(f"{kind}_{b}_{r}")
+            for b, r in _CURVE_CONFIGS
+            for kind, e in zip(("cap", "miss"), _curve_exprs(b, r))
+        ],
+    )
+    stack_args = ", ".join(
+        f"CAST({b} AS INT), CAST({r} AS INT), cap_{b}_{r}, miss_{b}_{r}"
+        for b, r in _CURVE_CONFIGS
+    )
+    u = proj.selectExpr(
+        "LEAST(CAST(floor(exact_r * 10) AS INT), 9) AS jac_decile",
+        f"stack({len(_CURVE_CONFIGS)}, {stack_args})"
+        " AS (n_bands, rows_per_band, cap6, miss6)",
+    )
+    dec = "decimal(25,6)"
+    return (
+        u.groupBy("n_bands", "rows_per_band", "jac_decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            pround(
+                F.sum(F.col("cap6").cast(dec)).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_capture"),
+            F.sum(F.col("miss6").cast(dec)).cast("double")
+            .alias("expected_missed"),
+        )
+        .orderBy("n_bands", "jac_decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# c27 — dedup-rate threshold sweep (what τ does to corpus size)
+# ---------------------------------------------------------------------------
+#: Candidate thresholds in agreeing-minhash sixteenths: est_jaccard
+#: t/16 for t = 8..16 (0.5 .. 1.0). The pipeline's deployed near-dup
+#: gate is 14/16 (queries/pipeline.py greedy suppression).
+_SWEEP_MIN_T = 8
+_SWEEP_TS = tuple(range(_SWEEP_MIN_T, 17))
+
+
+def _c27_oracle() -> str:
+    removed_arms = ", ".join(
+        f"CAST(SUM(CASE WHEN max_agree >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS rem_{t}"
+        for t in _SWEEP_TS
+    )
+    pair_arms = ", ".join(
+        f"CAST(SUM(CASE WHEN agree >= {t} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS prs_{t}"
+        for t in _SWEEP_TS
+    )
+    arms = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({t} AS INT) AS threshold_16ths,"
+        f" prs_{t} AS n_pairs, rem_{t} AS n_docs_removed"
+        " FROM rh CROSS JOIN ph"
+        for t in _SWEEP_TS
+    )
+    return f"""
+    {_sig_cte()},
+    {_cand_cte()},
+    ag AS (SELECT c.da, c.db, ({_AGREE}) AS agree
+           FROM cand c
+           JOIN sig sa ON sa.doc_id = c.da
+           JOIN sig sb ON sb.doc_id = c.db),
+    mx AS (SELECT db, MAX(agree) AS max_agree FROM ag GROUP BY db),
+    rh AS (SELECT {removed_arms} FROM mx),
+    ph AS (SELECT {pair_arms} FROM ag),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    u AS (
+    {arms}
+    )
+    SELECT threshold_16ths,
+           floor((threshold_16ths / 16.0) * 1000000.0 + 0.5) / 1000000.0
+               AS est_threshold,
+           n_pairs, n_docs_removed,
+           n_docs - n_docs_removed AS n_docs_kept,
+           floor((CAST(n_docs - n_docs_removed AS DOUBLE) / n_docs)
+                 * 1000000.0 + 0.5) / 1000000.0 AS kept_share
+    FROM u CROSS JOIN tot
+    ORDER BY threshold_16ths
+    """
+
+
+@query("c27_dedup_threshold_sweep", oracle=_c27_oracle())
+def c27_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-rate threshold sweep: for every candidate near-dup gate
+    t/16 (t = 8..16), the qualifying candidate-pair count, the exact
+    number of documents the pipeline's greedy min-id suppression would
+    REMOVE at that gate (a doc is removed iff it pairs at ≥ t with a
+    smaller doc_id — precisely the p-funnel rule, so the sweep prices
+    the deployed dedup itself, not a proxy), surviving docs, and the
+    kept share — the corpus-size-vs-threshold curve read next to c26's
+    capture probabilities and c14's estimator error before committing
+    a τ: c26 says what a band plan CATCHES, c14 how far the estimate
+    sits from truth, THIS says what the gate COSTS in corpus mass.
+
+    Scale: one pass over the session-shared candidate stream
+    (shared_pairs — zero new corpus scans): a per-victim MAX(agree)
+    reduce (map-side combinable, ≤ |docs| rows) and a 16-cell agree
+    histogram, each collapsed to ONE row carrying every ladder arm as
+    conditional int64 sums (the p25 no-rescan discipline — the ladder
+    never multiplies the pair stream); the 9-row table is assembled by
+    stacking two one-row aggregates against a broadcast doc total.
+    Every measure is exact integer arithmetic; the two ratios are
+    dyadic/6dp-quantized — bit-portable under any partitioning."""
+    pairs = shared_pairs(spark, sf_dir)
+    mx = pairs.groupBy("db").agg(F.max("agree").alias("max_agree"))
+    rh = mx.agg(
+        *[
+            F.sum((F.col("max_agree") >= t).cast("long")).cast("long")
+            .alias(f"rem_{t}")
+            for t in _SWEEP_TS
+        ]
+    )
+    ph = pairs.agg(
+        *[
+            F.sum((F.col("agree") >= t).cast("long")).cast("long")
+            .alias(f"prs_{t}")
+            for t in _SWEEP_TS
+        ]
+    )
+    tot = (
+        load_table(spark, sf_dir, "documents")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )
+    stack_args = ", ".join(
+        f"CAST({t} AS INT), prs_{t}, rem_{t}" for t in _SWEEP_TS
+    )
+    u = (
+        rh.crossJoin(F.broadcast(ph))
+        .selectExpr(
+            f"stack({len(_SWEEP_TS)}, {stack_args})"
+            " AS (threshold_16ths, n_pairs, n_docs_removed)",
+        )
+    )
+    return (
+        u.crossJoin(F.broadcast(tot))
+        .select(
+            "threshold_16ths",
+            pround(F.col("threshold_16ths") / 16.0, 6)
+            .alias("est_threshold"),
+            "n_pairs", "n_docs_removed",
+            (F.col("n_docs") - F.col("n_docs_removed")).cast("long")
+            .alias("n_docs_kept"),
+            pround(
+                (F.col("n_docs") - F.col("n_docs_removed")).cast("double")
+                / F.col("n_docs"),
+                6,
+            ).alias("kept_share"),
+        )
+        .orderBy("threshold_16ths")
+    )

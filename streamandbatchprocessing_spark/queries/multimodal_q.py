@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 
 from ..functions.aggregates import pround
 from ..sources.batch import load_table
-from .registry import query
+from .registry import persist_tracked, query
 
 
 @query(
@@ -957,4 +957,164 @@ def m13_hrw_placement_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("balance_ratio"),
         )
         .orderBy("node", "replica_rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# m14 — HRW node-loss rebalance audit (minimal-movement proof)
+# ---------------------------------------------------------------------------
+#: The node whose loss m14 simulates. HRW's operational promise is that
+#: removing one node moves ONLY the replicas that lived on it (~R/N of
+#: all replica slots) and every moved replica lands on the next-ranked
+#: survivor — no ring re-shard, no coordination. m14 measures that
+#: promise exactly against m13's live placement.
+_HRW_LOST_NODE = 0
+
+
+@query(
+    "m14_hrw_rebalance_audit",
+    oracle=f"""
+    WITH p AS (SELECT md5(text) AS digest,
+                      CAST(MAX(octet_length(encode(text))) AS BIGINT)
+                          AS n_bytes
+               FROM documents GROUP BY digest),
+    w AS (SELECT p.digest, p.n_bytes, CAST(g.node AS BIGINT) AS node,
+                 CAST(('0x' || substr(md5(p.digest || '#'
+                                          || CAST(g.node AS VARCHAR)),
+                                      1, 15)) AS BIGINT) AS weight
+          FROM p CROSS JOIN range(0, {_HRW_NODES}) g(node)),
+    before_r AS (SELECT digest, n_bytes, node,
+                 ROW_NUMBER() OVER (PARTITION BY digest
+                                    ORDER BY weight DESC, node) AS rn
+          FROM w),
+    before_a AS (SELECT digest, n_bytes, node FROM before_r
+                 WHERE rn <= {_HRW_REPLICAS}),
+    after_r AS (SELECT digest, n_bytes, node,
+                 ROW_NUMBER() OVER (PARTITION BY digest
+                                    ORDER BY weight DESC, node) AS rn
+          FROM w WHERE node <> {_HRW_LOST_NODE}),
+    after_a AS (SELECT digest, n_bytes, node FROM after_r
+                WHERE rn <= {_HRW_REPLICAS}),
+    m AS (SELECT COALESCE(b.digest, a.digest) AS digest,
+                 COALESCE(b.node, a.node) AS node,
+                 COALESCE(b.n_bytes, a.n_bytes) AS n_bytes,
+                 CASE WHEN b.digest IS NOT NULL THEN 1 ELSE 0 END AS in_b,
+                 CASE WHEN a.digest IS NOT NULL THEN 1 ELSE 0 END AS in_a
+          FROM before_a b
+          FULL OUTER JOIN after_a a
+            ON a.digest = b.digest AND a.node = b.node)
+    SELECT node,
+           CAST(SUM(in_b) AS BIGINT) AS n_before,
+           CAST(SUM(in_a) AS BIGINT) AS n_after,
+           CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_inherited,
+           CAST(SUM(in_b * n_bytes) AS BIGINT) AS bytes_before,
+           CAST(SUM(in_a * n_bytes) AS BIGINT) AS bytes_after,
+           CASE WHEN SUM(in_a) = 0 THEN 0.0
+                ELSE floor((CAST(SUM(CASE WHEN in_a = 1 AND in_b = 0
+                                          THEN 1 ELSE 0 END) AS DOUBLE)
+                            / SUM(in_a)) * 1000000.0 + 0.5) / 1000000.0
+           END AS inherited_share
+    FROM m GROUP BY node ORDER BY node
+    """,
+)
+def m14_hrw_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HRW node-loss rebalance audit: simulate losing node 0 from
+    m13's placement and report, per surviving node, its replica count
+    and byte load BEFORE vs AFTER plus the count/share of INHERITED
+    replicas (assignments it did not hold before) — the table an
+    operator reads before decommissioning a storage node. HRW's
+    minimal-movement property is verified by construction: node 0's
+    row shows n_after = 0, every surviving node's pre-existing
+    replicas stay put (rank order among survivors is unchanged when a
+    competitor disappears), and Σ inherited equals exactly the replica
+    slots node 0 held — ~R/N of all slots, not a ring re-shard.
+
+    Scale: same frame as m13 — payloads collapse to DISTINCT digests
+    first, the node fan-out is a CONSTANT N per digest, and the
+    weighted fan-out is PERSISTED so both rankings read one computed
+    copy (scan, digest collapse, and md5 weights paid once, not per
+    ranking side); both rankings are windows over ≤ N rows per digest
+    (key-bounded, never corpus-wide), and the before/after comparison
+    is a same-key full-outer join of two ≤ R·|digests| streams. The
+    report is an N-row integer aggregate. Weights are the md5-prefix
+    integer (hash60), identical on both engines, so the simulated
+    placement — not just the counts — is bit-portable."""
+    from ..functions.hashing import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = (
+        docs.select(
+            F.md5("text").alias("digest"),
+            F.octet_length(F.encode("text", "UTF-8")).cast("long")
+            .alias("nb"),
+        )
+        .groupBy("digest")
+        .agg(F.max("nb").cast("long").alias("n_bytes"))
+    )
+    w = p.select(
+        "digest", "n_bytes",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"),
+                       F.lit(_HRW_NODES - 1).cast("long"))
+        ).alias("node"),
+    ).withColumn(
+        "weight",
+        hash60(F.concat(F.col("digest"), F.lit("#"),
+                        F.col("node").cast("string"))),
+    )
+    # Both rankings read the SAME weighted fan-out; persisting it keeps
+    # the scan + digest collapse + md5 weights a once-per-query cost
+    # instead of recomputing the whole chain per ranking side.
+    w = persist_tracked(w)
+    win = Window.partitionBy("digest").orderBy(
+        F.desc("weight"), F.asc("node")
+    )
+    before = (
+        w.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= _HRW_REPLICAS)
+        .select("digest", "node", "n_bytes")
+    )
+    after = (
+        w.filter(F.col("node") != _HRW_LOST_NODE)
+        .withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= _HRW_REPLICAS)
+        .select("digest", "node", "n_bytes")
+    )
+    b, a = before.alias("b"), after.alias("a")
+    m = b.join(
+        a,
+        (F.col("a.digest") == F.col("b.digest"))
+        & (F.col("a.node") == F.col("b.node")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("b.node"), F.col("a.node")).alias("node"),
+        F.coalesce(F.col("b.n_bytes"), F.col("a.n_bytes")).alias("n_bytes"),
+        F.col("b.digest").isNotNull().cast("long").alias("in_b"),
+        F.col("a.digest").isNotNull().cast("long").alias("in_a"),
+    )
+    inherited = ((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("long")
+    return (
+        m.groupBy("node")
+        .agg(
+            F.sum("in_b").cast("long").alias("n_before"),
+            F.sum("in_a").cast("long").alias("n_after"),
+            F.sum(inherited).cast("long").alias("n_inherited"),
+            F.sum(F.col("in_b") * F.col("n_bytes")).cast("long")
+            .alias("bytes_before"),
+            F.sum(F.col("in_a") * F.col("n_bytes")).cast("long")
+            .alias("bytes_after"),
+        )
+        .select(
+            "node", "n_before", "n_after", "n_inherited",
+            "bytes_before", "bytes_after",
+            F.when(F.col("n_after") == 0, F.lit(0.0))
+            .otherwise(
+                pround(
+                    F.col("n_inherited").cast("double") / F.col("n_after"),
+                    6,
+                )
+            ).alias("inherited_share"),
+        )
+        .orderBy("node")
     )

@@ -2064,3 +2064,101 @@ def p24_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# p25 — context-length fit audit (ctx-window sizing table)
+# ---------------------------------------------------------------------------
+#: Candidate training context lengths (tokens). The ladder straddles
+#: the corpus doc-length distribution so the table shows the
+#: truncation cliff: how many documents and tokens each ctx choice
+#: cuts, per source.
+_CTX_LADDER = (32, 64, 128, 256)
+
+
+def _p25_oracle() -> str:
+    per_ctx = ", ".join(
+        f"CAST(SUM(CASE WHEN n_tokens > {c} THEN 1 ELSE 0 END) AS BIGINT)"
+        f" AS over_{c}, "
+        f"CAST(SUM(CASE WHEN n_tokens > {c} THEN n_tokens - {c} ELSE 0 END)"
+        f" AS BIGINT) AS lost_{c}"
+        for c in _CTX_LADDER
+    )
+    arms = "\n    UNION ALL\n    ".join(
+        f"SELECT source, n_docs, total_tokens, CAST({c} AS INT) AS ctx,"
+        f" over_{c} AS n_over, lost_{c} AS tokens_lost FROM s"
+        for c in _CTX_LADDER
+    )
+    return f"""
+    WITH t AS (SELECT source,
+                      CAST(len(string_split(text, ' ')) AS BIGINT)
+                          AS n_tokens
+               FROM documents),
+    s AS (SELECT source,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+                 {per_ctx}
+          FROM t GROUP BY source),
+    u AS (
+    {arms}
+    )
+    SELECT source, ctx, n_docs, n_over,
+           floor((CAST(n_over AS DOUBLE) / n_docs)
+                 * 1000000.0 + 0.5) / 1000000.0 AS over_share,
+           total_tokens, tokens_lost,
+           floor((CAST(tokens_lost AS DOUBLE) / total_tokens)
+                 * 1000000.0 + 0.5) / 1000000.0 AS loss_share
+    FROM u ORDER BY source, ctx
+    """
+
+
+@query("p25_context_length_fit", oracle=_p25_oracle())
+def p25_context_length_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window sizing table: for every source × candidate
+    context length (32/64/128/256 tokens), the count and share of
+    documents EXCEEDING the window and the tokens lost to truncation —
+    the table read before fixing a training run's sequence length (and
+    before p03 packs to it): a ctx that truncates 30% of one source's
+    tokens silently reshapes the mix p16 budgeted, and the per-source
+    split shows exactly which source pays.
+
+    Scale: ONE linear scan collapses map-side into a |sources|-row
+    aggregate carrying all ladder arms as conditional int64 sums — the
+    ladder NEVER multiplies the corpus (no Expand: the per-ctx fan-out
+    happens on the bounded aggregate via stack/UNION ALL, the p22
+    no-rescan discipline). Every measure is exact integer arithmetic;
+    the two shares are 6dp floor-quantized IEEE divisions on the final
+    |sources|·|ladder| panel, so the table is bit-portable and
+    mergeable across any partitioning. Adding a ladder rung is one
+    more pair of map-side counters, not another scan."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "source", F.size(F.split("text", " ")).cast("long").alias("n_tokens")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    ]
+    for c in _CTX_LADDER:
+        over = (F.col("n_tokens") > c).cast("long")
+        lost = F.greatest(F.col("n_tokens") - c, F.lit(0))
+        aggs.append(F.sum(over).cast("long").alias(f"over_{c}"))
+        aggs.append(F.sum(lost).cast("long").alias(f"lost_{c}"))
+    s = t.groupBy("source").agg(*aggs)
+    stack_args = ", ".join(
+        f"CAST({c} AS INT), over_{c}, lost_{c}" for c in _CTX_LADDER
+    )
+    u = s.selectExpr(
+        "source", "n_docs", "total_tokens",
+        f"stack({len(_CTX_LADDER)}, {stack_args})"
+        " AS (ctx, n_over, tokens_lost)",
+    )
+    return u.select(
+        "source", "ctx", "n_docs", "n_over",
+        pround(F.col("n_over").cast("double") / F.col("n_docs"), 6)
+        .alias("over_share"),
+        "total_tokens", "tokens_lost",
+        pround(
+            F.col("tokens_lost").cast("double") / F.col("total_tokens"), 6
+        ).alias("loss_share"),
+    ).orderBy("source", "ctx")

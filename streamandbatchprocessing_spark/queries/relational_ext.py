@@ -2515,3 +2515,182 @@ def g35_purchase_frequency_curve(
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# g36 — order-value reconciliation audit (billing integrity)
+# ---------------------------------------------------------------------------
+@query(
+    "g36_order_value_reconciliation",
+    oracle=f"""
+    WITH lc AS (SELECT l_orderkey,
+                       {_DSUM.format(
+                           x="l_extendedprice * (1 - l_discount)"
+                             " * (1 + l_tax)")} AS recomputed
+                FROM lineitem GROUP BY l_orderkey),
+    per AS (SELECT o.o_orderpriority AS priority,
+                   o.o_totalprice, lc.recomputed,
+                   floor(abs(lc.recomputed - o.o_totalprice)
+                         * 1000000.0 + 0.5) / 1000000.0 AS abs_dev
+            FROM orders o JOIN lc ON lc.l_orderkey = o.o_orderkey)
+    SELECT priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CASE WHEN abs_dev > 0.01 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_mismatched,
+           floor(({_DSUM.format(x="abs_dev")} / COUNT(*))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_abs_dev,
+           MAX(abs_dev) AS max_abs_dev,
+           {_DSUM.format(x="o_totalprice")} AS recorded_total,
+           {_DSUM.format(x="recomputed")} AS recomputed_total
+    FROM per GROUP BY priority ORDER BY priority
+    """,
+)
+def g36_order_value_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Billing reconciliation audit: recompute every order's value from
+    its line items (Σ extendedprice·(1−discount)·(1+tax)) and compare
+    to the recorded ``o_totalprice`` — per order priority: order count,
+    count of orders off by more than a cent, mean and max absolute
+    deviation, and the recorded-vs-recomputed totals. The standard
+    header-vs-detail integrity gate a warehouse runs after every load:
+    silent drift between a rollup column and its detail table is the
+    classic double-ingest / partial-load symptom, and the audit
+    localizes it to a priority class before anyone debugs row-by-row.
+
+    Scale: the detail side COLLAPSES per order key BEFORE touching the
+    header (map-side-combinable decimal sum — one row per order flows
+    into the join, never raw line items), then one UNHINTED orderkey
+    equi-join against orders (AQE broadcasts the header side at toy SF,
+    SMJ with both sides hash-shuffled on the key at scale — the b02
+    discipline) and a 5-cell rollup. Per-line charges
+    are exactly-specified IEEE doubles in textually identical order on
+    both engines; per-order sums accumulate DECIMAL(25,6) (dsum), the
+    deviation is 6dp floor-quantized (pround) before comparison and
+    aggregation, so mismatch counts, means, and maxima are bit-portable
+    and partition-order-independent by construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    charge = (
+        F.col("l_extendedprice")
+        * (F.lit(1.0) - F.col("l_discount"))
+        * (F.lit(1.0) + F.col("l_tax"))
+    )
+    lc = li.groupBy("l_orderkey").agg(dsum(charge, "recomputed"))
+    per = orders.join(
+        lc, lc["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice", "recomputed",
+        pround(
+            F.abs(F.col("recomputed") - F.col("o_totalprice")), 6
+        ).alias("abs_dev"),
+    )
+    return (
+        per.groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum((F.col("abs_dev") > 0.01).cast("long")).cast("long")
+            .alias("n_mismatched"),
+            pround(
+                dsum(F.col("abs_dev")) / F.count(F.lit(1)), 6
+            ).alias("mean_abs_dev"),
+            F.max("abs_dev").alias("max_abs_dev"),
+            dsum(F.col("o_totalprice"), "recorded_total"),
+            dsum(F.col("recomputed"), "recomputed_total"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# g37 — order-status consistency audit (state machine vs detail)
+# ---------------------------------------------------------------------------
+@query(
+    "g37_order_status_consistency",
+    oracle="""
+    WITH ls AS (SELECT l_orderkey,
+                       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+                       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                                     THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+                       CAST(COUNT(*) AS BIGINT) AS n_items
+                FROM lineitem GROUP BY l_orderkey),
+    j AS (SELECT o.o_orderstatus AS recorded_status,
+                 CASE WHEN ls.n_o = 0 THEN 'F'
+                      WHEN ls.n_f = 0 THEN 'O'
+                      ELSE 'P' END AS derived_status,
+                 ls.n_items
+          FROM orders o JOIN ls ON ls.l_orderkey = o.o_orderkey),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM j)
+    SELECT recorded_status, derived_status,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(n_items) AS BIGINT) AS n_lineitems,
+           CASE WHEN recorded_status = derived_status
+                THEN 1 ELSE 0 END AS is_consistent,
+           floor((CAST(COUNT(*) AS DOUBLE) / MAX(n_total))
+                 * 1000000.0 + 0.5) / 1000000.0 AS order_share
+    FROM j CROSS JOIN tot
+    GROUP BY recorded_status, derived_status
+    ORDER BY recorded_status, derived_status
+    """,
+)
+def g37_order_status_consistency(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Order-status state-machine audit: re-derive every order's status
+    from its line items (all lines F → 'F' fulfilled, all lines O →
+    'O' open, mixed → 'P' partial — the TPC-H consistency rule) and
+    tally the (recorded, derived) confusion grid with a consistency
+    flag and order shares. g36 reconciles the header's NUMBER against
+    the detail; this reconciles its STATE — the complementary
+    integrity gate that catches status-update lag, partial loads, and
+    out-of-order CDC applies, and localizes the damage to a specific
+    (recorded, derived) cell before anyone replays a feed.
+
+    Scale: the g36 frame exactly — the detail side collapses per
+    orderkey FIRST (two conditional int64 counts, map-side
+    combinable; one row per order enters the join), the orderkey
+    equi-join is unhinted (AQE broadcasts the header side at toy SF,
+    SMJ at scale), and the grid is ≤ |statuses|² = 9 integer cells
+    with one broadcast scalar total. All-integer output plus one
+    6dp-quantized share — bit-portable under any partitioning."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    ls = li.groupBy("l_orderkey").agg(
+        F.sum((F.col("l_linestatus") == "F").cast("long")).cast("long")
+        .alias("n_f"),
+        F.sum((F.col("l_linestatus") == "O").cast("long")).cast("long")
+        .alias("n_o"),
+        F.count(F.lit(1)).cast("long").alias("n_items"),
+    )
+    derived = (
+        F.when(F.col("n_o") == 0, F.lit("F"))
+        .when(F.col("n_f") == 0, F.lit("O"))
+        .otherwise(F.lit("P"))
+    )
+    j = orders.join(
+        ls, ls["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        F.col("o_orderstatus").alias("recorded_status"),
+        derived.alias("derived_status"),
+        "n_items",
+    )
+    tot = j.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    return (
+        j.groupBy("recorded_status", "derived_status")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("n_items").cast("long").alias("n_lineitems"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "recorded_status", "derived_status", "n_orders", "n_lineitems",
+            (F.col("recorded_status") == F.col("derived_status"))
+            .cast("long").alias("is_consistent"),
+            pround(
+                F.col("n_orders").cast("double") / F.col("n_total"), 6
+            ).alias("order_share"),
+        )
+        .orderBy("recorded_status", "derived_status")
+    )

@@ -2731,3 +2731,154 @@ def d23_pq_distortion_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("m")
     )
+
+
+# ---------------------------------------------------------------------------
+# d24 — cosine→same-label reliability curve (the dedup-threshold chooser)
+# ---------------------------------------------------------------------------
+#: Cosine bin width in micro-units (0.05) and the top bin index —
+#: cosine ∈ [−1, 1] maps to bins −20..19 with cos = 1.0 clamped into
+#: the top bin.
+_REL_BIN_MICRO = 50000.0
+_REL_TOP_BIN = 19
+
+
+def _d24_oracle() -> str:
+    parts, _ = _kmeans_parts()
+    parts.append(
+        """x AS (SELECT af.vec_id, af.cid, e.v, lab.label
+          FROM af
+          JOIN e ON e.vec_id = af.vec_id
+          JOIN (SELECT vec_id, label FROM embeddings) lab
+            ON lab.vec_id = af.vec_id)"""
+    )
+    parts.append(
+        """pr AS (SELECT
+            CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000)
+                 AS BIGINT) AS cos6,
+            CASE WHEN a.label = b.label THEN 1 ELSE 0 END AS same
+          FROM x a JOIN x b ON a.cid = b.cid AND a.vec_id < b.vec_id)"""
+    )
+    body = ",\n    ".join(parts)
+    return f"""
+    {body}
+    SELECT LEAST(CAST(floor(cos6 / {_REL_BIN_MICRO}) AS INT),
+                 {_REL_TOP_BIN}) AS cos_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(same) AS BIGINT) AS n_same_label,
+           floor((CAST(SUM(same) AS DOUBLE) / COUNT(*))
+                 * 1000000.0 + 0.5) / 1000000.0 AS same_label_share,
+           floor((CAST(SUM(CAST(cos6 AS DECIMAL(38,0))) AS DOUBLE)
+                  / COUNT(*) / 1000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_cosine
+    FROM pr
+    GROUP BY cos_bin
+    ORDER BY cos_bin
+    """
+
+
+@query("d24_cosine_label_reliability", oracle=_d24_oracle())
+def d24_cosine_label_reliability(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Cosine→same-label reliability curve: within-cell candidate pairs
+    of d04's k-means index, bucketed into 0.05-wide cosine bins, with
+    each bin's pair count, same-label count/share, and mean cosine —
+    the empirical calibration of "how similar is similar enough"
+    that picks c09's SemDeDup τ and d12's filter threshold from
+    MEASURED label agreement instead of folklore. Conditioning on
+    within-cell pairs is the production frame: a threshold is only
+    ever applied to pairs some blocking stage surfaced, so the curve
+    is evaluated on exactly the population it will gate (c14 plays
+    this role for the MinHash estimator; this is the embedding-space
+    twin against an independent ground-truth signal).
+
+    Scale: pair generation is CELL-BUCKETED (one hash exchange on the
+    k-means cell id, pairs only within cells — never corpus²; the
+    same skew bound every c/d pair stage carries), riding the
+    session-shared quantized vectors and k-means assignment; the
+    quadratic block runs as ONE per-cell Arrow pass (the d10 shape —
+    row-blocked numpy, scratch memory bounded) that BINS AND PARTIALLY
+    AGGREGATES inside the cell, so only ≤ 40 integer cells per k-means
+    cell cross Arrow, never the pair stream. Measured A/B: cell-join
+    + codegen fold 3.85 s (sf0.1) / 25.9 s (sf1.0, 8k vectors) → this
+    pass 0.78 s / 1.36 s, the 10× ratio dropping from 6.7× to 1.7×.
+    Cosine doubles are bit-identical to DuckDB's
+    list_cosine_similarity by the _cos_row_blocks dimension-sequential
+    fold; per-pair micro-unit/bin arithmetic is the same floor/least
+    expression the oracle runs; per-bin sums are exact int64 (cos6
+    ≤ 1e6 ⇒ float64-exact through 2^53 ≈ 9e12 pairs per bin — far
+    past any tested SF, and the pair count that would breach it is a
+    number the report itself exposes) — bit-portable and mergeable
+    under any partitioning."""
+    base, _ = _quantized_vectors(spark, sf_dir)
+    _, assign = _shared_kmeans(spark, sf_dir)
+    lab = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    x = assign.join(base, "vec_id").join(lab, "vec_id").select(
+        "cid", "vec_id", "v", "label"
+    )
+    n_bins = 2 * _REL_TOP_BIN + 2  # bins −20..19 shifted to 0..39
+
+    def cell(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                columns=["cos_bin", "n_pairs", "n_same", "sum_cos6"]
+            )
+        labels = pdf["label"].to_numpy()
+        X = np.array(pdf["v"].tolist(), dtype=np.float64)
+        counts = np.zeros(n_bins, dtype=np.int64)
+        sames = np.zeros(n_bins, dtype=np.int64)
+        csums = np.zeros(n_bins, dtype=np.int64)
+        for blk, C in _cos_row_blocks(X, "d24_cosine_label_reliability"):
+            for bi, i in enumerate(range(blk.start, blk.stop)):
+                if i + 1 >= n:
+                    continue
+                # SAME floor/divide/least chain as the oracle, on the
+                # fold-identical doubles; the j > i row slice covers
+                # each unordered in-cell pair exactly once (cosine and
+                # the same-label flag are symmetric, so the oracle's
+                # a.vec_id < b.vec_id orientation tallies identically).
+                cos6 = np.floor(C[bi, i + 1:] * 1000000.0)
+                bins = np.minimum(
+                    np.floor(cos6 / _REL_BIN_MICRO), _REL_TOP_BIN
+                ).astype(np.int64) + (_REL_TOP_BIN + 1)
+                same = (labels[i + 1:] == labels[i]).astype(np.float64)
+                # bincount weights stay float64-exact: every addend is
+                # an integer ≤ 1e6 and per-row totals sit ≪ 2^53.
+                counts += np.bincount(bins, minlength=n_bins)
+                sames += np.bincount(
+                    bins, weights=same, minlength=n_bins
+                ).astype(np.int64)
+                csums += np.bincount(
+                    bins, weights=cos6, minlength=n_bins
+                ).astype(np.int64)
+        nz = np.nonzero(counts)[0]
+        return pd.DataFrame(
+            {
+                "cos_bin": (nz - (_REL_TOP_BIN + 1)).astype(np.int32),
+                "n_pairs": counts[nz],
+                "n_same": sames[nz],
+                "sum_cos6": csums[nz],
+            }
+        )
+
+    part = x.groupBy("cid").applyInPandas(
+        cell, "cos_bin int, n_pairs long, n_same long, sum_cos6 long"
+    )
+    return (
+        part.groupBy("cos_bin")
+        .agg(
+            F.sum("n_pairs").cast("long").alias("n_pairs"),
+            F.sum("n_same").cast("long").alias("n_same_label"),
+            pround(
+                F.sum("n_same").cast("double") / F.sum("n_pairs"), 6
+            ).alias("same_label_share"),
+            pround(
+                F.sum("sum_cos6").cast("double")
+                / F.sum("n_pairs") / 1000000.0,
+                6,
+            ).alias("mean_cosine"),
+        )
+        .orderBy("cos_bin")
+    )

@@ -1674,3 +1674,212 @@ def e22_vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_bucket")
     )
+
+
+# ---------------------------------------------------------------------------
+# e23 — per-token burstiness (variance-to-mean ratio, Church–Gale)
+# ---------------------------------------------------------------------------
+@query(
+    "e23_token_burstiness",
+    oracle="""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    pc AS (SELECT tok, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+           FROM t GROUP BY tok, doc_id),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_total
+            FROM documents),
+    s AS (SELECT tok,
+                 CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(c) AS BIGINT) AS total_count,
+                 CAST(SUM(c * c) AS BIGINT) AS sumsq
+          FROM pc GROUP BY tok)
+    SELECT tok, n_docs, total_count,
+           floor((CAST(n_docs AS DOUBLE) / n_docs_total)
+                 * 1000000.0 + 0.5) / 1000000.0 AS doc_share,
+           floor((CAST(total_count AS DOUBLE) / n_docs)
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_per_doc,
+           floor(((CAST(sumsq AS DOUBLE) / n_docs
+                   - (CAST(total_count AS DOUBLE) / n_docs)
+                     * (CAST(total_count AS DOUBLE) / n_docs))
+                  / (CAST(total_count AS DOUBLE) / n_docs))
+                 * 1000000.0 + 0.5) / 1000000.0 AS burstiness
+    FROM s, tot
+    ORDER BY tok
+    """,
+)
+def e23_token_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token burstiness census (Church–Gale variance-to-mean ratio
+    of within-document counts, among documents CONTAINING the token):
+    document frequency, corpus count, doc-coverage share, mean per-doc
+    count, and VMR. Function words recur evenly (VMR near 1, Poisson);
+    content words clump (VMR ≫ 1) — the statistic that INDUCES a
+    stopword list from the corpus itself instead of importing one,
+    feeding e06's language-ID stopword sets and e18's quality rules,
+    and flagging boilerplate tokens (huge doc_share AND high VMR) that
+    e07's within-doc repetition metrics cannot see across documents.
+
+    Scale: one explode (linear in tokens) into a (doc_id, token)
+    count — map-side combinable, the same first shuffle every
+    bag-of-words pass pays — then a collapse to |vocabulary| rows
+    where ALL moments are exact int64 sums (count, Σc, Σc²); the
+    variance arrives algebraically (Σc²/n − mean²) from one pass, no
+    second scan, no per-token variance window. Doubles appear only in
+    the final |vocab|-row projection as exactly-specified IEEE
+    divisions/multiplies in textually identical order on both engines,
+    then 6dp floor-quantized (pround), so the report is bit-portable
+    and mergeable across any partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    pc = (
+        docs.select(
+            "doc_id", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("tok", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    tot = docs.agg(F.count(F.lit(1)).cast("long").alias("n_docs_total"))
+    s = pc.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("c").cast("long").alias("total_count"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sumsq"),
+    )
+    mean = F.col("total_count").cast("double") / F.col("n_docs")
+    ex2 = F.col("sumsq").cast("double") / F.col("n_docs")
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "tok", "n_docs", "total_count",
+            pround(
+                F.col("n_docs").cast("double") / F.col("n_docs_total"), 6
+            ).alias("doc_share"),
+            pround(mean, 6).alias("mean_per_doc"),
+            pround((ex2 - mean * mean) / mean, 6).alias("burstiness"),
+        )
+        .orderBy("tok")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e24 — pairwise source vocabulary divergence (Jensen–Shannon matrix)
+# ---------------------------------------------------------------------------
+#: Per-(source pair, token) JSD contribution in nats over unigram
+#: distributions pa, pb: ½·pa·ln(2pa/(pa+pb)) + ½·pb·ln(2pb/(pa+pb)),
+#: zero-probability arms dropped (their limit is 0). The string feeds
+#: BOTH engines verbatim (the c26 textual-identity discipline), so the
+#: single ln() evaluates on identical doubles; each term is quantized
+#: to int64 NANO-units (e21's entropy discipline) before the exact
+#: integer sum.
+_JSD_TERM9 = (
+    "CAST(floor(("
+    "(CASE WHEN pa > 0 THEN pa * ln(2.0 * pa / (pa + pb)) ELSE 0.0 END"
+    " + CASE WHEN pb > 0 THEN pb * ln(2.0 * pb / (pa + pb)) ELSE 0.0 END)"
+    " * 0.5) * 1000000000.0 + 0.5) AS BIGINT)"
+)
+
+
+@query(
+    "e24_source_vocab_jsd",
+    oracle=f"""
+    WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+               FROM documents),
+    c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM t GROUP BY source, tok),
+    n AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n
+          FROM c GROUP BY source),
+    v AS (SELECT DISTINCT tok FROM c),
+    g AS (SELECT s.source, s.n, v.tok, COALESCE(c.cnt, 0) AS cnt
+          FROM n s CROSS JOIN v
+          LEFT JOIN c ON c.source = s.source AND c.tok = v.tok),
+    p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 CASE WHEN a.cnt + b.cnt > 0 THEN 1 ELSE 0 END AS in_union,
+                 CAST(a.cnt AS DOUBLE) / a.n AS pa,
+                 CAST(b.cnt AS DOUBLE) / b.n AS pb
+          FROM g a JOIN g b
+            ON a.tok = b.tok AND a.source < b.source),
+    terms AS (SELECT source_a, source_b, in_union,
+                     {_JSD_TERM9} AS t9
+              FROM p)
+    SELECT source_a, source_b,
+           CAST(SUM(in_union) AS BIGINT) AS n_union_tokens,
+           floor((CAST(SUM(t9) AS DOUBLE) / 1000000000.0)
+                 * 1000000.0 + 0.5) / 1000000.0 AS jsd_nats
+    FROM terms
+    GROUP BY source_a, source_b
+    ORDER BY source_a, source_b
+    """,
+)
+def e24_source_vocab_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source vocabulary divergence: the Jensen–Shannon
+    divergence (nats) between every two sources' unigram distributions,
+    with the union-vocabulary size per pair — the source-affinity
+    matrix that tells a mix planner which corpora are near-duplicates
+    in DISTRIBUTION (merge or down-weight: c19 finds literal cross-
+    source duplicates, this finds statistical redundancy with no
+    shared byte), which are complementary, and how far a new crawl
+    sits from everything already in the mix. JSD over KL because it is
+    symmetric, bounded by ln 2, and defined even where supports
+    differ — exactly the new-source case KL blows up on (p15's
+    absolute-continuity filter is the KL workaround; JSD needs none).
+
+    Scale: ONE exploded scan collapses map-side to (source, token)
+    counts — the same first shuffle as e23 — and everything after is
+    METADATA-SIZED: the dense |sources|×|vocab| grid (COALESCE(0)
+    restores absent cells so union support is exact), the
+    token-keyed pair fan-out (|sources|²·|vocab| bounded rows), and
+    the |sources|²-cell report. At 100 TB vocab is capped upstream
+    (top-K by corpus count — the e08/e16 head discipline) so the grid
+    stays bounded while the scan stays linear. Each pair term is ONE
+    ln() on identical doubles via a shared expression string, NANO-
+    unit int64 quantization before the exact sum (e21's entropy
+    discipline), so the matrix is bit-portable and mergeable."""
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select(
+            "source", F.explode(F.split("text", " ")).alias("tok")
+        )
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    c = persist_tracked(c)
+    n = c.groupBy("source").agg(F.sum("cnt").cast("long").alias("n"))
+    v = c.select("tok").distinct()
+    g = (
+        n.crossJoin(F.broadcast(v))
+        .join(c, ["source", "tok"], "left")
+        .select(
+            "source", "n", "tok",
+            F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
+        )
+    )
+    ga = g.select(
+        F.col("source").alias("source_a"), F.col("tok").alias("tok"),
+        F.col("cnt").alias("cnt_a"), F.col("n").alias("n_a"),
+    )
+    gb = g.select(
+        F.col("source").alias("source_b"), F.col("tok").alias("tok_b"),
+        F.col("cnt").alias("cnt_b"), F.col("n").alias("n_b"),
+    )
+    p = ga.join(
+        gb,
+        (F.col("tok") == F.col("tok_b"))
+        & (F.col("source_a") < F.col("source_b")),
+    ).select(
+        "source_a", "source_b",
+        ((F.col("cnt_a") + F.col("cnt_b")) > 0).cast("long")
+        .alias("in_union"),
+        (F.col("cnt_a").cast("double") / F.col("n_a")).alias("pa"),
+        (F.col("cnt_b").cast("double") / F.col("n_b")).alias("pb"),
+    )
+    terms = p.select(
+        "source_a", "source_b", "in_union",
+        F.expr(_JSD_TERM9).alias("t9"),
+    )
+    return (
+        terms.groupBy("source_a", "source_b")
+        .agg(
+            F.sum("in_union").cast("long").alias("n_union_tokens"),
+            pround(
+                F.sum("t9").cast("double") / 1000000000.0, 6
+            ).alias("jsd_nats"),
+        )
+        .orderBy("source_a", "source_b")
+    )

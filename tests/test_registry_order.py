@@ -54,6 +54,12 @@ whose code is unchanged since their verdict (c18, c19, c20, c23, c24,
 c25, d14, d17, d18, d19, d20, d21, d23 — dedup keeps 10 in-window
 siblings, similarity keeps d04/d05/d06/d10/d12/d15/d22; every
 rotated-out query keeps its local strict-oracle test).
+
+Mid-round-9 update: six new operators (c26, d24, e23, g36, m14, p25)
+swap in for six green re-confirmations unchanged since their verdict
+(d22, e22, m12, p20, g26, g27); the 13 artifact-rewritten queries all
+keep their slots. Second mid-round-9 update: three more new operators
+(c27, e24, g37) swap in for m10, g28, b34 (same policy).
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES
