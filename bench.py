@@ -220,6 +220,8 @@ EXTRA = [
     "c27_dedup_threshold_sweep",
     "e24_source_vocab_jsd",
     "g37_order_status_consistency",
+    "d25_sq_bitwidth_sweep",
+    "p26_split_leakage_audit",
 ]
 
 

@@ -542,6 +542,21 @@ ANNOTATED = {
         "equi-join (AQE broadcast at toy SF, SMJ at scale); <=9-cell "
         "(recorded, derived) confusion grid with one broadcast total."
     ),
+    "d25_sq_bitwidth_sweep": (
+        "SQ sweep: dim-sized min/max collect becomes literal bound "
+        "arrays; ONE linear scan where every width's error sum/max is "
+        "a higher-order fold over the same scan (the unrolled "
+        "element_at shape measured 12 s SCALE-FLAT codegen overhead "
+        "vs ~1.7 s here); 4-row table stacks from one row of exact "
+        "int64 nano-unit totals."
+    ),
+    "p26_split_leakage_audit": (
+        "Leakage audit: exact arm is a content-keyed conditional "
+        "count; near-dup arm rides the shared candidate stream "
+        "(InMemoryTableScan) with two id-keyed split-flag joins (the "
+        "flag is a pure hash of the id); three one-row aggregates "
+        "cross-joined as broadcasts."
+    ),
 }
 
 

@@ -153,6 +153,10 @@ from .registry import ORACLES, QUERIES
 #: consistency audit) swap in for three more green re-confirmations
 #: unchanged since their verdict (m10, g28, b34 — all r07-green;
 #: m13/m14 keep multimodal covered, g29–g37 analytics, b35 layout).
+#: Third mid-round-9 update: two more NEW operators (d25 SQ bit-width
+#: distortion sweep, p26 train/val split leakage audit) swap in for
+#: two more r07-green re-confirmations (d15, p17 — d04–d12/d24 keep
+#: similarity covered, p19/p21–p26 the pipeline family).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -173,10 +177,11 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # Arrow-pass, filtered-ANN and rerank shapes driver-covered
     "d04_ivf_kmeans_ann", "d05_sq8_topk", "d06_pq_adc_topk",
     "d10_mutual_knn_graph",
-    "d12_filtered_ann", "d15_pq_rerank_topk",
+    "d12_filtered_ann",
     # new this round: cosine→same-label reliability curve (the
-    # threshold chooser) over the shared k-means cells
-    "d24_cosine_label_reliability",
+    # threshold chooser) over the shared k-means cells, and the SQ
+    # bit-width distortion sweep (d05's knob table)
+    "d24_cosine_label_reliability", "d25_sq_bitwidth_sweep",
     # text analysis (e12/e16 rotated out green; e17 novelty + e18
     # quality rules + e19 collocation lift new; e23 burstiness new
     # this round)
@@ -196,12 +201,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "m13_hrw_placement_plan",
     # new this round: the HRW node-loss rebalance audit (m13's twin)
     "m14_hrw_rebalance_audit",
-    # composed pipelines (p11 rotated out green; p17 dedup-adjusted
-    # mix + p18 length histogram new; p25 ctx-fit new this round)
-    "p17_dedup_adjusted_mix",
+    # composed pipelines (p11/p17 rotated out green; p25 ctx-fit and
+    # p26 split-leakage new this round)
     "p19_dataset_card", "p21_shard_manifest",
     "p22_quality_survival_curve", "p23_length_quality_grid",
     "p24_split_balance_audit", "p25_context_length_fit",
+    "p26_split_leakage_audit",
     # physical layout (b30 bucketed + b33 DPP + b34 rotated out green;
     # b35 keeps the family driver-covered)
     "b35_range_clustered_scan",

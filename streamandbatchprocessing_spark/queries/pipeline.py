@@ -2162,3 +2162,153 @@ def p25_context_length_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tokens_lost").cast("double") / F.col("total_tokens"), 6
         ).alias("loss_share"),
     ).orderBy("source", "ctx")
+
+
+# ---------------------------------------------------------------------------
+# p26 — train/val split leakage audit (eval-integrity gate)
+# ---------------------------------------------------------------------------
+def _p26_oracle() -> str:
+    from .dedup import _sig_cte, _cand_cte, _AGREE
+
+    split_case = (
+        "CASE WHEN CAST('0x' || substr(md5('split:'"
+        " || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) % 100"
+        f" < {_VAL_PCT} THEN 'val' ELSE 'train' END"
+    )
+    return f"""
+    {_sig_cte()},
+    {_cand_cte()},
+    sp AS (SELECT doc_id, {split_case} AS split, md5(text) AS digest
+           FROM documents),
+    grp AS (SELECT digest,
+                   SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                       AS n_train,
+                   SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val
+            FROM sp GROUP BY digest),
+    ex AS (SELECT CAST(SUM(CASE WHEN n_train > 0 AND n_val > 0
+                               THEN 1 ELSE 0 END) AS BIGINT)
+                      AS exact_leak_groups,
+                  CAST(SUM(CASE WHEN n_train > 0 THEN n_val ELSE 0 END)
+                       AS BIGINT) AS val_docs_exact_leaked
+           FROM grp),
+    nd AS (SELECT c.da, c.db, sa.split AS split_a, sb.split AS split_b
+           FROM cand c
+           JOIN sig ga ON ga.doc_id = c.da
+           JOIN sig gb ON gb.doc_id = c.db
+           JOIN sp sa ON sa.doc_id = c.da
+           JOIN sp sb ON sb.doc_id = c.db
+           WHERE ({_AGREE.replace('sa.', 'ga.').replace('sb.', 'gb.')})
+                 >= {_CC_MIN_AGREE} AND sa.split <> sb.split),
+    ndx AS (SELECT CAST(COUNT(*) AS BIGINT) AS cross_neardup_pairs,
+                   CAST(COUNT(DISTINCT CASE WHEN split_a = 'val'
+                                            THEN da ELSE db END) AS BIGINT)
+                       AS val_docs_near_leaked
+            FROM nd),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_train,
+                   CAST(SUM(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_val
+            FROM sp)
+    SELECT tot.n_docs, tot.n_train, tot.n_val,
+           ex.exact_leak_groups, ex.val_docs_exact_leaked,
+           ndx.cross_neardup_pairs, ndx.val_docs_near_leaked,
+           floor((CAST(ndx.val_docs_near_leaked AS DOUBLE) / tot.n_val)
+                 * 1000000.0 + 0.5) / 1000000.0 AS val_leak_share
+    FROM tot CROSS JOIN ex CROSS JOIN ndx
+    """
+
+
+@query("p26_split_leakage_audit", oracle=_p26_oracle())
+def p26_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/validation leakage audit: one row reporting, under p08's
+    exact split rule (a shared constant, so the audit can never drift
+    from the split it audits), how much evaluation data the training
+    split can SEE — exact-duplicate content groups that span the split
+    (identical bytes in both train and val), the val docs so leaked,
+    plus the stronger near-duplicate signal: cross-split candidate
+    pairs at the pipeline's deployed 14/16 near-dup gate and the
+    distinct val docs with a train near-twin, as a share of val. The
+    pre-training CI gate behind every honest eval claim: a val set
+    whose members have train-side twins measures memorization, not
+    generalization (p06 audits TRAIN against an external benchmark;
+    THIS audits the split against itself).
+
+    Scale: the exact arm is c01's content-keyed groupBy (map-side
+    combinable, conditional int64 counts); the near-dup arm rides the
+    session-shared banded candidate stream (shared_pairs — zero new
+    corpus scans) with two doc_id-keyed split-flag joins (the flag is
+    a pure hash of the id, computable at the scan — no extra shuffle
+    of the corpus); everything collapses to three one-row aggregates
+    cross-joined as broadcasts. All-integer output plus one 6dp
+    share — bit-portable under any partitioning."""
+    from ..functions.hashing import hash60
+    from .dedup import shared_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    sp = docs.select(
+        "doc_id",
+        F.when(
+            hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
+            % 100
+            < _VAL_PCT,
+            F.lit("val"),
+        )
+        .otherwise(F.lit("train"))
+        .alias("split"),
+        F.md5("text").alias("digest"),
+    )
+    grp = sp.groupBy("digest").agg(
+        F.sum((F.col("split") == "train").cast("long")).alias("n_train"),
+        F.sum((F.col("split") == "val").cast("long")).alias("n_val"),
+    )
+    ex = grp.agg(
+        F.sum(
+            ((F.col("n_train") > 0) & (F.col("n_val") > 0)).cast("long")
+        ).cast("long").alias("exact_leak_groups"),
+        F.sum(
+            F.when(F.col("n_train") > 0, F.col("n_val")).otherwise(0)
+        ).cast("long").alias("val_docs_exact_leaked"),
+    )
+    pairs = shared_pairs(spark, sf_dir).filter(
+        F.col("agree") >= _CC_MIN_AGREE
+    )
+    sa = sp.select(
+        F.col("doc_id").alias("da_id"), F.col("split").alias("split_a")
+    )
+    sb = sp.select(
+        F.col("doc_id").alias("db_id"), F.col("split").alias("split_b")
+    )
+    nd = (
+        pairs.join(sa, F.col("da") == F.col("da_id"))
+        .join(sb, F.col("db") == F.col("db_id"))
+        .filter(F.col("split_a") != F.col("split_b"))
+    )
+    ndx = nd.agg(
+        F.count(F.lit(1)).cast("long").alias("cross_neardup_pairs"),
+        F.countDistinct(
+            F.when(F.col("split_a") == "val", F.col("da"))
+            .otherwise(F.col("db"))
+        ).cast("long").alias("val_docs_near_leaked"),
+    )
+    tot = sp.agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum((F.col("split") == "train").cast("long")).cast("long")
+        .alias("n_train"),
+        F.sum((F.col("split") == "val").cast("long")).cast("long")
+        .alias("n_val"),
+    )
+    return (
+        tot.crossJoin(F.broadcast(ex))
+        .crossJoin(F.broadcast(ndx))
+        .select(
+            "n_docs", "n_train", "n_val",
+            "exact_leak_groups", "val_docs_exact_leaked",
+            "cross_neardup_pairs", "val_docs_near_leaked",
+            pround(
+                F.col("val_docs_near_leaked").cast("double")
+                / F.col("n_val"),
+                6,
+            ).alias("val_leak_share"),
+        )
+    )

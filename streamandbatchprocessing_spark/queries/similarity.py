@@ -2882,3 +2882,177 @@ def d24_cosine_label_reliability(
         )
         .orderBy("cos_bin")
     )
+
+
+# ---------------------------------------------------------------------------
+# d25 — scalar-quantization bit-width sweep (d05's knob table)
+# ---------------------------------------------------------------------------
+#: Candidate code widths in bits; levels = 2^b − 1 (d05 deploys b=8).
+_SQ_WIDTHS = (2, 4, 6, 8)
+#: float32 storage the codes replace, for the compression column.
+_SQ_FLOAT_BITS = 32
+
+
+def _d25_arms() -> list[tuple[int, int]]:
+    return [(b, (1 << b) - 1) for b in _SQ_WIDTHS]
+
+
+def _d25_oracle() -> str:
+    per_width = ", ".join(
+        f"""CAST(list_sum(list_transform(range(1, len(v) + 1),
+            i -> CAST(floor(abs(v[i] - (mns[i] + (CASE WHEN mxs[i] = mns[i]
+                      THEN 0 ELSE CAST(floor((v[i] - mns[i]) * {lv}.0
+                           / (mxs[i] - mns[i]) + 0.5) AS BIGINT) END)
+                      * (mxs[i] - mns[i]) / {lv}.0))
+                 * 1000000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS se_{b},
+        CAST(list_max(list_transform(range(1, len(v) + 1),
+            i -> CAST(floor(abs(v[i] - (mns[i] + (CASE WHEN mxs[i] = mns[i]
+                      THEN 0 ELSE CAST(floor((v[i] - mns[i]) * {lv}.0
+                           / (mxs[i] - mns[i]) + 0.5) AS BIGINT) END)
+                      * (mxs[i] - mns[i]) / {lv}.0))
+                 * 1000000000.0 + 0.5) AS BIGINT))) AS BIGINT) AS me_{b}"""
+        for b, lv in _d25_arms()
+    )
+    tot_arms = ", ".join(
+        f"CAST(SUM(se_{b}) AS BIGINT) AS tse_{b},"
+        f" CAST(MAX(me_{b}) AS BIGINT) AS tme_{b},"
+        f" CAST(SUM(nd) AS BIGINT) AS nv_{b}"
+        for b, _ in _d25_arms()
+    )
+    arms = "\n    UNION ALL\n    ".join(
+        f"SELECT CAST({b} AS INT) AS width_bits,"
+        f" CAST({lv} AS BIGINT) AS levels,"
+        f" nv_{b} AS n_values, tse_{b} AS tse, tme_{b} AS tme FROM t"
+        for b, lv in _d25_arms()
+    )
+    return f"""
+    WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    m AS (SELECT pos, MIN(val) AS mn, MAX(val) AS mx
+          FROM (SELECT generate_subscripts(v, 1) AS pos, unnest(v) AS val
+                FROM e)
+          GROUP BY pos),
+    ml AS (SELECT list(mn ORDER BY pos) AS mns, list(mx ORDER BY pos) AS mxs
+           FROM m),
+    per AS (SELECT len(v) AS nd, {per_width}
+            FROM e CROSS JOIN ml),
+    t AS (SELECT {tot_arms} FROM per),
+    u AS (
+    {arms}
+    )
+    SELECT width_bits, levels, n_values,
+           floor((CAST(tse AS DOUBLE) / n_values / 1000000000.0)
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS mean_abs_err,
+           floor((CAST(tme AS DOUBLE) / 1000000000.0)
+                 * 1000000000.0 + 0.5) / 1000000000.0 AS max_abs_err,
+           floor((CAST({_SQ_FLOAT_BITS} AS DOUBLE) / width_bits)
+                 * 1000000.0 + 0.5) / 1000000.0 AS compression_x
+    FROM u ORDER BY width_bits
+    """
+
+
+@query("d25_sq_bitwidth_sweep", oracle=_d25_oracle())
+def d25_sq_bitwidth_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-quantization bit-width sweep: for every code width b ∈
+    {2, 4, 6, 8} bits (levels = 2^b − 1, d05's per-dimension min/max
+    affine rule), the mean and max absolute reconstruction error over
+    every stored value, with the storage compression vs float32 — the
+    knob table read before fixing d05's width: it shows exactly where
+    halving the index footprint starts costing resolution (the d23
+    evidence table's scalar twin — d23 profiles the PQ codebook's fit,
+    THIS prices the scalar quantizer's grid). Error is measured
+    against dequantized codes (mn + q·(mx−mn)/levels), the value the
+    integer distance path actually sees.
+
+    Scale: quantization bounds are ONE dim-sized min/max aggregate
+    (d05's collect pattern — never a shuffle of the corpus); the sweep
+    is ONE linear scan where every width's per-vector error sum/max is
+    a codegen'd fold over the SAME scan (the p25 conditional-arm
+    discipline — the ladder never rescans), collapsing map-side to a
+    single row of exact int64 nano-unit totals; the 4-row table stacks
+    from that row. The quantize/dequantize chain is textually mirrored
+    IEEE arithmetic, every error nano-unit-quantized BEFORE the sums,
+    so the report is bit-portable and mergeable under any
+    partitioning."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
+    stats = sorted(
+        (r["pos"], r["mn"], r["mx"])
+        for r in base.select(F.posexplode("v").alias("pos", "val"))
+        .groupBy("pos")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+        .collect()  # bounded: one row per dimension
+    )
+
+    mns = F.array(*[F.lit(mn) for _, mn, _ in stats])
+    mxs = F.array(*[F.lit(mx) for _, _, mx in stats])
+
+    def err9_arr(lv: int):
+        # Structural twin of the oracle's list_transform: one compact
+        # higher-order expression instead of |dim|·|widths| unrolled
+        # element_at trees (the unrolled shape measured 12 s at sf0.1 —
+        # SCALE-FLAT, i.e. pure codegen/compile overhead — vs ~1 s
+        # here; same doubles either way).
+        def f(x, i):
+            mn = F.element_at(mns, i + F.lit(1))
+            mx = F.element_at(mxs, i + F.lit(1))
+            q = (
+                F.when(mx == mn, F.lit(0).cast("long"))
+                .otherwise(
+                    F.floor(
+                        (x - mn) * float(lv) / (mx - mn) + 0.5
+                    ).cast("long")
+                )
+            )
+            xh = mn + q * (mx - mn) / float(lv)
+            return F.floor(
+                F.abs(x - xh) * F.lit(1000000000.0) + 0.5
+            ).cast("long")
+
+        return F.transform("v", f)
+
+    proj = base.select(
+        F.size("v").cast("long").alias("nd"),
+        *[
+            col
+            for b, lv in _d25_arms()
+            for col in (
+                F.aggregate(
+                    err9_arr(lv),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias(f"se_{b}"),
+                F.array_max(err9_arr(lv)).alias(f"me_{b}"),
+            )
+        ],
+    )
+    t = proj.agg(
+        *[
+            col
+            for b, _ in _d25_arms()
+            for col in (
+                F.sum(f"se_{b}").cast("long").alias(f"tse_{b}"),
+                F.max(f"me_{b}").cast("long").alias(f"tme_{b}"),
+                F.sum("nd").cast("long").alias(f"nv_{b}"),
+            )
+        ]
+    )
+    stack_args = ", ".join(
+        f"CAST({b} AS INT), CAST({lv} AS BIGINT), nv_{b}, tse_{b}, tme_{b}"
+        for b, lv in _d25_arms()
+    )
+    u = t.selectExpr(
+        f"stack({len(_SQ_WIDTHS)}, {stack_args})"
+        " AS (width_bits, levels, n_values, tse, tme)"
+    )
+    return u.select(
+        "width_bits", "levels", "n_values",
+        pround(
+            F.col("tse").cast("double") / F.col("n_values") / 1000000000.0,
+            9,
+        ).alias("mean_abs_err"),
+        pround(F.col("tme").cast("double") / 1000000000.0, 9)
+        .alias("max_abs_err"),
+        pround(F.lit(float(_SQ_FLOAT_BITS)) / F.col("width_bits"), 6)
+        .alias("compression_x"),
+    ).orderBy("width_bits")
