@@ -222,6 +222,7 @@ EXTRA = [
     "g37_order_status_consistency",
     "d25_sq_bitwidth_sweep",
     "p26_split_leakage_audit",
+    "p27_tokenizer_fertility",
 ]
 
 

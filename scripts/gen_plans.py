@@ -557,6 +557,12 @@ ANNOTATED = {
         "flag is a pure hash of the id); three one-row aggregates "
         "cross-joined as broadcasts."
     ),
+    "p27_tokenizer_fertility": (
+        "Fertility census: ONE linear scan of codegen'd length/split/"
+        "regex projections (counts from array lengths, no explode) "
+        "into a |sources|x|langs|-bounded integer grid; ratios are "
+        "6dp divisions on the bounded panel."
+    ),
 }
 
 

@@ -156,7 +156,9 @@ from .registry import ORACLES, QUERIES
 #: Third mid-round-9 update: two more NEW operators (d25 SQ bit-width
 #: distortion sweep, p26 train/val split leakage audit) swap in for
 #: two more r07-green re-confirmations (d15, p17 — d04–d12/d24 keep
-#: similarity covered, p19/p21–p26 the pipeline family).
+#: similarity covered, p19/p21–p26 the pipeline family). Fourth:
+#: p27 tokenizer fertility census swaps in for p19 (r07-green;
+#: p21–p27 keep the pipeline family covered).
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
@@ -201,12 +203,12 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "m13_hrw_placement_plan",
     # new this round: the HRW node-loss rebalance audit (m13's twin)
     "m14_hrw_rebalance_audit",
-    # composed pipelines (p11/p17 rotated out green; p25 ctx-fit and
-    # p26 split-leakage new this round)
-    "p19_dataset_card", "p21_shard_manifest",
+    # composed pipelines (p11/p17/p19 rotated out green; p25 ctx-fit,
+    # p26 split-leakage, p27 fertility new this round)
+    "p21_shard_manifest",
     "p22_quality_survival_curve", "p23_length_quality_grid",
     "p24_split_balance_audit", "p25_context_length_fit",
-    "p26_split_leakage_audit",
+    "p26_split_leakage_audit", "p27_tokenizer_fertility",
     # physical layout (b30 bucketed + b33 DPP + b34 rotated out green;
     # b35 keeps the family driver-covered)
     "b35_range_clustered_scan",

@@ -2312,3 +2312,94 @@ def p26_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("val_leak_share"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# p27 — tokenizer fertility census (chars→tokens budget conversion)
+# ---------------------------------------------------------------------------
+def _p27_oracle() -> str:
+    from .textops import _BPE_RE
+
+    return f"""
+    WITH d AS (SELECT source, lang,
+                      CAST(length(text) AS BIGINT) AS n_chars,
+                      CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+                      CAST(len(regexp_extract_all(lower(text), '{_BPE_RE}'))
+                           AS BIGINT) AS n_bpe
+               FROM documents)
+    SELECT source, lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_ws) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(n_bpe) AS BIGINT) AS total_bpe_tokens,
+           floor((CAST(SUM(n_chars) AS DOUBLE) / SUM(n_bpe))
+                 * 1000000.0 + 0.5) / 1000000.0 AS chars_per_token,
+           floor((CAST(SUM(n_bpe) AS DOUBLE) / SUM(n_ws))
+                 * 1000000.0 + 0.5) / 1000000.0 AS pieces_per_word,
+           floor((CAST(SUM(n_chars) AS DOUBLE) / SUM(n_ws))
+                 * 1000000.0 + 0.5) / 1000000.0 AS chars_per_word
+    FROM d GROUP BY source, lang ORDER BY source, lang
+    """
+
+
+@query("p27_tokenizer_fertility", oracle=_p27_oracle())
+def p27_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility census: per (source, language), the exact
+    character / whitespace-word / BPE-ish-piece totals and the three
+    conversion ratios — chars-per-token (fertility), pieces-per-word,
+    chars-per-word. THE conversion table between a storage budget
+    (bytes/chars — what a crawl is priced in) and a training budget
+    (tokens — what p05/p16 apportion and p20 schedules): fertility
+    varies by language and script, so a mix planned in chars silently
+    over-weights high-fertility languages unless this census reprices
+    it. Uses e05's shared BPE-ish regex (one constant, engine-portable
+    to RE2/DuckDB), so the census can never drift from the token
+    definition the e-family measures with.
+
+    Scale: ONE linear scan of codegen'd length/split/regex projections
+    (no explode — counts come from array lengths), collapsing
+    map-side into a |sources|×|langs|-bounded integer grid; the three
+    ratios are 6dp floor-quantized IEEE divisions on the bounded
+    panel. All-integer totals are exact under any partitioning; at
+    100 TB this is the same single-pass shape as e20's charclass
+    census."""
+    from .textops import _BPE_RE
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "source", "lang",
+        F.length("text").cast("long").alias("n_chars"),
+        F.size(F.split("text", " ")).cast("long").alias("n_ws"),
+        F.size(
+            F.expr(f"regexp_extract_all(lower(text), '{_BPE_RE}', 0)")
+        ).cast("long").alias("n_bpe"),
+    )
+    return (
+        d.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.sum("n_ws").cast("long").alias("total_ws_tokens"),
+            F.sum("n_bpe").cast("long").alias("total_bpe_tokens"),
+        )
+        .select(
+            "source", "lang", "n_docs",
+            "total_chars", "total_ws_tokens", "total_bpe_tokens",
+            pround(
+                F.col("total_chars").cast("double")
+                / F.col("total_bpe_tokens"),
+                6,
+            ).alias("chars_per_token"),
+            pround(
+                F.col("total_bpe_tokens").cast("double")
+                / F.col("total_ws_tokens"),
+                6,
+            ).alias("pieces_per_word"),
+            pround(
+                F.col("total_chars").cast("double")
+                / F.col("total_ws_tokens"),
+                6,
+            ).alias("chars_per_word"),
+        )
+        .orderBy("source", "lang")
+    )

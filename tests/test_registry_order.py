@@ -60,7 +60,8 @@ swap in for six green re-confirmations unchanged since their verdict
 (d22, e22, m12, p20, g26, g27); the 13 artifact-rewritten queries all
 keep their slots. Second mid-round-9 update: three more new operators
 (c27, e24, g37) swap in for m10, g28, b34 (same policy). Third:
-d25 and p26 swap in for d15 and p17 (same policy).
+d25 and p26 swap in for d15 and p17; fourth: p27 swaps in for p19
+(same policy).
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES

@@ -1,5 +1,6 @@
-"""Mid-round-9 operator invariants: the eleven new knob-planning /
-audit tables (c26, c27, d24, d25, e23, e24, g36, g37, m14, p25, p26).
+"""Mid-round-9 operator invariants: the twelve new knob-planning /
+audit tables (c26, c27, d24, d25, e23, e24, g36, g37, m14, p25, p26,
+p27).
 
 Each already carries the strict DuckDB oracle compare via
 tests/test_queries_oracle.py; these tests pin the MATHEMATICAL
@@ -265,3 +266,25 @@ def test_p26_counts_are_consistent_with_the_split(spark, sf_dir):
     # An exact cross-split dup IS a 16/16 (>= 14/16) candidate pair, so
     # the near-dup arm must see at least the exact-leaked val docs.
     assert r["val_docs_near_leaked"] >= r["val_docs_exact_leaked"]
+
+
+# ---------------------------------------------------------------------------
+# p27 — tokenizer fertility
+# ---------------------------------------------------------------------------
+def test_p27_ratios_are_coherent(spark, sf_dir):
+    rows = _rows(spark, sf_dir, "p27_tokenizer_fertility")
+    assert rows
+    for r in rows:
+        assert r["n_docs"] >= 1
+        # Every piece is at least one character; every word holds at
+        # least one piece; pieces never undercount words.
+        assert r["total_bpe_tokens"] >= r["total_ws_tokens"] >= r["n_docs"]
+        assert r["chars_per_token"] >= 1.0 - 1e-9
+        assert r["pieces_per_word"] >= 1.0 - 1e-9
+        assert r["chars_per_word"] >= r["pieces_per_word"] - 1e-6
+        # fertility x pieces-per-word ~= chars-per-word (exact up to
+        # the 6dp quantization of each factor)
+        assert abs(
+            r["chars_per_token"] * r["pieces_per_word"]
+            - r["chars_per_word"]
+        ) <= max(0.01, r["chars_per_word"] * 1e-3)
