@@ -288,3 +288,60 @@ def test_p27_ratios_are_coherent(spark, sf_dir):
             r["chars_per_token"] * r["pieces_per_word"]
             - r["chars_per_word"]
         ) <= max(0.01, r["chars_per_word"] * 1e-3)
+
+
+# ---------------------------------------------------------------------------
+# c26 expression generator — textual repeated squaring IS the power
+# ---------------------------------------------------------------------------
+def test_sq_chain_strings_evaluate_to_the_exact_power():
+    """The generated multiply chains are plain arithmetic over one
+    variable, so Python can evaluate the SAME text both engines run:
+    the chain must agree with the closed-form power to float ulps for
+    every power-of-two exponent the configs use."""
+    from hypothesis import given, strategies as st
+
+    from streamandbatchprocessing_spark.queries.dedup import _sq_chain
+
+    @given(st.floats(min_value=0.0, max_value=1.0,
+                     allow_nan=False, allow_infinity=False))
+    def check(x):
+        for n in (1, 2, 4, 8, 16):
+            expr = _sq_chain("exact_r", n)
+            got = eval(expr, {"__builtins__": {}}, {"exact_r": x})  # noqa: S307
+            want = x ** n
+            assert got == want or abs(got - want) <= 1e-15 * max(
+                1.0, abs(want)
+            ), (n, x, got, want)
+
+    check()
+
+
+def test_curve_exprs_match_closed_form_in_python():
+    """cap6/miss6 strings, evaluated as plain Python on a grid of
+    similarities, must match pround(1-(1-s^r)^b) within one quantum
+    for every registered (bands, rows) config."""
+    import math
+
+    from streamandbatchprocessing_spark.queries.dedup import (
+        _CURVE_CONFIGS,
+        _curve_exprs,
+    )
+
+    def py_floor_expr(expr, s):
+        return eval(  # noqa: S307
+            expr, {"__builtins__": {"floor": math.floor}}, {"exact_r": s}
+        )
+
+    for b, r in _CURVE_CONFIGS:
+        cap6_e, miss6_e = _curve_exprs(b, r)
+        for i in range(0, 101, 7):
+            s = i / 100.0
+            miss = (1.0 - s ** r) ** b
+            want_cap = math.floor((1.0 - miss) * 1000000.0 + 0.5) / 1000000.0
+            want_miss = math.floor(miss * 1000000.0 + 0.5) / 1000000.0
+            got_cap = py_floor_expr(cap6_e, s)
+            got_miss = py_floor_expr(miss6_e, s)
+            # repeated squaring may differ from libm pow by <= 1 ulp,
+            # which after 6dp flooring is at most one quantum.
+            assert abs(got_cap - want_cap) <= 1e-6 + 1e-12, (b, r, s)
+            assert abs(got_miss - want_miss) <= 1e-6 + 1e-12, (b, r, s)
