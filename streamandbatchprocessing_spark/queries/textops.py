@@ -12,6 +12,8 @@ column (plus multilingual unit tests in tests/test_textops.py).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1775,17 +1777,32 @@ _JSD_TERM9 = (
     " * 0.5) * 1000000000.0 + 0.5) AS BIGINT)"
 )
 
+#: Grid-support cap: the dense |sources|×|vocab| grid (and the
+#: broadcast vocabulary that seeds it) is restricted to the top-K
+#: tokens by TOTAL corpus count, deterministic tie-break on the token
+#: itself — the e08/e16 head discipline, now ENFORCED here rather than
+#: assumed upstream, so the driver-side broadcast and the pair fan-out
+#: are bounded at any corpus size. Probability denominators stay
+#: full-corpus (per-source token totals), so head-token probabilities
+#: are exact; only sub-head-rank tail mass leaves the divergence sum.
+#: Override per deployment via $SBP_E24_VOCAB_K (both the Spark plan
+#: and the registered oracle read the same constant, so they can never
+#: desynchronize). 65536 is far above the test fixtures' vocabulary,
+#: so gate-SF outputs are cap-invariant; tests pin the capped behavior
+#: directly at small K.
+_E24_VOCAB_K = int(os.environ.get("SBP_E24_VOCAB_K", "65536"))
 
-@query(
-    "e24_source_vocab_jsd",
-    oracle=f"""
+
+def _e24_oracle(vocab_k: int) -> str:
+    return f"""
     WITH t AS (SELECT source, unnest(string_split(text, ' ')) AS tok
                FROM documents),
     c AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS cnt
           FROM t GROUP BY source, tok),
     n AS (SELECT source, CAST(SUM(cnt) AS BIGINT) AS n
           FROM c GROUP BY source),
-    v AS (SELECT DISTINCT tok FROM c),
+    v AS (SELECT tok FROM (SELECT tok, SUM(cnt) AS tot FROM c GROUP BY tok)
+          ORDER BY tot DESC, tok LIMIT {vocab_k}),
     g AS (SELECT s.source, s.n, v.tok, COALESCE(c.cnt, 0) AS cnt
           FROM n s CROSS JOIN v
           LEFT JOIN c ON c.source = s.source AND c.tok = v.tok),
@@ -1805,8 +1822,10 @@ _JSD_TERM9 = (
     FROM terms
     GROUP BY source_a, source_b
     ORDER BY source_a, source_b
-    """,
-)
+    """
+
+
+@query("e24_source_vocab_jsd", oracle=_e24_oracle(_E24_VOCAB_K))
 def e24_source_vocab_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairwise source vocabulary divergence: the Jensen–Shannon
     divergence (nats) between every two sources' unigram distributions,
@@ -1825,12 +1844,22 @@ def e24_source_vocab_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     METADATA-SIZED: the dense |sources|×|vocab| grid (COALESCE(0)
     restores absent cells so union support is exact), the
     token-keyed pair fan-out (|sources|²·|vocab| bounded rows), and
-    the |sources|²-cell report. At 100 TB vocab is capped upstream
-    (top-K by corpus count — the e08/e16 head discipline) so the grid
-    stays bounded while the scan stays linear. Each pair term is ONE
+    the |sources|²-cell report. The grid support is ENFORCED bounded:
+    the vocabulary is the top-``_E24_VOCAB_K`` tokens by total corpus
+    count (deterministic tie-break on the token, mirrored verbatim in
+    the oracle), so the broadcast build side and the pair fan-out are
+    capped at ANY corpus size while probability denominators stay
+    full-corpus-exact — truncation drops only sub-head-rank tail mass
+    from the sum, the e08/e16 head discipline. Each pair term is ONE
     ln() on identical doubles via a shared expression string, NANO-
     unit int64 quantization before the exact sum (e21's entropy
     discipline), so the matrix is bit-portable and mergeable."""
+    return _e24_frame(spark, sf_dir, _E24_VOCAB_K)
+
+
+def _e24_frame(
+    spark: SparkSession, sf_dir: str, vocab_k: int
+) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     c = (
         docs.select(
@@ -1841,7 +1870,16 @@ def e24_source_vocab_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     c = persist_tracked(c)
     n = c.groupBy("source").agg(F.sum("cnt").cast("long").alias("n"))
-    v = c.select("tok").distinct()
+    # TakeOrdered head-K, never a full sort: the vocabulary support is
+    # the corpus's top-K tokens by total count, tie-broken on the
+    # token so the set is identical on both engines.
+    v = (
+        c.groupBy("tok")
+        .agg(F.sum("cnt").cast("long").alias("tot"))
+        .orderBy(F.col("tot").desc(), "tok")
+        .limit(vocab_k)
+        .select("tok")
+    )
     g = (
         n.crossJoin(F.broadcast(v))
         .join(c, ["source", "tok"], "left")

@@ -116,10 +116,10 @@ def test_d25_error_shrinks_with_width(spark, sf_dir):
         assert math.isclose(
             r["compression_x"], 32.0 / r["width_bits"], rel_tol=1e-5
         )
-    for a, b in zip(rows, rows[1:]):
-        # Finer grid => strictly no worse mean AND max error.
-        assert b["mean_abs_err"] <= a["mean_abs_err"] + 1e-12
-        assert b["max_abs_err"] <= a["max_abs_err"] + 1e-12
+    # NOTE: pairwise error monotonicity across widths is NOT asserted —
+    # the 3/15/63/255-level grids are not nested (15 ∤ 63, 63 ∤ 255),
+    # so per-value error can locally grow at a finer width; the provable
+    # invariant is the per-width half-step bound, tested below.
 
 
 def test_d25_max_error_respects_half_step_bound(spark, sf_dir):
@@ -173,6 +173,43 @@ def test_e24_jsd_is_a_bounded_symmetric_panel(spark, sf_dir):
     # complete upper-triangle panel over the sources present
     srcs = sorted({s for ab in seen for s in ab})
     assert len(seen) == len(srcs) * (len(srcs) - 1) // 2
+
+
+def test_e24_vocab_cap_enforced_and_oracle_mirrored(spark, sf_dir):
+    """The top-K vocabulary cap (the enforced e08/e16 head discipline)
+    bounds the grid support on BOTH engines identically: at a small K
+    the capped Spark build still strict-oracle-matches the capped SQL,
+    and union support per pair can never exceed K."""
+    from streamandbatchprocessing_spark.queries.textops import (
+        _e24_frame,
+        _e24_oracle,
+    )
+    from tests.oracle_harness import compare
+
+    k = 7
+    compare(
+        spark, sf_dir, "e24_capped",
+        lambda s, d: _e24_frame(s, d, k), _e24_oracle(k),
+    )
+    for r in _e24_frame(spark, sf_dir, k).collect():
+        assert r["n_union_tokens"] <= k
+
+
+def test_e24_cap_above_vocab_is_a_noop(spark, sf_dir):
+    """The deployed K (65536) sits far above the fixture vocabulary, so
+    the capped build equals the unbounded-vocabulary build — the cap
+    changes nothing until the corpus actually has a tail to drop."""
+    from streamandbatchprocessing_spark.queries.textops import _e24_frame
+
+    capped = {
+        (r["source_a"], r["source_b"]): (r["n_union_tokens"], r["jsd_nats"])
+        for r in _rows(spark, sf_dir, "e24_source_vocab_jsd")
+    }
+    wide = {
+        (r["source_a"], r["source_b"]): (r["n_union_tokens"], r["jsd_nats"])
+        for r in _e24_frame(spark, sf_dir, 1 << 30).collect()
+    }
+    assert capped == wide
 
 
 # ---------------------------------------------------------------------------
