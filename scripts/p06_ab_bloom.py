@@ -1,0 +1,173 @@
+"""Round-10 A/B for p06's heaviest-at-100x regime (the round-9 verdict's
+next-round #5): can a c13-style Bloom pre-screen of train grams against
+the broadcast eval-gram set beat the deployed shapes?
+
+Variants measured (count() protocol, same as scale_check.py):
+
+  A  deployed literal-intersect  — array_intersect(gs, lit_panel)
+     before any explode (what p06 actually runs when the distinct
+     panel-gram set fits _MAX_PANEL_LITERAL_GRAMS).
+  B  A minus the train-side array_distinct — array_intersect dedupes
+     its output anyway, so distinct-ing the gram array first is pure
+     waste on the corpus side (the panel side still needs it for
+     n_grams).
+  C  fallback explode + broadcast-hash-join (what p06 runs above the
+     literal cap) — the baseline the Bloom variant tries to beat.
+  D  Bloom pre-screen INSIDE the gram array before the explode:
+     F.filter(gs, g -> bit test on a literal int64 bitmap keyed by
+     xxhash64) then explode only probable hits into the BHJ. The
+     round-8 lesson predicts the interpreted per-element hashing in
+     the HOF lambda loses more than the avoided explode wins — this
+     measures it rather than asserting it.
+
+Usage: python scripts/p06_ab_bloom.py [sf_dir] [reps]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+sys.path.insert(0, __file__.rsplit("/", 2)[0])
+
+from streamandbatchprocessing_spark.queries.pipeline import (  # noqa: E402
+    _CONTAM_N,
+    _EVAL_N,
+)
+from streamandbatchprocessing_spark.sources.batch import load_table  # noqa: E402
+
+_BLOOM_M = 1 << 20  # bits
+_BLOOM_WORDS = _BLOOM_M // 64
+_BLOOM_K = 2
+
+
+def _grams_col(distinct: bool) -> F.Column:
+    base = F.expr(
+        f"CASE WHEN size(toks) < {_CONTAM_N} THEN array() "
+        f"ELSE transform(sequence(0, size(toks) - {_CONTAM_N}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {_CONTAM_N}))) "
+        "END"
+    )
+    return F.array_distinct(base) if distinct else base
+
+
+def _sides(spark: SparkSession, sf_dir: str, train_distinct: bool):
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    ev = g.select(
+        "doc_id", _grams_col(True).alias("gs")
+    ).filter(F.col("doc_id") < _EVAL_N)
+    ev_g = ev.select(
+        F.col("doc_id").alias("eval_doc"), F.explode("gs").alias("g")
+    ).persist()
+    tr = g.select(
+        "doc_id", _grams_col(train_distinct).alias("gs")
+    ).filter(F.col("doc_id") >= _EVAL_N).select(
+        F.col("doc_id").alias("train_doc"), "gs"
+    )
+    return ev_g, tr
+
+
+def _agg(hits_src: DataFrame) -> DataFrame:
+    return hits_src.groupBy("eval_doc").agg(
+        F.countDistinct("g").alias("n_hit_grams"),
+        F.countDistinct("train_doc").alias("n_train_docs"),
+    )
+
+
+def variant_literal(spark, sf_dir, train_distinct=True) -> DataFrame:
+    ev_g, tr = _sides(spark, sf_dir, train_distinct)
+    panel = [r.g for r in ev_g.select("g").distinct().collect()]
+    lit_panel = F.array(*[F.lit(x) for x in panel])
+    tr_hits = tr.select(
+        "train_doc", F.explode(F.array_intersect("gs", lit_panel)).alias("g")
+    )
+    return _agg(tr_hits.join(F.broadcast(ev_g), "g"))
+
+
+def variant_explode_bhj(spark, sf_dir) -> DataFrame:
+    ev_g, tr = _sides(spark, sf_dir, True)
+    tr_g = tr.select("train_doc", F.explode("gs").alias("g"))
+    return _agg(tr_g.join(F.broadcast(ev_g), "g"))
+
+
+def variant_bloom_prescreen(spark, sf_dir) -> DataFrame:
+    ev_g, tr = _sides(spark, sf_dir, True)
+    words = [0] * _BLOOM_WORDS
+    # hash panel grams Spark-side in ONE pass (portable xxhash64)
+    pos_rows = (
+        ev_g.select("g").distinct()
+        .select(
+            *[
+                F.pmod(F.xxhash64(F.col("g"), F.lit(s)), F.lit(_BLOOM_M))
+                .alias(f"p{s}")
+                for s in range(_BLOOM_K)
+            ]
+        )
+        .collect()
+    )
+    for r in pos_rows:
+        for s in range(_BLOOM_K):
+            p = r[f"p{s}"]
+            words[p // 64] |= 1 << (p % 64)
+    # two's-complement into signed int64 literals
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    arr = "array(" + ",".join(f"{w}L" for w in signed) + ")"
+    test = (
+        f"(element_at({arr}, CAST(pmod(xxhash64(g, 0), {_BLOOM_M}) "
+        f"DIV 64 AS INT) + 1) & shiftleft(1L, CAST(pmod(pmod(xxhash64(g, 0),"
+        f" {_BLOOM_M}), 64) AS INT))) != 0 AND "
+        f"(element_at({arr}, CAST(pmod(xxhash64(g, 1), {_BLOOM_M}) "
+        f"DIV 64 AS INT) + 1) & shiftleft(1L, CAST(pmod(pmod(xxhash64(g, 1),"
+        f" {_BLOOM_M}), 64) AS INT))) != 0"
+    )
+    tr_maybe = tr.select(
+        "train_doc",
+        F.explode(F.expr(f"filter(gs, g -> {test})")).alias("g"),
+    )
+    return _agg(tr_maybe.join(F.broadcast(ev_g), "g"))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else ".scale/sf1.0"
+    reps = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    spark = (
+        SparkSession.builder.master("local[32]")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.driver.memory", "48g")
+        .getOrCreate()
+    )
+    variants = {
+        "A_literal_distinct": lambda: variant_literal(spark, sf_dir, True),
+        "B_literal_nodistinct": lambda: variant_literal(spark, sf_dir, False),
+        "C_explode_bhj": lambda: variant_explode_bhj(spark, sf_dir),
+        "D_bloom_prescreen": lambda: variant_bloom_prescreen(spark, sf_dir),
+    }
+    base = None
+    for name, fn in variants.items():
+        best, rows = None, None
+        for _ in range(reps):
+            t0 = time.time()
+            got = {
+                (r["eval_doc"]): (r["n_hit_grams"], r["n_train_docs"])
+                for r in fn().collect()
+            }
+            dt = time.time() - t0
+            best = dt if best is None else min(best, dt)
+            rows = got
+        if base is None:
+            base = rows
+        same = rows == base
+        print(
+            f"{name}: best-of-{reps} {best:.2f}s rows={len(rows)} "
+            f"matches_A={same}",
+            flush=True,
+        )
+        assert same, f"{name} output differs from variant A"
+
+
+if __name__ == "__main__":
+    main()

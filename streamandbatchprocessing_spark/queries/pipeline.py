@@ -432,13 +432,37 @@ _CONTAM_N = 5
 #: guard, similarity.py — the other bounded-panel collect).
 _MAX_PANEL_BROADCAST_ROWS = 5_000_000
 
-#: Ceiling on the DISTINCT panel grams embedded as a literal array for
-#: p06's intersect-before-explode fast path. A literal array lives in
-#: the plan itself (analysis + task-binary cost scales with it), so the
-#: cap is far smaller than the broadcast ceiling; above it p06 falls
-#: back to the explode + broadcast-hash-join shape, which carries the
-#: same 100-TB argument (train side streams map-side, never shuffles).
+#: Ceiling on the DISTINCT panel grams screened through p06's
+#: plan-literal Bloom bitmap (the pre-explode fast path). The bitmap
+#: itself is FIXED-size (_P06_BLOOM_M bits as int64 words in the plan),
+#: so the cap bounds the false-positive rate, not the plan: at 20k
+#: grams x 2 hashes in 2^20 bits the bit-load is ~4% and the FP rate
+#: ~0.15%, so ~every screened gram that survives is a real panel hit.
+#: Above the cap p06 falls back to the explode + broadcast-hash-join
+#: shape, which carries the same 100-TB argument (train side streams
+#: map-side, never shuffles).
 _MAX_PANEL_LITERAL_GRAMS = 20_000
+
+#: Bloom geometry for the fast path: 2^20 bits = 16,384 int64 words
+#: (~128 KB in the plan), 2 xxhash64 probes per gram.
+_P06_BLOOM_M = 1 << 20
+_P06_BLOOM_K = 2
+
+
+def _p06_bloom_filter_expr(words: list[int]) -> str:
+    """SQL lambda-body testing gram ``g`` against the bitmap: every
+    one of the K probe bits must be set. ``words`` are raw uint64
+    bit-words; emitted as signed int64 literals (two's complement)."""
+    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
+    arr = "array(" + ",".join(f"{w}L" for w in signed) + ")"
+    probes = []
+    for s in range(_P06_BLOOM_K):
+        h = f"pmod(xxhash64(g, {s}), {_P06_BLOOM_M})"
+        probes.append(
+            f"(element_at({arr}, CAST({h} DIV 64 AS INT) + 1) & "
+            f"shiftleft(1L, CAST(pmod({h}, 64) AS INT))) != 0"
+        )
+    return " AND ".join(probes)
 
 
 def _guarded_panel_broadcast(
@@ -497,27 +521,40 @@ def p06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale design: the eval panel is BOUNDED (a benchmark suite is
     thousands of docs, not billions), so the 100-TB train side streams
     map-side — never shuffled, never re-scanned — in one of two
-    regimes. When the distinct panel-gram set fits a plan literal
+    regimes. When the distinct panel-gram set fits the Bloom cap
     (<= _MAX_PANEL_LITERAL_GRAMS), each train doc's gram array is
-    intersected with it BEFORE exploding, so only HIT grams ever
-    materialize as rows; the tiny hit stream then joins the broadcast
-    panel for eval-doc attribution. Above the cap, the train grams
-    explode into a broadcast hash join against the panel (the r08
-    shape). Both regimes aggregate identically (distinct grams /
-    distinct train docs per eval doc, 2-phase like any countDistinct)
-    and output volume is linear in matching train rows — no pair
-    expansion exists in this shape (contrast c04, which must enumerate
-    doc PAIRS).
+    screened through a PLAN-LITERAL Bloom bitmap of the panel grams
+    BEFORE exploding (2 xxhash64 probes per gram against 2^20 bits),
+    so only probable hits ever materialize as rows; the tiny surviving
+    stream then equi-joins the broadcast panel, which both attributes
+    eval docs AND discards Bloom false positives — the screen can only
+    over-admit, never drop a real hit, so the result is exact and the
+    oracle is unchanged. Above the cap, the train grams explode into a
+    broadcast hash join against the panel (the r08 shape). Both
+    regimes aggregate identically (distinct grams / distinct train
+    docs per eval doc, 2-phase like any countDistinct) and output
+    volume is linear in matching train rows — no pair expansion exists
+    in this shape (contrast c04, which must enumerate doc PAIRS).
 
-    Measured A/B chain at sf0.1 (round 9): explode-all + BHJ ran
-    ~3.9 s quiet, and profiling showed the EXPLODE materialization
-    (~3.4 s for the 249k-row train gram stream) dominating, not the
-    gram-building HOF (~0.6 s); the intersect-before-explode path cut
-    the full query to ~1.3 s by materializing only the 156 hit rows.
-    The int64-gram-key variant (hash the 5 tokens inside the transform
-    lambda) stays REJECTED from round 8: 11.7 s vs 3.9 s — per-element
-    hashing inside a HOF lambda evaluates interpreted and loses more
-    than the narrower join key wins."""
+    Measured A/B at sf1.0 (round 10, best-of-2, scripts/
+    p06_ab_bloom.py — the round-9 verdict's next-round #5): Bloom
+    pre-screen 7.52 s vs intersect-before-explode 18.14 s (deployed
+    r09 shape) vs explode-all + BHJ 33.87 s. At sf10 (100x docs) the
+    deployed Bloom path runs 10.7 s first-touch / 4.7 s warm vs the
+    r09 shape's 99.3 s — the round-9 scale probe's heaviest true
+    cost, cut ~10-21x; still linear in train grams (each gram pays
+    two hash probes), which is this screen's floor. The r09 intersect path
+    loses at 10x because ArrayIntersect against a ~1k-element literal
+    re-materializes the lookup set per ROW, while the Bloom test is
+    two hash probes per gram into a shared 128 KB bitmap — the round-8
+    "no per-element hashing in HOF lambdas" rule inverts once the
+    alternative is per-row set construction. The train side also
+    skips array_distinct now (the attribution join + countDistinct
+    dedupe anyway; its removal alone was 18.14 -> 13.56 s). The
+    int64-gram-key variant (hash the 5 tokens inside the transform
+    lambda) stays REJECTED from round 8: 11.7 s vs 3.9 s at sf0.1 —
+    it replaced a cheap concat with per-element hashing AND kept the
+    per-row intersect, the losing side of the same trade."""
     docs = load_table(spark, sf_dir, "documents")
     # Project the token array ONCE before building grams from it: the
     # inlined form re-splits the full text inside the transform lambda
@@ -531,23 +568,29 @@ def p06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # at sf0.1: five array subscripts + a 5-arg hash per lambda call
     # evaluate interpreted inside the higher-order function, losing far
     # more than the narrower join key wins. concat_ws(slice(...)) stays.
-    grams = F.array_distinct(
-        F.expr(
-            f"CASE WHEN size(toks) < {_CONTAM_N} THEN array() "
-            f"ELSE transform(sequence(0, size(toks) - {_CONTAM_N}), "
-            f"i -> concat_ws(' ', slice(toks, i + 1, {_CONTAM_N}))) "
-            "END"
-        )
+    grams = F.expr(
+        f"CASE WHEN size(toks) < {_CONTAM_N} THEN array() "
+        f"ELSE transform(sequence(0, size(toks) - {_CONTAM_N}), "
+        f"i -> concat_ws(' ', slice(toks, i + 1, {_CONTAM_N}))) "
+        "END"
     )
     g = docs.select(
         "doc_id", F.split("text", " ").alias("toks")
     ).select("doc_id", grams.alias("gs"))
-    ev = g.filter(F.col("doc_id") < _EVAL_N)
+    ev = g.filter(F.col("doc_id") < _EVAL_N).select(
+        # The panel side DOES distinct its grams: n_grams is defined
+        # over the distinct gram set, and the attribution join must
+        # not double-count a panel gram. The train side skips it —
+        # the join + countDistinct dedupe, and the array_distinct
+        # pass over every corpus doc is measured waste (18.14 ->
+        # 13.56 s at sf1.0).
+        "doc_id", F.array_distinct("gs").alias("gs")
+    )
     ev_sz = ev.select(
         F.col("doc_id").alias("eval_doc"), F.size("gs").cast("long").alias("n_grams")
     )
-    # persist: the regime-pick count(), the panel-gram collect / the
-    # broadcast build, and the attribution join all read the panel
+    # persist: the regime-pick count(), the Bloom-position collect /
+    # the broadcast build, and the attribution join all read the panel
     # subtree; uncached it would run the gram transform repeatedly.
     ev_g = persist_tracked(
         ev.select(F.col("doc_id").alias("eval_doc"), F.explode("gs").alias("g"))
@@ -558,18 +601,37 @@ def p06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Regime pick (one cheap action on the pushdown-pruned panel side;
     # the train side is never touched by it). The distinct-gram count
     # is <= the exploded panel row count, so one count decides both
-    # the literal cap and the broadcast cap.
+    # the Bloom cap and the broadcast cap.
     n_panel_rows = ev_g.count()
     if n_panel_rows <= _MAX_PANEL_LITERAL_GRAMS:
-        panel_grams = [
-            r.g for r in ev_g.select("g").distinct().collect()
-        ]
-        lit_panel = F.array(*[F.lit(x) for x in panel_grams])
-        tr_hits = tr.select(
-            "train_doc",
-            F.explode(F.array_intersect("gs", lit_panel)).alias("g"),
+        # Collect only the K probe POSITIONS per distinct panel gram
+        # (ints — never the gram strings), OR them into the bitmap
+        # driver-side, and screen each train doc's gram array through
+        # it before the explode.
+        pos_rows = (
+            ev_g.select("g").distinct()
+            .select(
+                *[
+                    F.pmod(
+                        F.xxhash64(F.col("g"), F.lit(s)),
+                        F.lit(_P06_BLOOM_M),
+                    ).alias(f"p{s}")
+                    for s in range(_P06_BLOOM_K)
+                ]
+            )
+            .collect()
         )
-        hits_src = tr_hits.join(F.broadcast(ev_g), "g")
+        words = [0] * (_P06_BLOOM_M // 64)
+        for r in pos_rows:
+            for s in range(_P06_BLOOM_K):
+                p = r[f"p{s}"]
+                words[p // 64] |= 1 << (p % 64)
+        test = _p06_bloom_filter_expr(words)
+        tr_maybe = tr.select(
+            "train_doc",
+            F.explode(F.expr(f"filter(gs, g -> {test})")).alias("g"),
+        )
+        hits_src = tr_maybe.join(F.broadcast(ev_g), "g")
     else:
         tr_g = tr.select("train_doc", F.explode("gs").alias("g"))
         # ev_g is persisted, so the guard's second count is a cached
