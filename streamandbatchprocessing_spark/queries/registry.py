@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import threading
 from collections.abc import Callable
 
@@ -59,14 +60,20 @@ _ARTIFACT_KEY_LOCKS: dict[tuple, threading.RLock] = {}
 #: Most-variants kept per (application, sf_dir, kind): artifacts are
 #: keyed on plan-conf values, so every conf variant builds its own
 #: persisted copy, and an unbounded memo would accumulate one per conf
-#: combination a long session sweeps. Two is the working set of the
-#: plan-perturbation protocol (scripts/perturb_sweep.py alternates
-#: default/perturbed per query — an LRU of 2 never thrashes it) while
-#: bounding any sweep to two persisted copies per artifact; a session
-#: rotating 3+ conf variants round-robin will rebuild on re-entry
-#: (cold-rebuild equality is pinned by tests/test_session_artifacts.py,
-#: so that costs time, never correctness).
-_ARTIFACT_VARIANTS_CAP = 2
+#: combination a long session sweeps. The default of 2 is the working
+#: set of the plan-perturbation protocol (scripts/perturb_sweep.py
+#: alternates default/perturbed per query — an LRU of 2 never thrashes
+#: it) while bounding any sweep to two persisted copies per artifact.
+#: A host sweeping K >= 3 conf variants ROUND-ROBIN thrashes an LRU of
+#: 2 (every re-entry rebuilds — cold-rebuild equality is pinned by
+#: tests/test_session_artifacts.py, so that costs time, never
+#: correctness): set $SBP_ARTIFACT_VARIANTS_CAP=K to hold all K
+#: variants resident, sized against executor storage memory (each
+#: variant is one persisted MEMORY_AND_DISK copy of the artifact).
+#: See README "Operations" for the sizing protocol.
+_ARTIFACT_VARIANTS_CAP = int(
+    os.environ.get("SBP_ARTIFACT_VARIANTS_CAP", "2")
+)
 
 
 def _conf_or_default(spark: SparkSession, key: str) -> str:

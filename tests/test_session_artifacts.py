@@ -14,6 +14,8 @@ These tests pin the three properties that sharing must not break:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from streamandbatchprocessing_spark.queries import dedup
@@ -214,6 +216,47 @@ def test_variant_cap_evicts_lru_conf_variants(spark, sf_dir):
         assert touch("7-again") == "7"  # still memoized (no rebuild)
         spark.conf.set("spark.sql.shuffle.partitions", "5")
         assert touch("5-again") == "5-again"  # evicted -> rebuilt
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", saved)
+        release_session_artifacts()
+
+
+def test_variant_cap_is_env_configurable(spark, sf_dir, monkeypatch):
+    """Round-10 operations lever: a host sweeping K >= 3 conf variants
+    round-robin sets $SBP_ARTIFACT_VARIANTS_CAP=K to hold all K
+    resident — with the cap raised to 3, the 3-variant round-robin
+    that thrashes the default LRU of 2 never rebuilds."""
+    import subprocess
+    import sys
+
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "from streamandbatchprocessing_spark.queries.registry import "
+         "_ARTIFACT_VARIANTS_CAP as c; print(c)"],
+        env={**os.environ, "SBP_ARTIFACT_VARIANTS_CAP": "5"},
+        capture_output=True, text=True, check=True,
+    )
+    assert out.stdout.strip() == "5"
+
+    from streamandbatchprocessing_spark.queries import registry
+
+    monkeypatch.setattr(registry, "_ARTIFACT_VARIANTS_CAP", 3)
+    release_session_artifacts()
+    builds = []
+
+    def touch(tag):
+        return session_artifact(
+            spark, sf_dir, "cap3_probe", lambda: builds.append(tag) or tag
+        )
+
+    saved = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        for _sweep in range(3):  # round-robin the 3 variants 3x
+            for parts in ("5", "7", "11"):
+                spark.conf.set("spark.sql.shuffle.partitions", parts)
+                touch(parts)
+        # one build per variant, zero rebuilds across re-entries
+        assert builds == ["5", "7", "11"]
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", saved)
         release_session_artifacts()
