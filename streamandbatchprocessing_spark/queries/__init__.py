@@ -159,67 +159,73 @@ from .registry import ORACLES, QUERIES
 #: similarity covered, p19/p21–p26 the pipeline family). Fourth:
 #: p27 tokenizer fertility census swaps in for p19 (r07-green;
 #: p21–p27 keep the pipeline family covered).
+#: Round-10 rotation (the round-9 verdict's #1, same c18 precedent):
+#: the 12 queries whose PHYSICAL BUILD changed after their last driver
+#: verdict rotate in for fresh verdicts — the round-9 late rewrites
+#: p06 (intersect-before-explode), c20 (tokset-artifact injectivity
+#: audit; ALSO gains the round-10 emission bound), the five k-means
+#: artifact consumers d11/d14/d18/d20/d22 (derived `_ivf_k_for` +
+#: projected seed collect, similarity.py), the four aliased self-join
+#: sites c01/d09/p01/p17, and c18 (round-10 enforced emission bound,
+#: _FUZZY_TOPN). They swap out 12 r09-greened re-confirmations whose
+#: code is UNCHANGED since their verdict: c03, c04, c08, c10, c15,
+#: c16, d05, d06, p21, p22, g29, g30 — dedup keeps
+#: c02/c07/c09/c14/c26/c27 in-window siblings, similarity keeps
+#: d04/d10/d12/d24/d25, pipeline keeps p23–p27, analytics keeps
+#: g31–g37; every rotated-out query keeps its local strict-oracle
+#: test.
 PRIORITY_ORDER: tuple[str, ...] = (
     # §2.10 parity flagship (events-based)
     "a01_revenue_by_category",
-    # dedup + sketches: the shared-artifact consumers re-score their
-    # rewritten physical build (signatures/pairs/toksets now session
-    # artifacts, dedup.py:226-282)
-    "c02_minhash_lsh_pairs", "c03_simhash_neighbors",
-    "c04_ngram_jaccard_pairs", "c07_dup_clusters",
-    "c08_candidate_verify", "c09_semantic_dedup",
-    "c10_incremental_neardup", "c14_minhash_calibration",
-    "c15_band_canonical_keep_best", "c16_shingle_df_spectrum",
-    # new this round: the (bands, rows) S-curve planner over the shared
-    # candidate sample, and the threshold-vs-corpus-mass sweep
+    # dedup + sketches: c01/c18/c20 re-score their rewritten builds
+    # (aliased self-join; round-10 emission bounds _FUZZY_TOPN /
+    # _C20_TOPN; c20 also the r9 tokset injectivity-audit artifact);
+    # c02/c07/c09/c14/c26/c27 keep the shared-artifact spine covered
+    "c01_exact_dedup", "c02_minhash_lsh_pairs",
+    "c07_dup_clusters", "c09_semantic_dedup",
+    "c14_minhash_calibration",
+    "c18_blocked_fuzzy_match", "c20_containment_pairs",
     "c26_lsh_band_plan_curve", "c27_dedup_threshold_sweep",
-    # similarity search: the shared-artifact consumers re-score their
-    # rewritten physical build (quantized vectors / k-means / PQ now
-    # session artifacts, similarity.py); d10/d12/d15/d22 keep the
-    # Arrow-pass, filtered-ANN and rerank shapes driver-covered
-    "d04_ivf_kmeans_ann", "d05_sq8_topk", "d06_pq_adc_topk",
-    "d10_mutual_knn_graph",
-    "d12_filtered_ann",
-    # new this round: cosine→same-label reliability curve (the
-    # threshold chooser) over the shared k-means cells, and the SQ
-    # bit-width distortion sweep (d05's knob table)
+    # similarity search: d09 (aliased self-join) and the five k-means
+    # artifact consumers d11/d14/d18/d20/d22 (derived _ivf_k_for)
+    # re-score their rewritten builds; d04/d10/d12/d24/d25 keep the
+    # IVF, Arrow-pass, filtered-ANN and sweep shapes driver-covered
+    "d04_ivf_kmeans_ann", "d09_ann_recall_eval",
+    "d10_mutual_knn_graph", "d11_nprobe_recall_curve",
+    "d12_filtered_ann", "d14_ivf_cell_balance",
+    "d18_centroid_separation", "d20_ivf_assignment_margin",
+    "d22_nearest_centroid_confusion",
     "d24_cosine_label_reliability", "d25_sq_bitwidth_sweep",
-    # text analysis (e12/e16 rotated out green; e17 novelty + e18
-    # quality rules + e19 collocation lift new; e23 burstiness new
-    # this round)
+    # text analysis: e24 re-scores its round-10 enforced top-K vocab
+    # cap; e10/e17–e21/e23 keep the family's shapes driver-covered
     "e10_pii_scrub",
     "e17_trigram_novelty", "e18_quality_rules", "e19_collocation_lift",
     "e21_source_language_purity", "e23_token_burstiness",
-    # new this round: pairwise source vocabulary JSD matrix
     "e24_source_vocab_jsd",
-    # streaming extensions (f02/f03/f06/f07/f09 rotate out green —
-    # f08/f12/f14 keep the join matrix and f04-style state covered;
-    # f14 semi join completes the stream-stream join matrix)
+    # streaming extensions (f01 complete-mode + the join matrix +
+    # CDC latest-state keep the family driver-covered)
     "f01_streaming_dashboard",
     "f12_stream_full_outer_join",
     "f14_stream_semi_join", "f15_streaming_latest_state",
-    # multimodal (m02/m05 rotated out green; m10 chunk dedup new —
-    # d15/d03 keep the Arrow mapInPandas path in-window)
+    # multimodal (digest-first placement plan + rebalance audit)
     "m13_hrw_placement_plan",
-    # new this round: the HRW node-loss rebalance audit (m13's twin)
     "m14_hrw_rebalance_audit",
-    # composed pipelines (p11/p17/p19 rotated out green; p25 ctx-fit,
-    # p26 split-leakage, p27 fertility new this round)
-    "p21_shard_manifest",
-    "p22_quality_survival_curve", "p23_length_quality_grid",
+    # composed pipelines: p01/p17 (aliased self-join) and p06
+    # (intersect-before-explode rewrite) re-score; p23–p27 keep the
+    # family's newest shapes driver-covered
+    "p01_training_mix", "p06_contamination_check",
+    "p17_dedup_adjusted_mix",
+    "p23_length_quality_grid",
     "p24_split_balance_audit", "p25_context_length_fit",
     "p26_split_leakage_audit", "p27_tokenizer_fertility",
     # physical layout (b30 bucketed + b33 DPP + b34 rotated out green;
     # b35 keeps the family driver-covered)
     "b35_range_clustered_scan",
-    # cross-series analytics (g13/g23 rotated out green; g25
-    # hour-of-week profile and g30 new-vs-returning new)
-    "g29_revenue_pareto", "g30_new_returning_users",
+    # cross-series analytics (g29/g30 rotated out green; g31–g37 keep
+    # the family's newest shapes driver-covered)
     "g31_interarrival_profile", "g32_ship_latency_profile",
     "g33_brand_basket_lift", "g34_cohort_ltv",
     "g35_purchase_frequency_curve",
-    # new this round: header-vs-detail billing reconciliation audit and
-    # its state-machine twin
     "g36_order_value_reconciliation", "g37_order_status_consistency",
 )
 

@@ -62,6 +62,20 @@ keep their slots. Second mid-round-9 update: three more new operators
 (c27, e24, g37) swap in for m10, g28, b34 (same policy). Third:
 d25 and p26 swap in for d15 and p17; fourth: p27 swaps in for p19
 (same policy).
+
+Round-10 window policy: CORRECTNESS_r09 greened all 50 round-9 window
+entries (the cumulative record now covers all 212 registered queries),
+but 12 queries had their physical build changed after their last
+verdict and rotate in per the c18 precedent: the round-9 late rewrites
+p06 (intersect-before-explode), c20 (tokset injectivity-audit
+artifact), d11/d14/d18/d20/d22 (derived _ivf_k_for k-means artifact),
+the aliased self-join sites c01/d09/p01/p17 — plus the two round-10
+rewrites c18 and c20 again (enforced emission bounds _FUZZY_TOPN /
+_C20_TOPN) and e24 (enforced top-K vocabulary cap; already
+in-window). They swap out 12 r09-green re-confirmations unchanged
+since their verdict: c03, c04, c08, c10, c15, c16, d05, d06, p21,
+p22, g29, g30 — every family keeps in-window siblings and every
+rotated-out query keeps its local strict-oracle test.
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES
@@ -83,23 +97,24 @@ _BEYOND_WINDOW_OK: set[str] = set()
 
 
 def test_every_never_scored_query_inside_scoring_window():
-    # Queries greened by the driver through round 8 (cumulative
-    # CORRECTNESS_r01/r02/r04–r08 — r08 closed the set: all 200
-    # registered queries now carry a verdict, r08's window greened the
-    # final eight c24/c25/d22/d23/e22/g35/m13/p24); everything else
-    # must sit inside the 50-slot window until it has a verdict of its
-    # own. (Rewritten-after-verdict queries are pinned separately by
+    # Queries greened by the driver through round 9 (cumulative
+    # CORRECTNESS_r01/r02/r04–r09 — r09 closed the set again: all 212
+    # registered queries now carry a verdict, r09's window greened the
+    # twelve new c26/c27/d24/d25/e23/e24/g36/g37/m14/p25/p26/p27);
+    # everything else must sit inside the 50-slot window until it has
+    # a verdict of its own. (Rewritten-after-verdict queries are
+    # pinned separately by
     # test_artifact_rewritten_queries_hold_window_slots.)
     previously_green = (
         {f"a0{i}" for i in range(1, 10)}
         | {f"b{i:02d}" for i in range(1, 36)}
-        | {f"g{i:02d}" for i in range(1, 36)}
-        | {f"c{i:02d}" for i in range(1, 26)}
-        | {f"d{i:02d}" for i in range(1, 24)}
-        | {f"e{i:02d}" for i in range(1, 23)}
+        | {f"g{i:02d}" for i in range(1, 38)}
+        | {f"c{i:02d}" for i in range(1, 28)}
+        | {f"d{i:02d}" for i in range(1, 26)}
+        | {f"e{i:02d}" for i in range(1, 25)}
         | {f"f{i:02d}" for i in range(1, 16)}
-        | {f"m{i:02d}" for i in range(1, 14)}
-        | {f"p{i:02d}" for i in range(1, 25)}
+        | {f"m{i:02d}" for i in range(1, 15)}
+        | {f"p{i:02d}" for i in range(1, 28)}
     )
     window = set(list(QUERIES)[:50])
     never_scored = [
@@ -110,16 +125,19 @@ def test_every_never_scored_query_inside_scoring_window():
     assert not out, f"never-scored queries outside driver scoring window: {out}"
 
 
-#: Round-9: queries whose physical build was rewritten onto the
-#: session_artifact plumbing after their last driver verdict — each
-#: must hold a window slot until CORRECTNESS_r09 re-greens it.
+#: Round-10: queries whose physical build changed after their last
+#: driver verdict (round-9 late rewrites + the round-10 emission
+#: bounds / vocab cap) — each must hold a window slot until
+#: CORRECTNESS_r10 re-greens it.
 _REWRITTEN_NEED_FRESH_VERDICT = (
-    "c02_minhash_lsh_pairs", "c03_simhash_neighbors",
-    "c04_ngram_jaccard_pairs", "c07_dup_clusters",
-    "c08_candidate_verify", "c09_semantic_dedup",
-    "c10_incremental_neardup", "c14_minhash_calibration",
-    "c15_band_canonical_keep_best", "c16_shingle_df_spectrum",
-    "d04_ivf_kmeans_ann", "d05_sq8_topk", "d06_pq_adc_topk",
+    "c01_exact_dedup", "c18_blocked_fuzzy_match",
+    "c20_containment_pairs",
+    "d09_ann_recall_eval", "d11_nprobe_recall_curve",
+    "d14_ivf_cell_balance", "d18_centroid_separation",
+    "d20_ivf_assignment_margin", "d22_nearest_centroid_confusion",
+    "e24_source_vocab_jsd",
+    "p01_training_mix", "p06_contamination_check",
+    "p17_dedup_adjusted_mix",
 )
 
 
