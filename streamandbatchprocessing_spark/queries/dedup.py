@@ -1829,12 +1829,13 @@ def c18_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking-key sharpening remains the compute lever), but the
     result set is ≤ N·|records| at any scale, so downstream stages
     and the sink never see the quadratic pair regime. Measured at
-    sf1.0 (round 10, count protocol): emission 390,651,200 ->
-    1,597,984 rows (244x); wall 37.7 s uncapped vs 257 s first-touch
-    / 105.5 s warm capped — the cap pays a per-group top-N sort over
-    the matched stream up front to keep the quadratic row set off
-    every downstream stage and sink (the narrow-row window below
-    keeps that sort payload minimal)."""
+    sf1.0 (round 10, quiet noop-write best-of-2 — the scale_check
+    protocol): emission 390,651,200 -> 1,597,984 rows (244x) AND wall
+    119.6 s (r9 uncapped) -> 105.2 s capped — the per-group top-N
+    sort costs less than materializing the full pair set even into a
+    noop sink, because the narrow-row window below keeps the sort
+    payload minimal while the capped stream shrinks everything
+    after it."""
     return _c18_frame(spark, sf_dir, _FUZZY_TOPN)
 
 
@@ -1884,14 +1885,13 @@ def _c18_frame(spark: SparkSession, sf_dir: str, top_n: int) -> DataFrame:
     # carrying both name strings through the sort of the (possibly
     # quadratic-dense) matched stream widens every sorted/spilled row
     # ~4x; the names re-attach to the ≤ N·|records| capped stream via
-    # two broadcast dimension joins. Measured at sf1.0 (round 10,
-    # count protocol, first-touch): wide-row window 238 s ≈ narrow
-    # 257 s cold, but narrow re-runs warm at 105.5 s once the
-    # dimension broadcast is built. The window itself adds no
-    # exchange (the join output is already hash partitioned by
-    # a.p_partkey = part_a from the explicit probe-side repartition),
-    # and Spark plants WindowGroupLimit, so each partition keeps only
-    # its per-group top-N through the sort.
+    # two broadcast dimension joins (quiet noop best-of-2 at sf1.0:
+    # 105.2 s, vs 119.6 s for the UNCAPPED r9 shape — the narrow sort
+    # is cheaper than materializing the full pair set). The window
+    # itself adds no exchange (the join output is already hash
+    # partitioned by a.p_partkey = part_a from the explicit probe-side
+    # repartition), and Spark plants WindowGroupLimit, so each
+    # partition keeps only its per-group top-N through the sort.
     narrow = joined.select(
         F.col("a.p_partkey").alias("part_a"),
         F.col("b.p_partkey").alias("part_b"),
@@ -2085,12 +2085,14 @@ def c20_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-stream cost is unchanged (band width / _CONT_MIN remain
     the compute levers), but emission is ≤ N·|docs| at any scale, so
     downstream suppression and the sink never see the quadratic
-    regime. Measured at sf1.0 (round 10, count protocol): emission
-    690,494,683 -> 396,810 rows (1740x) AND wall 583 -> 345 s (0.59x)
-    — the per-group WindowGroupLimit sort over the narrow qualifying
-    stream costs less than streaming the full pair set through the
-    final projection, so the cap pays for itself even before a sink
-    sees the rows."""
+    regime. Measured at sf1.0 (round 10, quiet noop-write best-of-2 —
+    the scale_check protocol): emission 690,494,683 -> 396,810 rows
+    (1740x) for wall 186 s (r9 uncapped) -> 238 s capped (+28%): the
+    WindowGroupLimit sort of the ~690 M-row qualifying stream is the
+    price, paid once, and a NOOP sink is the only sink it loses to —
+    any real write/downstream consumer of the uncapped pair set costs
+    far more than the sort (a contended count-protocol A/B in this
+    round measured capped 345 s vs uncapped 583 s end-to-end)."""
     return _c20_frame(spark, sf_dir, _C20_TOPN)
 
 
