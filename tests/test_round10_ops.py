@@ -131,3 +131,65 @@ def test_c20_deployed_default_is_bounded(spark, sf_dir):
         "the deployed c20 default must ENFORCE a bound (the round-9 "
         "verdict item); opt out per deployment via $SBP_C20_TOPN=0"
     )
+
+
+# ---------------------------------------------------------------------------
+# p06 — Bloom pre-screen bit-packing
+# ---------------------------------------------------------------------------
+def test_p06_bloom_expr_never_false_negative(spark, sf_dir):
+    """The plan-literal Bloom screen's bit twiddling (unsigned->signed
+    two's-complement word literals, DIV/shiftleft probes) must admit
+    EVERY member — a false negative would silently drop real
+    contamination hits, the one failure mode the attribution join
+    cannot repair. Build the bitmap from Spark's own xxhash64 over an
+    adversarial member set (empty string, spaces, unicode, long
+    strings, near-collisions), screen members + non-members through
+    the deployed filter expression, and require all members admitted
+    with the non-member pass-rate plausibly bloom-ish (<100%)."""
+    from pyspark.sql import functions as F
+
+    from streamandbatchprocessing_spark.queries.pipeline import (
+        _P06_BLOOM_K,
+        _P06_BLOOM_M,
+        _p06_bloom_filter_expr,
+    )
+
+    members = [
+        "", " ", "  ", "a", "the quick brown fox jumps over",
+        "naïve café déjà-vu", "文字 漢字 かな", "\ttab\tsep",
+        "x" * 500, "pad pad pad pad pad",
+    ] + [f"member token stream {i} gram" for i in range(200)]
+    others = [f"absent token stream {i} gram" for i in range(2000)]
+
+    mdf = spark.createDataFrame([(m,) for m in members], ["g"])
+    pos = mdf.select(
+        *[
+            F.pmod(F.xxhash64(F.col("g"), F.lit(s)), F.lit(_P06_BLOOM_M))
+            .alias(f"p{s}")
+            for s in range(_P06_BLOOM_K)
+        ]
+    ).collect()
+    words = [0] * (_P06_BLOOM_M // 64)
+    for r in pos:
+        for s in range(_P06_BLOOM_K):
+            p = r[f"p{s}"]
+            words[p // 64] |= 1 << (p % 64)
+    test = _p06_bloom_filter_expr(words)
+
+    both = spark.createDataFrame(
+        [(g, True) for g in members] + [(g, False) for g in others],
+        ["g", "is_member"],
+    )
+    got = both.select(
+        "is_member", F.expr(test).alias("admitted")
+    ).collect()
+    n_member_dropped = sum(
+        1 for r in got if r["is_member"] and not r["admitted"]
+    )
+    assert n_member_dropped == 0, f"{n_member_dropped} false negatives"
+    admitted_others = sum(
+        1 for r in got if not r["is_member"] and r["admitted"]
+    )
+    # ~210 members * 2 probes in 2^20 bits => FP rate ~1.6e-7; even a
+    # 1000x modeling slack keeps 2000 non-members essentially all out.
+    assert admitted_others < len(others), "screen admits everything"
