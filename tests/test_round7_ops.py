@@ -1150,10 +1150,11 @@ def test_cell_cosine_row_blocking_is_invariant(spark, sf_dir, monkeypatch):
 
 
 def test_p06_literal_and_broadcast_regimes_agree(spark, sf_dir, monkeypatch):
-    """p06 picks between intersect-before-explode (panel grams fit a
-    plan literal) and explode + broadcast-hash-join (huge panel). Both
+    """p06 picks between the Bloom pre-screen (panel grams fit the
+    plan-literal bitmap cap; round 10 — previously intersect-before-
+    explode) and explode + broadcast-hash-join (huge panel). Both
     regimes must produce identical rows — pin it by forcing the
-    fallback with a zero literal cap."""
+    fallback with a zero cap."""
     from streamandbatchprocessing_spark.queries import QUERIES
     from streamandbatchprocessing_spark.queries import pipeline as pl
 
