@@ -37,7 +37,11 @@ from streamandbatchprocessing_spark.session import build_spark  # noqa: E402
 
 #: The slowest quiet extras of round 8 plus the derived-knob queries the
 #: round-8 verdict called out as the ones a 10x corpus would stress
-#: (c18 blocking keys, d10 bucket bits, p21 shard count).
+#: (c18 blocking keys, d10 bucket bits, p21 shard count). Round 10
+#: adds the queries whose scale behavior changed that round: the
+#: emission-capped c18/c20 already here, the Bloom-screened p06
+#: already here, plus e24 (top-K vocabulary grid) and the two
+#: candidate-sample sweeps riding the derived modulus (c26, c27).
 SLOW_EXTRAS = [
     "c09_semantic_dedup",
     "c10_incremental_neardup",
@@ -45,9 +49,12 @@ SLOW_EXTRAS = [
     "c18_blocked_fuzzy_match",
     "c20_containment_pairs",
     "c21_candidate_degree_profile",
+    "c26_lsh_band_plan_curve",
+    "c27_dedup_threshold_sweep",
     "d10_mutual_knn_graph",
     "d16_retrieval_margin_profile",
     "d22_nearest_centroid_confusion",
+    "e24_source_vocab_jsd",
     "g33_brand_basket_lift",
     "p06_contamination_check",
     "p21_shard_manifest",
