@@ -36,12 +36,19 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 from streamandbatchprocessing_spark.queries.pipeline import (  # noqa: E402
     _CONTAM_N,
     _EVAL_N,
+    _P06_BLOOM_K,
+    _P06_BLOOM_M,
+    _p06_bloom_screen_expr,
 )
 from streamandbatchprocessing_spark.sources.batch import load_table  # noqa: E402
 
-_BLOOM_M = 1 << 20  # bits
+# Geometry + filter expression IMPORTED from the deployed fast path
+# (round-11, the advisor's finding: a re-implementation here could
+# drift from what p06 actually ships, making variant D measure a
+# different expression than production runs).
+_BLOOM_M = _P06_BLOOM_M
 _BLOOM_WORDS = _BLOOM_M // 64
-_BLOOM_K = 2
+_BLOOM_K = _P06_BLOOM_K
 
 
 def _grams_col(distinct: bool) -> F.Column:
@@ -113,20 +120,9 @@ def variant_bloom_prescreen(spark, sf_dir) -> DataFrame:
         for s in range(_BLOOM_K):
             p = r[f"p{s}"]
             words[p // 64] |= 1 << (p % 64)
-    # two's-complement into signed int64 literals
-    signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
-    arr = "array(" + ",".join(f"{w}L" for w in signed) + ")"
-    test = (
-        f"(element_at({arr}, CAST(pmod(xxhash64(g, 0), {_BLOOM_M}) "
-        f"DIV 64 AS INT) + 1) & shiftleft(1L, CAST(pmod(pmod(xxhash64(g, 0),"
-        f" {_BLOOM_M}), 64) AS INT))) != 0 AND "
-        f"(element_at({arr}, CAST(pmod(xxhash64(g, 1), {_BLOOM_M}) "
-        f"DIV 64 AS INT) + 1) & shiftleft(1L, CAST(pmod(pmod(xxhash64(g, 1),"
-        f" {_BLOOM_M}), 64) AS INT))) != 0"
-    )
     tr_maybe = tr.select(
         "train_doc",
-        F.explode(F.expr(f"filter(gs, g -> {test})")).alias("g"),
+        F.explode(F.expr(_p06_bloom_screen_expr(words))).alias("g"),
     )
     return _agg(tr_maybe.join(F.broadcast(ev_g), "g"))
 

@@ -449,20 +449,36 @@ _P06_BLOOM_M = 1 << 20
 _P06_BLOOM_K = 2
 
 
-def _p06_bloom_filter_expr(words: list[int]) -> str:
-    """SQL lambda-body testing gram ``g`` against the bitmap: every
-    one of the K probe bits must be set. ``words`` are raw uint64
-    bit-words; emitted as signed int64 literals (two's complement)."""
+def _p06_bloom_screen_expr(words: list[int], grams: str = "gs") -> str:
+    """SQL expression returning the ``grams`` array filtered to the
+    probable bitmap members: every one of the K probe bits must be
+    set. ``words`` are raw uint64 bit-words; emitted as signed int64
+    literals (two's complement).
+
+    Two plan-size/CPU disciplines (round-11, the advisor's finding —
+    the round-10 build inlined the array once per probe and each
+    xxhash64 twice): the bitmap literal appears EXACTLY ONCE, bound as
+    lambda variable ``bm`` via a 1-element ``transform`` whose
+    CreateArray-of-literals child constant-folds to a single Literal
+    (K probes over the old shape carried K copies, ~128 KB each); and
+    each probe's hash is computed EXACTLY ONCE, bound as lambda
+    variable ``h`` via a 1-element ``exists`` (the old shape repeated
+    the hash for the word index and the bit index — 2K hashes per
+    gram instead of K)."""
     signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
     arr = "array(" + ",".join(f"{w}L" for w in signed) + ")"
     probes = []
     for s in range(_P06_BLOOM_K):
-        h = f"pmod(xxhash64(g, {s}), {_P06_BLOOM_M})"
         probes.append(
-            f"(element_at({arr}, CAST({h} DIV 64 AS INT) + 1) & "
-            f"shiftleft(1L, CAST(pmod({h}, 64) AS INT))) != 0"
+            f"exists(array(pmod(xxhash64(g, {s}), {_P06_BLOOM_M})), "
+            f"h -> (element_at(bm, CAST(h DIV 64 AS INT) + 1) & "
+            f"shiftleft(1L, CAST(pmod(h, 64) AS INT))) != 0)"
         )
-    return " AND ".join(probes)
+    test = " AND ".join(probes)
+    return (
+        f"element_at(transform(array({arr}), "
+        f"bm -> filter({grams}, g -> {test})), 1)"
+    )
 
 
 def _guarded_panel_broadcast(
@@ -626,10 +642,9 @@ def p06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(_P06_BLOOM_K):
                 p = r[f"p{s}"]
                 words[p // 64] |= 1 << (p % 64)
-        test = _p06_bloom_filter_expr(words)
         tr_maybe = tr.select(
             "train_doc",
-            F.explode(F.expr(f"filter(gs, g -> {test})")).alias("g"),
+            F.explode(F.expr(_p06_bloom_screen_expr(words))).alias("g"),
         )
         hits_src = tr_maybe.join(F.broadcast(ev_g), "g")
     else:

@@ -12,6 +12,37 @@ from ..session import ensure_query_conf
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+
+def env_int(name: str, default: int, *, minimum: int = 0) -> int:
+    """Validated integer deployment knob (the ``$SBP_*`` levers).
+
+    One parse discipline for every knob, applied at import: a
+    malformed value fails with a message naming the variable and the
+    accepted range instead of a bare ``ValueError`` from ``int()``
+    deep in a module import, and out-of-range values (negatives for
+    the emission caps, zero for knobs that require a positive working
+    set) are rejected the same way. By convention ``0`` means
+    "disable the bound" for every cap-style knob (``minimum=0``);
+    knobs where zero is meaningless pass ``minimum=1``.
+    """
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        value = int(raw)
+    except ValueError:
+        raise ValueError(
+            f"${name}={raw!r} is not an integer; expected an int "
+            f">= {minimum} (default {default})"
+        ) from None
+    if value < minimum:
+        raise ValueError(
+            f"${name}={value} is out of range; expected >= {minimum} "
+            f"(default {default}"
+            + (", 0 disables the bound)" if minimum == 0 else ")")
+        )
+    return value
+
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
@@ -71,9 +102,7 @@ _ARTIFACT_KEY_LOCKS: dict[tuple, threading.RLock] = {}
 #: variants resident, sized against executor storage memory (each
 #: variant is one persisted MEMORY_AND_DISK copy of the artifact).
 #: See README "Operations" for the sizing protocol.
-_ARTIFACT_VARIANTS_CAP = int(
-    os.environ.get("SBP_ARTIFACT_VARIANTS_CAP", "2")
-)
+_ARTIFACT_VARIANTS_CAP = env_int("SBP_ARTIFACT_VARIANTS_CAP", 2, minimum=1)
 
 
 def _conf_or_default(spark: SparkSession, key: str) -> str:

@@ -720,3 +720,48 @@ def test_c20_reads_shared_cache_without_pair_shuffle(spark, sf_dir):
     assert all("da#" in e for e in exchanges), exchanges
     assert "WindowGroupLimit" in pair_stage, pair_stage[:2000]
     assert pair_stage.count("BroadcastHashJoin") == 2, pair_stage[:2000]
+
+
+def test_c20_cap_window_reuses_join_exchange(spark, sf_dir):
+    """The net-free-cap invariant (round 11, the round-10 verdict's
+    #2): in the shuffle-join regime — any corpus whose tokset
+    projection exceeds the broadcast threshold, i.e. every real
+    deployment — the da-side tokset join runs LAST, so its exchange
+    doubles as the emission-cap window's required clustering and the
+    window plans as a LOCAL sort + WindowGroupLimit with NO exchange
+    of its own. Exactly ONE da-keyed hashpartitioning exchange may
+    exist (the join's); two means the window re-shuffled the full
+    qualifying pair stream — the +28% regression round 10 shipped and
+    round 11 removed."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = executed_plan(QUERIES["c20_containment_pairs"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert plan.count("SortMergeJoin") == 2, plan[:3000]
+    da_exchanges = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning(da#" in line
+    ]
+    assert len(da_exchanges) == 1, da_exchanges
+    assert "WindowGroupLimit" in plan, plan[:3000]
+
+
+def test_c18_cap_window_reuses_probe_exchange(spark, sf_dir):
+    """c18's analog of the c20 pin above (round 11, the advisor's
+    finding — the elision was claimed in comments but never
+    plan-tested): the emission-cap window must ride the explicit
+    probe-side repartition by p_partkey (alias-propagated to part_a),
+    planning as WindowGroupLimit with no exchange of its own — ONE
+    hashpartitioning exchange in the whole plan. An AQE or
+    partitioning regression that re-shuffled the O(pairs) matched
+    stream for the window would show up as a second one."""
+    plan = executed_plan(QUERIES["c18_blocked_fuzzy_match"](spark, sf_dir))
+    hash_exchanges = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning" in line
+    ]
+    assert len(hash_exchanges) == 1, hash_exchanges
+    assert "p_partkey#" in hash_exchanges[0], hash_exchanges
+    assert "WindowGroupLimit" in plan, plan[:3000]

@@ -151,7 +151,7 @@ def test_p06_bloom_expr_never_false_negative(spark, sf_dir):
     from streamandbatchprocessing_spark.queries.pipeline import (
         _P06_BLOOM_K,
         _P06_BLOOM_M,
-        _p06_bloom_filter_expr,
+        _p06_bloom_screen_expr,
     )
 
     members = [
@@ -174,14 +174,15 @@ def test_p06_bloom_expr_never_false_negative(spark, sf_dir):
         for s in range(_P06_BLOOM_K):
             p = r[f"p{s}"]
             words[p // 64] |= 1 << (p % 64)
-    test = _p06_bloom_filter_expr(words)
-
+    # Screen each string through the DEPLOYED array-filter expression
+    # (a 1-element gram array survives iff the gram is admitted).
+    screen = _p06_bloom_screen_expr(words, grams="array(g)")
     both = spark.createDataFrame(
         [(g, True) for g in members] + [(g, False) for g in others],
         ["g", "is_member"],
     )
     got = both.select(
-        "is_member", F.expr(test).alias("admitted")
+        "is_member", (F.size(F.expr(screen)) == 1).alias("admitted")
     ).collect()
     n_member_dropped = sum(
         1 for r in got if r["is_member"] and not r["admitted"]
