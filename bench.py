@@ -73,6 +73,27 @@ def _run(spark, name: str, sf_dir: str) -> float:
     return time.perf_counter() - t0
 
 
+def _loadavg() -> list[float]:
+    """Host 1/5/15-min load averages — the ambient-load marker (round
+    11, the round-10 verdict's #4: headline drift of ±10% round-over-
+    round needed cross-round forensics to attribute to host load; a
+    per-rep snapshot makes the record self-adjudicating)."""
+    try:
+        with open("/proc/loadavg") as fh:
+            return [float(x) for x in fh.read().split()[:3]]
+    except OSError:
+        return []
+
+
+def _probe(spark) -> float:
+    """Fixed CPU-bound probe (no IO, no shuffle, constant work): its
+    wall-clock per rep calibrates how much of a rep's drift is the
+    host, not the queries."""
+    t0 = time.perf_counter()
+    spark.range(50_000_000).selectExpr("sum(id)").collect()
+    return time.perf_counter() - t0
+
+
 #: Tracked but NOT in the headline total (kept stable round-to-round):
 #: a real checkpointed streaming drain, the Arrow/pandas feature path,
 #: and (round 3+) the newest extension ops so their perf is on record
@@ -248,7 +269,11 @@ def main() -> None:
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     run_totals: list[float] = []
+    rep_loadavg: list[list[float]] = []
+    rep_probe: list[float] = []
     for _ in range(reps):
+        rep_loadavg.append(_loadavg())
+        rep_probe.append(round(_probe(spark), 3))
         rep_times = {name: _run(spark, name, sf_dir) for name in names}
         run_totals.append(round(sum(rep_times.values()), 3))
         for name, secs in rep_times.items():
@@ -272,7 +297,9 @@ def main() -> None:
     # "parsed": null because the 55-entry extra dict pushed the headline
     # fields out of the driver's tail-capture window — never again.
     sidecar = {"extra": extra, "sf": sf_val,
-               "headline_run_totals": run_totals, "reps": reps}
+               "headline_run_totals": run_totals, "reps": reps,
+               "rep_loadavg": rep_loadavg, "rep_probe_secs": rep_probe,
+               "final_loadavg": _loadavg()}
     print(json.dumps(sidecar))
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

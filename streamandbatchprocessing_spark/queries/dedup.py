@@ -2085,14 +2085,24 @@ def c20_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate-stream cost is unchanged (band width / _CONT_MIN remain
     the compute levers), but emission is ≤ N·|docs| at any scale, so
     downstream suppression and the sink never see the quadratic
-    regime. Measured at sf1.0 (round 10, quiet noop-write best-of-2 —
-    the scale_check protocol): emission 690,494,683 -> 396,810 rows
-    (1740x) for wall 186 s (r9 uncapped) -> 238 s capped (+28%): the
-    WindowGroupLimit sort of the ~690 M-row qualifying stream is the
-    price, paid once, and a NOOP sink is the only sink it loses to —
-    any real write/downstream consumer of the uncapped pair set costs
-    far more than the sort (a contended count-protocol A/B in this
-    round measured capped 345 s vs uncapped 583 s end-to-end)."""
+    regime. The round-10 build paid a full re-shuffle of the ~690
+    M-row qualifying stream for the top-N window (sf1.0 noop
+    best-of-2: 238 s capped vs 186 s uncapped, +28%); round 11
+    reordered the tokset joins (db-side first, da-side LAST) so the
+    da join's own exchange satisfies the window's clustering and the
+    cap costs only a LOCAL sort + WindowGroupLimit — no exchange,
+    plan-pinned (tests/test_plans.py). Measured at sf1.0
+    (scripts/c20_ab_capfree.py, round 11, same-session best-of-2):
+    reordered-capped 454 s vs round-10-capped 495 s with
+    bit-identical emission (396,810 rows), and an interleaved
+    capped-vs-uncapped rerun put the cap's residual at +16% at the
+    noop sink (397 vs 341 s best; the local sort of the qualifying
+    stream is the remaining price — ambient host load swung 2-4x
+    across that session, so treat the ratio, not the walls). A NOOP
+    sink is the only sink the cap loses to — any real
+    write/downstream consumer of the uncapped pair set costs far
+    more (round-10 count-protocol A/B: capped 345 s vs uncapped
+    583 s end-to-end)."""
     return _c20_frame(spark, sf_dir, _C20_TOPN)
 
 

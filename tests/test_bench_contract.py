@@ -42,6 +42,14 @@ def test_bench_emits_compact_final_headline_line():
     assert extras["reps"] == 3
     assert len(extras["headline_run_totals"]) == 3
     assert all(t > 0 for t in extras["headline_run_totals"])
+    # Round 11: per-rep host-load markers make headline drift
+    # self-adjudicating (loadavg snapshot + a fixed CPU-bound probe
+    # per rep, plus a closing loadavg after the extras sweep).
+    assert len(extras["rep_loadavg"]) == 3
+    assert all(len(la) == 3 for la in extras["rep_loadavg"])
+    assert len(extras["rep_probe_secs"]) == 3
+    assert all(p > 0 for p in extras["rep_probe_secs"])
+    assert len(extras["final_loadavg"]) == 3
 
     payload = json.loads(lines[-1])
     assert payload["metric"] == "headline_query_wall_time_total"
