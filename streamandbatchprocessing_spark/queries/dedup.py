@@ -1766,6 +1766,37 @@ _FUZZY_MAX_EDIT = 3
 #: desynchronize.
 _FUZZY_TOPN = env_int("SBP_C18_TOPN", 8)
 
+#: Conservative plan-estimate of one projected probe row (key 8 B +
+#: ~35 B name + ~10 B block key + row overhead) for c18's regime pick:
+#: the probe table broadcasts iff rows x this stays under the
+#: session's autoBroadcastJoinThreshold — the same arithmetic the
+#: planner will apply to the build side, evaluated driver-side so the
+#: probe repartition key can match the join the planner picks.
+_C18_PROBE_ROW_BYTES = 64
+
+
+def _broadcast_threshold_bytes(spark: SparkSession) -> int:
+    """The session's autoBroadcastJoinThreshold in bytes (0 when
+    broadcast is disabled). Accepts the conf's size-string forms
+    ("10MB", "10485760b", "-1")."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    mult = 1
+    for suffix, m in (
+        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
+        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
+        ("b", 1),
+    ):
+        if raw.endswith(suffix):
+            raw, mult = raw[: -len(suffix)], m
+            break
+    try:
+        value = int(raw) * mult
+    except ValueError:
+        value = 10 << 20
+    return max(0, value)
+
 
 def _c18_oracle(top_n: int) -> str:
     cap = (
@@ -1816,6 +1847,13 @@ def c18_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands do — add first-k-chars / phonetic codes per token to hold
     per-block population flat; edit distance is integer-exact on both
     engines, so the candidate set is hash-gated, not approximated.
+    The probe repartition key is REGIME-GATED (round 11, found by the
+    sf10 probe): primary key while the build side broadcasts
+    (row-level balance + window-exchange elision), block key once the
+    corpus passes the broadcast threshold (the SMJ rides the pinned
+    exchange; the old unconditional primary-key repartition was a
+    dead exchange there, and AQE's byte-based coalescing then folded
+    the CPU-quadratic join stage to half the cores).
 
     Round-9 10x scale check (sf0.1 -> sf1.0, part names drawn from the
     fixture's FIXED name space, so matches densify quadratically): the
@@ -1848,19 +1886,45 @@ def _c18_frame(spark: SparkSession, sf_dir: str, top_n: int) -> DataFrame:
             toks.getItem(0), F.lit("|"), F.substring(toks.getItem(1), 1, 1)
         ).alias("blk"),
     )
-    # The build side broadcasts (it's the same dimension-sized table),
-    # so the per-pair Levenshtein work all lands on the PROBE side's
-    # tasks — and the fixture is a single-row-group file, i.e. one
-    # task. Hash-redistribute the probe rows by primary key first
-    # (metadata-cheap: rows, not pairs, move) so the in-block pairing
-    # fans out across the cluster; block membership is key-functional,
-    # so the result set is partitioning-invariant. The partition count
-    # is pinned explicitly: the probe rows are bytes-tiny but each
-    # carries ~|block| comparisons of CPU, so AQE's size-based
-    # coalescing (which would fold them back into one task) must not
-    # apply to this exchange.
+    # Regime-gated probe partitioning (round 11 — found by the sf10
+    # probe, where the old always-by-primary-key repartition became a
+    # DEAD exchange): the right key depends on which join the planner
+    # will pick, decided here with one cheap count of the
+    # dimension-sized table against the session's own broadcast
+    # threshold (the p06 regime-pick precedent).
+    #
+    # * BROADCAST regime (build side fits the threshold): partition
+    #   the probe by PRIMARY KEY. Rows of every block spread evenly
+    #   across all tasks (each probe row carries ~|block| comparisons
+    #   of CPU against the broadcast side — row-level balance), and
+    #   the partitioning alias-propagates to part_a so the emission
+    #   cap's window plans with no exchange of its own (plan-pinned).
+    # * SHUFFLE-JOIN regime (any corpus past the threshold): partition
+    #   the probe by BLOCK KEY. The SMJ requires blk clustering, so
+    #   this pinned exchange IS the join's exchange — the primary-key
+    #   repartition would be immediately re-shuffled (measured at
+    #   sf10: a dead exchange, after which AQE's byte-based coalescing
+    #   folded the 47 B-Levenshtein-pair join stage to 15 tasks on 32
+    #   cores: narrow rows look cheap to a byte-sizer). REPARTITION_BY_NUM
+    #   pins the partition count against exactly that coalescing. The
+    #   cap's window then adds one exchange, but only of the stream a
+    #   PARTIAL WindowGroupLimit already bounded to ≤N rows per
+    #   part_a per partition (plan-pinned). Blocks are atomic under
+    #   any equi-join co-location, so per-task balance is only as
+    #   good as the block-size census (scripts/pair_census.py) — a
+    #   dense-block corpus needs blocking-key sharpening, not more
+    #   partitions.
+    # The partition count is pinned explicitly in both regimes; block
+    # membership is key-functional, so the result set is
+    # partitioning-invariant (perturb-sweep-verified).
+    n_probe = part.count()
+    probe_key = (
+        "p_partkey"
+        if n_probe * _C18_PROBE_ROW_BYTES <= _broadcast_threshold_bytes(spark)
+        else "blk"
+    )
     a = p.repartition(
-        spark.sparkContext.defaultParallelism, "p_partkey"
+        spark.sparkContext.defaultParallelism, probe_key
     ).alias("a")
     b = p.alias("b")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))

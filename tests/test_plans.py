@@ -765,3 +765,32 @@ def test_c18_cap_window_reuses_probe_exchange(spark, sf_dir):
     assert len(hash_exchanges) == 1, hash_exchanges
     assert "p_partkey#" in hash_exchanges[0], hash_exchanges
     assert "WindowGroupLimit" in plan, plan[:3000]
+
+
+def test_c18_smj_regime_rides_pinned_block_exchange(spark, sf_dir):
+    """The shuffle-join-regime invariant (round 11, found by the sf10
+    probe): once the build side cannot broadcast, c18's probe must
+    repartition by the BLOCK key with a pinned partition count — the
+    SMJ then rides that exchange directly. The old unconditional
+    primary-key repartition was a DEAD exchange here (immediately
+    re-shuffled by blk), after which AQE's byte-based coalescing
+    folded the CPU-quadratic join stage to half the cores at sf10.
+    The emission cap's window may shuffle only the stream a PARTIAL
+    WindowGroupLimit already bounded (two WindowGroupLimits =
+    partial + final)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = executed_plan(QUERIES["c18_blocked_fuzzy_match"](spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "SortMergeJoin" in plan, plan[:3000]
+    pinned = [
+        line for line in plan.splitlines()
+        if "REPARTITION_BY_NUM" in line
+    ]
+    assert len(pinned) == 1 and "blk#" in pinned[0], pinned
+    assert "Exchange hashpartitioning(p_partkey#" not in plan, (
+        "dead probe exchange is back"
+    )
+    assert plan.count("WindowGroupLimit") == 2, plan[:3000]
