@@ -68,6 +68,21 @@ ANNOTATED = {
         "vector's own sign bits (2 band-exclusive equi-joins), never a "
         "data column — a dominant label cannot recreate O(n²)."
     ),
+    "c18_blocked_fuzzy_match": (
+        "Blocked fuzzy ER with a regime-gated probe repartition "
+        "(primary key while the build side broadcasts — row balance + "
+        "window elision; pinned block key past the threshold so the "
+        "SMJ rides the exchange and AQE cannot byte-coalesce the "
+        "CPU-quadratic stage); emission capped per left record by a "
+        "WindowGroupLimit."
+    ),
+    "c20_containment_pairs": (
+        "Containment verify over the shared candidate artifact: tokset "
+        "joins ordered db-first/da-LAST so the da join's exchange "
+        "doubles as the emission-cap window's clustering — the top-N "
+        "runs as a local sort + WindowGroupLimit with no exchange of "
+        "its own in the shuffle-join regime."
+    ),
     "d03_topk_pandas_vectorized": (
         "Arrow-batched scoring: single MapInPandas over the candidate "
         "scan, then one top-k window shuffle."

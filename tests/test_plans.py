@@ -739,13 +739,24 @@ def test_c20_cap_window_reuses_join_exchange(spark, sf_dir):
         plan = executed_plan(QUERIES["c20_containment_pairs"](spark, sf_dir))
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-    assert plan.count("SortMergeJoin") == 2, plan[:3000]
+    # The candidate artifact may arrive cached (InMemoryTableScan) or,
+    # depending on suite order and the variants-cap LRU, fully inlined
+    # (its band self-joins are then SMJs under this conf too), so pin
+    # the invariant STRUCTURALLY instead of counting joins globally:
+    # the shuffle-join regime is in effect, exactly one da-keyed
+    # exchange exists anywhere (the tokset join's), and nothing
+    # between the window's group-limit and the join below it is an
+    # exchange — the window rides the join's clustering.
+    assert "SortMergeJoin" in plan, plan[:3000]
     da_exchanges = [
         line for line in plan.splitlines()
         if "Exchange hashpartitioning(da#" in line
     ]
     assert len(da_exchanges) == 1, da_exchanges
     assert "WindowGroupLimit" in plan, plan[:3000]
+    seg = plan[plan.index("WindowGroupLimit"):]
+    seg = seg[: seg.index("SortMergeJoin")]
+    assert "Exchange" not in seg, seg
 
 
 def test_c18_cap_window_reuses_probe_exchange(spark, sf_dir):
