@@ -455,24 +455,31 @@ def _p06_bloom_screen_expr(words: list[int], grams: str = "gs") -> str:
     set. ``words`` are raw uint64 bit-words; emitted as signed int64
     literals (two's complement).
 
-    Two plan-size/CPU disciplines (round-11, the advisor's finding —
-    the round-10 build inlined the array once per probe and each
-    xxhash64 twice): the bitmap literal appears EXACTLY ONCE, bound as
-    lambda variable ``bm`` via a 1-element ``transform`` whose
-    CreateArray-of-literals child constant-folds to a single Literal
-    (K probes over the old shape carried K copies, ~128 KB each); and
-    each probe's hash is computed EXACTLY ONCE, bound as lambda
-    variable ``h`` via a 1-element ``exists`` (the old shape repeated
-    the hash for the word index and the bit index — 2K hashes per
-    gram instead of K)."""
+    Plan-size discipline (round-11, the advisor's finding — the
+    round-10 build inlined the array once per probe): the bitmap
+    literal appears EXACTLY ONCE, bound as lambda variable ``bm`` via
+    a 1-element ``transform`` whose CreateArray-of-literals child
+    constant-folds to a single Literal (K probes over the old shape
+    carried K copies, ~128 KB each). Measured free: 48.4 vs 46.5 s at
+    sf10 same-session, inside noise, for half the plan bytes.
+
+    Each probe still evaluates its xxhash64 TWICE (word index + bit
+    index) — deliberately. The advisor's suggested hash-once binding
+    (wrap the hash in a 1-element ``exists`` to bind ``h``) was
+    A/B-measured at sf10 and REJECTED: 57.8 s vs 48.4 s (+19%) —
+    per-gram HOF dispatch + array allocation in the interpreter costs
+    more than recomputing a sub-100 ns hash, the same trade the
+    round-8 int64-gram-key rejection documented. The ``bm`` binding
+    survives because it is per-ROW (one 1-element transform per
+    document), not per-gram."""
     signed = [w - (1 << 64) if w >= (1 << 63) else w for w in words]
     arr = "array(" + ",".join(f"{w}L" for w in signed) + ")"
     probes = []
     for s in range(_P06_BLOOM_K):
+        h = f"pmod(xxhash64(g, {s}), {_P06_BLOOM_M})"
         probes.append(
-            f"exists(array(pmod(xxhash64(g, {s}), {_P06_BLOOM_M})), "
-            f"h -> (element_at(bm, CAST(h DIV 64 AS INT) + 1) & "
-            f"shiftleft(1L, CAST(pmod(h, 64) AS INT))) != 0)"
+            f"(element_at(bm, CAST({h} DIV 64 AS INT) + 1) & "
+            f"shiftleft(1L, CAST(pmod({h}, 64) AS INT))) != 0"
         )
     test = " AND ".join(probes)
     return (

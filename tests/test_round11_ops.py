@@ -81,12 +81,13 @@ def test_e24_cap_zero_disables(spark, sf_dir):
 # ---------------------------------------------------------------------------
 # p06 — Bloom screen expression structure
 # ---------------------------------------------------------------------------
-def test_p06_screen_expr_one_literal_one_hash_per_probe():
+def test_p06_screen_expr_single_literal():
     """The generated screen must carry the ~128 KB bitmap literal
-    EXACTLY ONCE (bound as the ``bm`` lambda variable) and compute
-    exactly K xxhash64 calls per gram (each bound as ``h`` and reused
-    for the word index and the bit index) — the round-10 shape carried
-    K literal copies and 2K hashes."""
+    EXACTLY ONCE (bound as the ``bm`` lambda variable) — the round-10
+    shape carried K copies. The hash stays INLINE (2 evaluations per
+    probe): the hash-once ``exists`` binding was A/B-measured at sf10
+    and rejected (+19% — per-gram HOF dispatch costs more than the
+    hash; see the builder's docstring)."""
     from streamandbatchprocessing_spark.queries.pipeline import (
         _P06_BLOOM_K,
         _P06_BLOOM_M,
@@ -97,5 +98,6 @@ def test_p06_screen_expr_one_literal_one_hash_per_probe():
     words[0] = 1234567891234  # distinctive, grep-able literal
     expr = _p06_bloom_screen_expr(words)
     assert expr.count("1234567891234L") == 1
-    assert expr.count("xxhash64") == _P06_BLOOM_K
+    assert expr.count("xxhash64") == 2 * _P06_BLOOM_K
     assert expr.count("element_at(bm,") == _P06_BLOOM_K
+    assert "exists(" not in expr
