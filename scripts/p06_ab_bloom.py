@@ -25,13 +25,16 @@ Usage: python scripts/p06_ab_bloom.py [sf_dir] [reps]
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from streamandbatchprocessing_spark.queries.pipeline import (  # noqa: E402
     _CONTAM_N,

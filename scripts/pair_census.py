@@ -28,13 +28,18 @@ Prints one line per sf_dir with both counts.
 
 from __future__ import annotations
 
+import os
 import sys
 import time
 
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-sys.path.insert(0, __file__.rsplit("/", 2)[0])
+# Repo root, robust to relative invocation ("python scripts/..."):
+# rsplit on the raw __file__ yielded "scripts" there (round-11 advisor).
+sys.path.insert(
+    0, os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+)
 
 from streamandbatchprocessing_spark.queries.dedup import (  # noqa: E402
     _BANDS,
@@ -81,7 +86,11 @@ def blocked_candidates(spark: SparkSession, sf_dir: str) -> int:
             toks.getItem(0), F.lit("|"), F.substring(toks.getItem(1), 1, 1)
         ).alias("blk")
     )
-    return _pairs_in_groups(p, ["blk"])
+    # A single-token p_name makes concat() NULL; c18's blk EQUI-join
+    # never emits NULL-key pairs, so the NULL group must not count
+    # toward the stream this census claims to measure exactly
+    # (round-11 advisor: an unfiltered census OVERSTATES the join).
+    return _pairs_in_groups(p.filter(F.col("blk").isNotNull()), ["blk"])
 
 
 def main() -> None:

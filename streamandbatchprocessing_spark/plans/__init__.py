@@ -4,6 +4,7 @@ from .explain import (
     has_broadcast_hash_join,
     pushed_filters,
     read_schema,
+    static_plan,
     whole_stage_codegen_spans,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "has_broadcast_hash_join",
     "pushed_filters",
     "read_schema",
+    "static_plan",
     "whole_stage_codegen_spans",
 ]

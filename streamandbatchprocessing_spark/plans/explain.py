@@ -20,6 +20,16 @@ def executed_plan(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001
 
 
+def static_plan(df: DataFrame) -> str:
+    """The STATICALLY planned physical plan (pre-AQE, no job runs):
+    analysis + optimization + physical planning only. This is where
+    Catalyst's broadcast-vs-shuffle join pick is readable before
+    execution — regime gates that must agree with the planner (c18's
+    probe-key pick) read this instead of re-deriving the decision from
+    a parallel size model."""
+    return df._jdf.queryExecution().sparkPlan().toString()  # noqa: SLF001
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """PushedFilters entries of every file scan in the plan."""
     plan = executed_plan(df)

@@ -174,59 +174,61 @@ from .registry import ORACLES, QUERIES
 #: d04/d10/d12/d24/d25, pipeline keeps p23–p27, analytics keeps
 #: g31–g37; every rotated-out query keeps its local strict-oracle
 #: test.
+#: Round-12 rotation (the round-11 verdict's #1 — freshness, not new
+#: code): CORRECTNESS_r11 greened all 50 round-10/11 window entries
+#: (fifth consecutive all-green round; the cumulative record covers
+#: all 212 registered queries), so the window turns to the 12 queries
+#: whose LAST OFFICIAL driver record is the since-fixed round-3
+#: TIMESTAMP_NTZ loader error (a02–a09, b11, g09, g10, g12 — each
+#: last officially green in round 2, nine rounds ago, and green in
+#: every round-11 replica/perturbation run since the fix), the 28
+#: other queries whose last official green is round 2 (b02, b04–b08,
+#: b10, b13–b15, b17–b20, b23–b29, g01, g03, g05–g08, g11), and the 9
+#: whose last official green is round 3 (b01, b03, b09, b12, b16,
+#: b21, b22, g02, g04). The 50th slot is c18, whose probe-regime gate
+#: was rewritten this round (planner-derived trial plan replacing the
+#: round-11 size model — same physical plan at every tested conf, but
+#: the build changed, so per the c18 precedent it earns a fresh
+#: verdict). All 49 rotated-out round-10/11 entries are r10+r11
+#: double-green, unchanged since their verdict, and keep their local
+#: strict-oracle tests; the c/d/e/f/m/p families cede window coverage
+#: for one round — every member is r9–r11 official-green and covered
+#: by the full-registry replica + perturbation sweep the gate records
+#: in COVERAGE.md.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # §2.10 parity flagship (events-based)
-    "a01_revenue_by_category",
-    # dedup + sketches: c01/c18/c20 re-score their rewritten builds
-    # (aliased self-join; round-10 emission bounds _FUZZY_TOPN /
-    # _C20_TOPN; c20 also the r9 tokset injectivity-audit artifact);
-    # c02/c07/c09/c14/c26/c27 keep the shared-artifact spine covered
-    "c01_exact_dedup", "c02_minhash_lsh_pairs",
-    "c07_dup_clusters", "c09_semantic_dedup",
-    "c14_minhash_calibration",
-    "c18_blocked_fuzzy_match", "c20_containment_pairs",
-    "c26_lsh_band_plan_curve", "c27_dedup_threshold_sweep",
-    # similarity search: d09 (aliased self-join) and the five k-means
-    # artifact consumers d11/d14/d18/d20/d22 (derived _ivf_k_for)
-    # re-score their rewritten builds; d04/d10/d12/d24/d25 keep the
-    # IVF, Arrow-pass, filtered-ANN and sweep shapes driver-covered
-    "d04_ivf_kmeans_ann", "d09_ann_recall_eval",
-    "d10_mutual_knn_graph", "d11_nprobe_recall_curve",
-    "d12_filtered_ann", "d14_ivf_cell_balance",
-    "d18_centroid_separation", "d20_ivf_assignment_margin",
-    "d22_nearest_centroid_confusion",
-    "d24_cosine_label_reliability", "d25_sq_bitwidth_sweep",
-    # text analysis: e24 re-scores its round-10 enforced top-K vocab
-    # cap; e10/e17–e21/e23 keep the family's shapes driver-covered
-    "e10_pii_scrub",
-    "e17_trigram_novelty", "e18_quality_rules", "e19_collocation_lift",
-    "e21_source_language_purity", "e23_token_burstiness",
-    "e24_source_vocab_jsd",
-    # streaming extensions (f01 complete-mode + the join matrix +
-    # CDC latest-state keep the family driver-covered)
-    "f01_streaming_dashboard",
-    "f12_stream_full_outer_join",
-    "f14_stream_semi_join", "f15_streaming_latest_state",
-    # multimodal (digest-first placement plan + rebalance audit)
-    "m13_hrw_placement_plan",
-    "m14_hrw_rebalance_audit",
-    # composed pipelines: p01/p17 (aliased self-join) and p06
-    # (intersect-before-explode rewrite) re-score; p23–p27 keep the
-    # family's newest shapes driver-covered
-    "p01_training_mix", "p06_contamination_check",
-    "p17_dedup_adjusted_mix",
-    "p23_length_quality_grid",
-    "p24_split_balance_audit", "p25_context_length_fit",
-    "p26_split_leakage_audit", "p27_tokenizer_fertility",
-    # physical layout (b30 bucketed + b33 DPP + b34 rotated out green;
-    # b35 keeps the family driver-covered)
-    "b35_range_clustered_scan",
-    # cross-series analytics (g29/g30 rotated out green; g31–g37 keep
-    # the family's newest shapes driver-covered)
-    "g31_interarrival_profile", "g32_ship_latency_profile",
-    "g33_brand_basket_lift", "g34_cohort_ltv",
-    "g35_purchase_frequency_curve",
-    "g36_order_value_reconciliation", "g37_order_status_consistency",
+    # stale-error set: last official record is the round-3 loader
+    # error; last official green round 2
+    "a02_type_category_grid", "a03_type_share",
+    "a04_user_segmentation", "a05_anomaly_hotspots",
+    "a06_hourly_trends", "a07_type_performance",
+    "a08_user_velocity", "a09_dashboard_windows",
+    "b11_asof_last_click",
+    "g09_multigrain_time_rollup", "g10_json_extraction",
+    "g12_sql_interface",
+    # longest-unscored greens: last official green round 2
+    "b02_top_unshipped_orders", "b04_brand_volume",
+    "b05_customers_with_open_orders", "b06_customers_without_orders",
+    "b07_priority_rollup", "b08_top_orders_per_customer",
+    "b10_machinery_without_pending", "b13_priority_revenue_share",
+    "b14_status_distincts", "b15_segment_status_pivot",
+    "b17_clicks_before_purchase", "b18_order_count_histogram",
+    "b19_small_quantity_revenue", "b20_disjunctive_revenue",
+    "b23_promo_revenue_share", "b24_top_supplier",
+    "b25_nation_trade_volume", "b26_returned_item_losses",
+    "b27_forecast_revenue_change", "b28_priority_by_order_size",
+    "b29_priority_order_check",
+    "g01_customer_order_coverage", "g03_acctbal_dispersion",
+    "g05_status_unpivot", "g06_region_status_grid",
+    "g07_building_with_open_orders", "g08_part_name_features",
+    "g11_user_funnel",
+    # last official green round 3
+    "b01_pricing_summary", "b03_regional_supplier_volume",
+    "b09_order_page", "b12_salted_segment_stats",
+    "b16_returnflag_cube", "b21_large_volume_orders",
+    "b22_idle_rich_customers",
+    "g02_price_percentiles", "g04_order_gaps",
+    # rewritten this round (planner-derived probe-regime gate)
+    "c18_blocked_fuzzy_match",
 )
 
 

@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60, minhash_hashes
 from ..functions.aggregates import pround, pround_sql
+from ..plans import static_plan
 from ..sources.batch import load_table
 from .registry import env_int, persist_tracked, query, session_artifact
 
@@ -1767,35 +1768,58 @@ _FUZZY_MAX_EDIT = 3
 _FUZZY_TOPN = env_int("SBP_C18_TOPN", 8)
 
 #: Conservative plan-estimate of one projected probe row (key 8 B +
-#: ~35 B name + ~10 B block key + row overhead) for c18's regime pick:
-#: the probe table broadcasts iff rows x this stays under the
-#: session's autoBroadcastJoinThreshold — the same arithmetic the
-#: planner will apply to the build side, evaluated driver-side so the
-#: probe repartition key can match the join the planner picks.
-_C18_PROBE_ROW_BYTES = 64
+def _c18_blocked(part: DataFrame) -> DataFrame:
+    """The composite-blocking-key projection both the trial plan and
+    the real join build from — ONE definition so the regime probe
+    below plans exactly the frame the query joins."""
+    toks = F.split("p_name", " ")
+    return part.select(
+        "p_partkey", "p_name",
+        F.concat(
+            toks.getItem(0), F.lit("|"), F.substring(toks.getItem(1), 1, 1)
+        ).alias("blk"),
+    )
 
 
-def _broadcast_threshold_bytes(spark: SparkSession) -> int:
-    """The session's autoBroadcastJoinThreshold in bytes (0 when
-    broadcast is disabled). Accepts the conf's size-string forms
-    ("10MB", "10485760b", "-1")."""
-    raw = str(
-        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
-    ).strip().lower()
-    mult = 1
-    for suffix, m in (
-        ("kb", 1 << 10), ("mb", 1 << 20), ("gb", 1 << 30), ("tb", 1 << 40),
-        ("k", 1 << 10), ("m", 1 << 20), ("g", 1 << 30), ("t", 1 << 40),
-        ("b", 1),
-    ):
-        if raw.endswith(suffix):
-            raw, mult = raw[: -len(suffix)], m
-            break
-    try:
-        value = int(raw) * mult
-    except ValueError:
-        value = 10 << 20
-    return max(0, value)
+def _c18_probe_regime(spark: SparkSession, sf_dir: str) -> str:
+    """Which join Catalyst picks for c18's blk equi-join —
+    ``"broadcast"`` or ``"shuffle"`` — read from the PLANNER ITSELF
+    (round 12, the round-11 advisor's ask): a trial plan of the join
+    WITHOUT the pinned probe exchange is compiled (analysis +
+    optimization + physical planning only; no job runs) and its
+    statically planned join node inspected. Round 11 re-derived the
+    decision from a parallel size model (rows x 64 B vs a hand-parsed
+    autoBroadcastJoinThreshold), which could disagree with Catalyst's
+    sizeInBytes statistic near the threshold and silently reintroduce
+    the dead-exchange / AQE-coalescing pathology the gate exists to
+    prevent; reading the plan makes gate-planner agreement structural
+    (pinned at the threshold edge by
+    tests/test_plans.py::test_c18_gate_agrees_with_planner_at_edge).
+    AQE can still convert the planned SMJ to a broadcast join at
+    runtime if the shuffled build side measures small — in that
+    direction the pinned blk exchange is the join's own clustering,
+    never a dead exchange, so the pathology cannot re-enter.
+
+    Memoized per (application, sf_dir, plan-conf variant) via
+    session_artifact — the memo key includes
+    autoBroadcastJoinThreshold, so the perturbation sweep's forced-SMJ
+    pass re-derives under its own conf — because frame construction
+    must stay cheap: the round-11 gate ran a full count() ACTION every
+    time ``_c18_frame`` was built (every registry build, oracle
+    compare, and plan test — the advisor's third finding)."""
+    def derive() -> str:
+        p = _c18_blocked(load_table(spark, sf_dir, "part"))
+        trial = p.alias("a").join(
+            p.alias("b"),
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.p_partkey") < F.col("b.p_partkey")),
+        )
+        return (
+            "broadcast"
+            if "BroadcastHashJoin" in static_plan(trial)
+            else "shuffle"
+        )
+    return session_artifact(spark, sf_dir, "c18_probe_regime", derive)
 
 
 def _c18_oracle(top_n: int) -> str:
@@ -1879,19 +1903,12 @@ def c18_blocked_fuzzy_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _c18_frame(spark: SparkSession, sf_dir: str, top_n: int) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
-    toks = F.split("p_name", " ")
-    p = part.select(
-        "p_partkey", "p_name",
-        F.concat(
-            toks.getItem(0), F.lit("|"), F.substring(toks.getItem(1), 1, 1)
-        ).alias("blk"),
-    )
+    p = _c18_blocked(part)
     # Regime-gated probe partitioning (round 11 — found by the sf10
     # probe, where the old always-by-primary-key repartition became a
     # DEAD exchange): the right key depends on which join the planner
-    # will pick, decided here with one cheap count of the
-    # dimension-sized table against the session's own broadcast
-    # threshold (the p06 regime-pick precedent).
+    # will pick, read from the planner's own trial plan (round 12 —
+    # see _c18_probe_regime) and memoized per conf variant.
     #
     # * BROADCAST regime (build side fits the threshold): partition
     #   the probe by PRIMARY KEY. Rows of every block spread evenly
@@ -1917,10 +1934,9 @@ def _c18_frame(spark: SparkSession, sf_dir: str, top_n: int) -> DataFrame:
     # The partition count is pinned explicitly in both regimes; block
     # membership is key-functional, so the result set is
     # partitioning-invariant (perturb-sweep-verified).
-    n_probe = part.count()
     probe_key = (
         "p_partkey"
-        if n_probe * _C18_PROBE_ROW_BYTES <= _broadcast_threshold_bytes(spark)
+        if _c18_probe_regime(spark, sf_dir) == "broadcast"
         else "blk"
     )
     a = p.repartition(

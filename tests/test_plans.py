@@ -805,3 +805,46 @@ def test_c18_smj_regime_rides_pinned_block_exchange(spark, sf_dir):
         "dead probe exchange is back"
     )
     assert plan.count("WindowGroupLimit") == 2, plan[:3000]
+
+
+def test_c18_gate_agrees_with_planner_at_edge(spark, sf_dir):
+    """Round-12 (the round-11 advisor's medium finding): the regime
+    gate must agree with Catalyst AT the broadcast-threshold boundary,
+    where the round-11 hand-rolled size model (rows x 64 B) could pick
+    the wrong probe key and silently reintroduce the dead-exchange
+    pathology. The gate now reads the planner's own trial plan, so
+    agreement is structural — this pins it: with the threshold set to
+    the build side's own sizeInBytes estimate (planner broadcasts) and
+    one byte below it (planner shuffles), the gate's pick and the
+    query's ACTUAL planned join/exchange shape must match."""
+    from streamandbatchprocessing_spark.queries.dedup import (
+        _c18_blocked,
+        _c18_probe_regime,
+    )
+
+    p = _c18_blocked(load_table(spark, sf_dir, "part"))
+    size = int(
+        p._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        for threshold in (str(size), str(size - 1)):
+            spark.conf.set(
+                "spark.sql.autoBroadcastJoinThreshold", threshold
+            )
+            regime = _c18_probe_regime(spark, sf_dir)
+            plan = executed_plan(
+                QUERIES["c18_blocked_fuzzy_match"](spark, sf_dir)
+            )
+            pinned = [
+                line for line in plan.splitlines()
+                if "REPARTITION_BY_NUM" in line
+            ]
+            if regime == "broadcast":
+                assert "BroadcastHashJoin" in plan, (threshold, plan[:3000])
+                assert len(pinned) == 1 and "p_partkey#" in pinned[0], pinned
+            else:
+                assert "SortMergeJoin" in plan, (threshold, plan[:3000])
+                assert len(pinned) == 1 and "blk#" in pinned[0], pinned
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

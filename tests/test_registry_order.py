@@ -76,6 +76,22 @@ in-window). They swap out 12 r09-green re-confirmations unchanged
 since their verdict: c03, c04, c08, c10, c15, c16, d05, d06, p21,
 p22, g29, g30 — every family keeps in-window siblings and every
 rotated-out query keeps its local strict-oracle test.
+
+Round-12 window policy (freshness, the round-11 verdict's #1):
+CORRECTNESS_r11 greened all 50 window entries — the fifth consecutive
+all-green round — so the window turns to the OLDEST official records:
+the 12 queries whose last official driver record is the since-fixed
+round-3 TIMESTAMP_NTZ loader error (a02–a09, b11, g09, g10, g12; last
+official green round 2), the 28 other queries last officially green in
+round 2 (b02, b04–b08, b10, b13–b15, b17–b20, b23–b29, g01, g03,
+g05–g08, g11), the 9 last officially green in round 3 (b01, b03, b09,
+b12, b16, b21, b22, g02, g04), and — slot 50 — c18, whose probe-regime
+gate was rewritten this round (planner-derived trial plan replacing
+the round-11 size model) and earns a fresh verdict per the c18
+precedent. All 49 rotated-out entries are r10+r11 double-green and
+unchanged since their verdict; the c/d/e/f/m/p families cede window
+coverage for one round, covered by the full-registry replica +
+perturbation sweep recorded in COVERAGE.md.
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES
@@ -125,19 +141,15 @@ def test_every_never_scored_query_inside_scoring_window():
     assert not out, f"never-scored queries outside driver scoring window: {out}"
 
 
-#: Round-10: queries whose physical build changed after their last
-#: driver verdict (round-9 late rewrites + the round-10 emission
-#: bounds / vocab cap) — each must hold a window slot until
-#: CORRECTNESS_r10 re-greens it.
+#: Round-12: queries whose physical build changed after their last
+#: driver verdict — each must hold a window slot until
+#: CORRECTNESS_r12 re-greens it. (The round-10 list — c01, c18, c20,
+#: d09, d11, d14, d18, d20, d22, e24, p01, p06, p17 — was greened by
+#: both r10 and r11.) This round only c18 changed: its probe-regime
+#: gate now reads the planner's own trial plan instead of the
+#: round-11 row-count size model.
 _REWRITTEN_NEED_FRESH_VERDICT = (
-    "c01_exact_dedup", "c18_blocked_fuzzy_match",
-    "c20_containment_pairs",
-    "d09_ann_recall_eval", "d11_nprobe_recall_curve",
-    "d14_ivf_cell_balance", "d18_centroid_separation",
-    "d20_ivf_assignment_margin", "d22_nearest_centroid_confusion",
-    "e24_source_vocab_jsd",
-    "p01_training_mix", "p06_contamination_check",
-    "p17_dedup_adjusted_mix",
+    "c18_blocked_fuzzy_match",
 )
 
 
@@ -149,20 +161,29 @@ def test_artifact_rewritten_queries_hold_window_slots():
 
 def test_window_retains_events_representatives():
     # The events fixture's physical ts type changed between rounds; keep
-    # driver re-confirmation coverage for the events read path.
+    # driver re-confirmation coverage for the events read path. Round
+    # 12: the nine events-based analyses a01–a09 were the queries the
+    # loader bug actually broke — a02–a09 (the stale-error set) plus
+    # b11/b17 (events as-of / sessionization) now carry this coverage;
+    # a01/e10/f01 rotated out r11-green.
     window = set(list(QUERIES)[:50])
-    for n in ("a01_revenue_by_category", "e10_pii_scrub",
-              "f01_streaming_dashboard"):
+    for n in ("a02_type_category_grid", "a06_hourly_trends",
+              "a09_dashboard_windows", "b11_asof_last_click",
+              "b17_clicks_before_purchase"):
         assert n in window
 
 
 def test_rotated_out_queries_remain_registered():
+    # Round-12 rotated-out representatives (one per ceding family):
+    # each must stay registered with its oracle so the full-registry
+    # replica and perturbation sweep keep covering it.
     names = set(QUERIES)
     for n in (
-        "a02_type_category_grid", "a08_user_velocity",
-        "b02_top_unshipped_orders", "b05_customers_with_open_orders",
-        "g01_customer_order_coverage", "g11_user_funnel",
-        "b29_priority_order_check",
+        "a01_revenue_by_category", "c02_minhash_lsh_pairs",
+        "c20_containment_pairs", "d04_ivf_kmeans_ann",
+        "e10_pii_scrub", "f01_streaming_dashboard",
+        "m13_hrw_placement_plan", "p06_contamination_check",
+        "g33_brand_basket_lift",
     ):
         assert n in names
         assert n in ORACLES
