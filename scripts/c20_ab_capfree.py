@@ -23,8 +23,15 @@ Emission equality of A and B is asserted via count + an order-free
 value hash computed in-plan (never a driver-side collect of the pair
 stream).
 
-Usage: python scripts/c20_ab_capfree.py [sf_dir] [reps]
-"""
+Usage: python scripts/c20_ab_capfree.py [sf_dir] [reps] [variants]
+
+``variants`` selects and ORDERS the variants by letter (default ABC).
+Reps are INTERLEAVED across the selected variants (rep 1 of each, then
+rep 2 of each, ...) so ambient-load drift hits every variant equally —
+the round-11 session saw 2-4x loadavg swings that contaminated a
+per-variant-sequential A rep. Per-rep wall time and 1-minute loadavg
+are printed so a reader can adjudicate run quietness (the bench
+sidecar-marker discipline)."""
 
 from __future__ import annotations
 
@@ -120,30 +127,43 @@ def main() -> None:
     shared_toksets(spark, sf_dir).count()
     print(f"artifact warmup: {time.time() - t0:.1f}s", flush=True)
 
-    variants = {
-        "A_r11_capped_joinorder": lambda: _c20_frame(spark, sf_dir, _C20_TOPN),
-        "B_r10_capped_windowshuffle": lambda: variant_b_round10(
-            spark, sf_dir, _C20_TOPN
-        ),
-        "C_uncapped": lambda: _c20_frame(spark, sf_dir, 0),
+    all_variants = {
+        "A": ("A_r11_capped_joinorder",
+              lambda: _c20_frame(spark, sf_dir, _C20_TOPN)),
+        "B": ("B_r10_capped_windowshuffle",
+              lambda: variant_b_round10(spark, sf_dir, _C20_TOPN)),
+        "C": ("C_uncapped", lambda: _c20_frame(spark, sf_dir, 0)),
     }
-    fps = {}
-    for name, fn in variants.items():
-        best = None
-        for _ in range(reps):
+    letters = sys.argv[3] if len(sys.argv) > 3 else "ABC"
+    variants = {all_variants[ch][0]: all_variants[ch][1] for ch in letters}
+    best = {name: None for name in variants}
+    for rep in range(1, reps + 1):
+        for name, fn in variants.items():
             t0 = time.time()
             fn().write.format("noop").mode("overwrite").save()
             dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            best[name] = dt if best[name] is None else min(best[name], dt)
+            print(
+                f"rep {rep} {name}: {dt:.2f}s"
+                f" loadavg={os.getloadavg()[0]:.2f}",
+                flush=True,
+            )
+    fps = {}
+    for name, fn in variants.items():
         fps[name] = _fingerprint(fn())
         print(
-            f"{name}: best-of-{reps} {best:.2f}s rows={fps[name][0]}",
+            f"{name}: best-of-{reps} {best[name]:.2f}s rows={fps[name][0]}",
             flush=True,
         )
-    assert fps["A_r11_capped_joinorder"] == fps["B_r10_capped_windowshuffle"], (
+    capped = [
+        fps[n] for n in ("A_r11_capped_joinorder",
+                         "B_r10_capped_windowshuffle") if n in fps
+    ]
+    assert all(fp == capped[0] for fp in capped), (
         "capped variants disagree", fps
     )
-    print("A == B emission fingerprints match", flush=True)
+    if len(capped) == 2:
+        print("A == B emission fingerprints match", flush=True)
 
 
 if __name__ == "__main__":

@@ -139,33 +139,48 @@ def main() -> None:
         .config("spark.driver.memory", "48g")
         .getOrCreate()
     )
-    variants = {
-        "A_literal_distinct": lambda: variant_literal(spark, sf_dir, True),
-        "B_literal_nodistinct": lambda: variant_literal(spark, sf_dir, False),
-        "C_explode_bhj": lambda: variant_explode_bhj(spark, sf_dir),
-        "D_bloom_prescreen": lambda: variant_bloom_prescreen(spark, sf_dir),
+    all_variants = {
+        "A": ("A_literal_distinct",
+              lambda: variant_literal(spark, sf_dir, True)),
+        "B": ("B_literal_nodistinct",
+              lambda: variant_literal(spark, sf_dir, False)),
+        "C": ("C_explode_bhj", lambda: variant_explode_bhj(spark, sf_dir)),
+        "D": ("D_bloom_prescreen",
+              lambda: variant_bloom_prescreen(spark, sf_dir)),
     }
-    base = None
-    for name, fn in variants.items():
-        best, rows = None, None
-        for _ in range(reps):
+    # Variants are selected/ordered by argv[3] (default ABCD) and reps
+    # are INTERLEAVED across them so ambient drift hits every variant
+    # equally; per-rep wall + 1-min loadavg are printed (the bench
+    # sidecar-marker discipline).
+    letters = sys.argv[3] if len(sys.argv) > 3 else "ABCD"
+    variants = {all_variants[ch][0]: all_variants[ch][1] for ch in letters}
+    best: dict[str, float | None] = {name: None for name in variants}
+    outputs: dict[str, dict] = {}
+    for rep in range(1, reps + 1):
+        for name, fn in variants.items():
             t0 = time.time()
             got = {
                 (r["eval_doc"]): (r["n_hit_grams"], r["n_train_docs"])
                 for r in fn().collect()
             }
             dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-            rows = got
-        if base is None:
-            base = rows
-        same = rows == base
+            best[name] = dt if best[name] is None else min(best[name], dt)
+            outputs[name] = got
+            print(
+                f"rep {rep} {name}: {dt:.2f}s"
+                f" loadavg={os.getloadavg()[0]:.2f}",
+                flush=True,
+            )
+    base_name = next(iter(variants))
+    base = outputs[base_name]
+    for name in variants:
+        same = outputs[name] == base
         print(
-            f"{name}: best-of-{reps} {best:.2f}s rows={len(rows)} "
-            f"matches_A={same}",
+            f"{name}: best-of-{reps} {best[name]:.2f}s "
+            f"rows={len(outputs[name])} matches_{base_name[0]}={same}",
             flush=True,
         )
-        assert same, f"{name} output differs from variant A"
+        assert same, f"{name} output differs from variant {base_name}"
 
 
 if __name__ == "__main__":

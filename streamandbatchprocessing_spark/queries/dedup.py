@@ -2174,11 +2174,12 @@ def c20_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan-pinned (tests/test_plans.py). Measured at sf1.0
     (scripts/c20_ab_capfree.py, round 11, same-session best-of-2):
     reordered-capped 454 s vs round-10-capped 495 s with
-    bit-identical emission (396,810 rows), and an interleaved
-    capped-vs-uncapped rerun put the cap's residual at +16% at the
-    noop sink (397 vs 341 s best; the local sort of the qualifying
-    stream is the remaining price — ambient host load swung 2-4x
-    across that session, so treat the ratio, not the walls). A NOOP
+    bit-identical emission (396,810 rows). Round 12 re-measured the
+    cap's residual with a per-rep INTERLEAVED C,A,C,A protocol on an
+    exclusive host (the r11 session's ambient load swung 2-4x):
+    best-of-2 uncapped 460.0 s vs capped 469.0 s — **+2.0%**, inside
+    rep noise (rep 1 ran the capped variant FASTER); the local sort
+    of the qualifying stream is the remaining price. A NOOP
     sink is the only sink the cap loses to — any real
     write/downstream consumer of the uncapped pair set costs far
     more (round-10 count-protocol A/B: capped 345 s vs uncapped

@@ -563,10 +563,13 @@ def p06_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     p06_ab_bloom.py — the round-9 verdict's next-round #5): Bloom
     pre-screen 7.52 s vs intersect-before-explode 18.14 s (deployed
     r09 shape) vs explode-all + BHJ 33.87 s. At sf10 (100x docs) the
-    deployed Bloom path runs 10.7 s first-touch / 4.7 s warm vs the
-    r09 shape's 99.3 s — the round-9 scale probe's heaviest true
-    cost, cut ~10-21x; still linear in train grams (each gram pays
-    two hash probes), which is this screen's floor. The r09 intersect path
+    deployed Bloom path runs 54.3 s quiet best-of-3 under the COLLECT
+    protocol (round 12 — earlier count-protocol sf10 figures of
+    ~10.7/4.7 s were a measurement artifact: the final 25-row LEFT
+    join lets Catalyst eliminate the whole train-side subtree for a
+    bare count(); see COVERAGE.md round 12). The screen stays linear
+    in train grams (each gram pays two hash probes), which is this
+    screen's floor. The r09 intersect path
     loses at 10x because ArrayIntersect against a ~1k-element literal
     re-materializes the lookup set per ROW, while the Bloom test is
     two hash probes per gram into a shared 128 KB bitmap — the round-8
