@@ -279,10 +279,23 @@ def main() -> None:
         for name, secs in rep_times.items():
             timings[name] = min(timings.get(name, secs), secs)
     timings = {name: round(secs, 3) for name, secs in timings.items()}
+    # Extras were single-shot through round 11, and the big-expression
+    # sweep queries (c26/c27/d25/e24) flapped +-30% round-to-round on
+    # session-context compile noise alone (round 12, measured: steady
+    # state in isolation 0.6-1.45 s vs 1.8-2.0 s single-shot mid-bench
+    # with quiet loadavg/probe markers — analysis + codegen time under
+    # a congested C2 queue, not execution). Best-of-2 per extra costs
+    # ~2 min per bench run and makes the per-query regression signal
+    # mean something.
+    extra_reps = max(
+        1, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPS", "2"))
+    )
     extra: dict[str, float] = {}
     for name in extra_names:
         try:
-            extra[name] = round(_run(spark, name, sf_dir), 3)
+            extra[name] = round(
+                min(_run(spark, name, sf_dir) for _ in range(extra_reps)), 3
+            )
         except Exception:
             # -1.0 marks the failure instead of aborting the bench run, so
             # the headline line still prints — but it is NOT tolerated:
@@ -298,6 +311,7 @@ def main() -> None:
     # fields out of the driver's tail-capture window — never again.
     sidecar = {"extra": extra, "sf": sf_val,
                "headline_run_totals": run_totals, "reps": reps,
+               "extra_reps": extra_reps,
                "rep_loadavg": rep_loadavg, "rep_probe_secs": rep_probe,
                "final_loadavg": _loadavg()}
     print(json.dumps(sidecar))
