@@ -195,9 +195,30 @@ from .registry import ORACLES, QUERIES
 #: for one round — every member is r9–r11 official-green and covered
 #: by the full-registry replica + perturbation sweep the gate records
 #: in COVERAGE.md.
+#: LATE-ROUND-12 REVISION (degenerate-input hardening): the mid-round
+#: sweep over zero-row and null-hostile fixtures
+#: (scripts/degenerate_sweep.py; COVERAGE.md round-12 section) changed
+#: the build of 36 queries (try_divide/when-otherwise null semantics,
+#: hierarchical rollup/cube, F.get blocking keys, state-function NaN
+#: handling, explicit-schema partitioned reads, empty-panel guards)
+#: and the ORACLE text of 7 more (json_valid guards, concat_ws
+#: parity, NULLS FIRST pins, coalesce on empty). Per the c18
+#: precedent every post-verdict change earns a fresh verdict, so they
+#: take the freshness fills' slots; the round-11 verdict's #1 ask —
+#: the 12 stale-error queries a02–a09/b11/g09/g10/g12 — keeps its 12
+#: slots (a02/a05/g10 are also oracle-changed). Two guard-only
+#: changes stay OUTSIDE the window for space, their real-data plans
+#: bit-identical and their builds covered by in-window siblings
+#: sharing the same artifact code path: d15 (consumes the same
+#: _pq_adc_scores artifact as in-window d06) and f08 (same staged
+#: source + interval-join machinery as in-window f12); both are green
+#: in this round's full-registry replica and keep local strict-oracle
+#: tests. The evicted round-2/3 freshness fills (b01–b29 set, g01,
+#: g02, g04–g07) are unchanged-since-verdict, replica-green, and next
+#: in line for round 13.
 PRIORITY_ORDER: tuple[str, ...] = (
-    # stale-error set: last official record is the round-3 loader
-    # error; last official green round 2
+    # stale-error set (round-11 verdict #1): last official record is
+    # the round-3 loader error; last official green round 2
     "a02_type_category_grid", "a03_type_share",
     "a04_user_segmentation", "a05_anomaly_hotspots",
     "a06_hourly_trends", "a07_type_performance",
@@ -205,30 +226,29 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "b11_asof_last_click",
     "g09_multigrain_time_rollup", "g10_json_extraction",
     "g12_sql_interface",
-    # longest-unscored greens: last official green round 2
-    "b02_top_unshipped_orders", "b04_brand_volume",
-    "b05_customers_with_open_orders", "b06_customers_without_orders",
-    "b07_priority_rollup", "b08_top_orders_per_customer",
-    "b10_machinery_without_pending", "b13_priority_revenue_share",
-    "b14_status_distincts", "b15_segment_status_pivot",
-    "b17_clicks_before_purchase", "b18_order_count_histogram",
-    "b19_small_quantity_revenue", "b20_disjunctive_revenue",
-    "b23_promo_revenue_share", "b24_top_supplier",
-    "b25_nation_trade_volume", "b26_returned_item_losses",
-    "b27_forecast_revenue_change", "b28_priority_by_order_size",
-    "b29_priority_order_check",
-    "g01_customer_order_coverage", "g03_acctbal_dispersion",
-    "g05_status_unpivot", "g06_region_status_grid",
-    "g07_building_with_open_orders", "g08_part_name_features",
-    "g11_user_funnel",
-    # last official green round 3
-    "b01_pricing_summary", "b03_regional_supplier_volume",
-    "b09_order_page", "b12_salted_segment_stats",
-    "b16_returnflag_cube", "b21_large_volume_orders",
-    "b22_idle_rich_customers",
-    "g02_price_percentiles", "g04_order_gaps",
-    # rewritten this round (planner-derived probe-regime gate)
-    "c18_blocked_fuzzy_match",
+    # build changed this round: ANSI-null/empty-input hardening
+    "b07_priority_rollup", "b16_returnflag_cube",
+    "b32_partition_pruned_scan", "b33_dynamic_partition_prune",
+    "c13_bloom_prefilter", "c18_blocked_fuzzy_match",
+    "d03_topk_pandas_vectorized", "d05_sq8_topk",
+    "d06_pq_adc_topk", "d19_pq_code_utilization",
+    "d22_nearest_centroid_confusion", "d23_pq_distortion_profile",
+    "e13_bigram_lm_scores", "e19_collocation_lift",
+    "f04_stateful_user_totals", "f06_idle_key_eviction",
+    "f12_stream_full_outer_join",
+    "g03_acctbal_dispersion", "g11_user_funnel",
+    "g17_time_weighted_value", "g35_purchase_frequency_curve",
+    "g36_order_value_reconciliation", "g37_order_status_consistency",
+    "m02_payload_features_pandas", "m10_chunk_dedup_profile",
+    "p04_stratified_sample", "p13_curriculum_buckets",
+    "p19_dataset_card", "p22_quality_survival_curve",
+    "p24_split_balance_audit", "p26_split_leakage_audit",
+    # oracle text changed this round (json_valid / concat_ws /
+    # NULLS FIRST / empty-coalesce pins) — same Spark build
+    "e06_language_id", "e17_trigram_novelty",
+    "e21_source_language_purity", "g08_part_name_features",
+    "m01_binary_payload_stats", "p11_column_profile",
+    "p16_budget_apportionment",
 )
 
 

@@ -26,8 +26,13 @@ from .registry import query
 _DSUM = "CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE)"
 _DAVG = "CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE) / COUNT({x})"
 # events.props is a JSON object like {"k": 87}; this is the portable pair
-# of extraction expressions (verified equivalent Spark<->DuckDB).
-_K_SQL = "CAST(json_extract_string(props, '$.k') AS INTEGER)"
+# of extraction expressions (verified equivalent Spark<->DuckDB). The
+# json_valid guard matches Spark's malformed→NULL contract
+# (get_json_object/from_json): DuckDB's json_extract ERRORS on a
+# malformed/empty payload, which would kill a whole query for one bad
+# record.
+_K_SQL = ("CASE WHEN json_valid(props) THEN "
+          "CAST(json_extract_string(props, '$.k') AS INTEGER) END")
 
 
 def _events_with_k(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,7 +169,8 @@ def a03_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_events,
                MIN(CAST(ts AS TIMESTAMP)) AS first_seen,
                MAX(CAST(ts AS TIMESTAMP)) AS last_seen,
-               COUNT(DISTINCT CAST(json_extract_string(props,'$.k') AS INTEGER))
+               COUNT(DISTINCT CASE WHEN json_valid(props) THEN
+                   CAST(json_extract_string(props,'$.k') AS INTEGER) END)
                    AS n_categories
         FROM events
         WHERE event_type = 'purchase'

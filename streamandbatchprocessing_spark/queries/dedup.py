@@ -1269,8 +1269,13 @@ def c13_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id",
+        # array_join, not concat_ws: concat_ws maps a NULL token array
+        # to '' — a NULL-text document would then HASH-EQUAL an
+        # empty-text document (false dup). array_join propagates the
+        # NULL, matching the oracle's array_to_string(NULL) → NULL th
+        # (NULL th never matches anything in either engine).
         F.md5(
-            F.concat_ws(" ", F.slice(F.split("text", " "), 1, _BF_PREFIX))
+            F.array_join(F.slice(F.split("text", " "), 1, _BF_PREFIX), " ")
         ).alias("th"),
     )
     corpus = docs.filter(F.col("doc_id") % _BF_BATCH_MOD != 0)
@@ -1775,8 +1780,13 @@ def _c18_blocked(part: DataFrame) -> DataFrame:
     toks = F.split("p_name", " ")
     return part.select(
         "p_partkey", "p_name",
+        # F.get (not getItem): a single-token or empty name has no
+        # second token — getItem errors under ANSI, get yields NULL,
+        # and NULL-propagating concat then makes blk NULL, which the
+        # equi-join null-rejects on both engines (the oracle's || does
+        # the same; scripts/pair_census.py already filters NULL blk).
         F.concat(
-            toks.getItem(0), F.lit("|"), F.substring(toks.getItem(1), 1, 1)
+            F.get(toks, 0), F.lit("|"), F.substring(F.get(toks, 1), 1, 1)
         ).alias("blk"),
     )
 

@@ -190,7 +190,11 @@ def date_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = staging_dir("sbp-datepart-") + "/events"
     ev.write.partitionBy("event_date").mode("overwrite").parquet(base)
-    out = spark.read.parquet(base)
+    # Explicit schema: a zero-row write leaves no part files to infer
+    # from (UNABLE_TO_INFER_SCHEMA), and at scale schema-on-read
+    # inference is a listing-cost anti-pattern anyway. The partition
+    # column keeps its DATE type via the declared field.
+    out = spark.read.schema(ev.schema).parquet(base)
     _PART_STAGED[key] = out
     return out
 

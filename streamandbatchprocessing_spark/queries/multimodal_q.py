@@ -25,7 +25,8 @@ from .registry import persist_tracked, query
            CAST(length(text) AS BIGINT) AS n_chars,
            md5(text) AS payload_md5,
            CAST(list_sum(list_transform(string_split(text, ''),
-                                        c -> unicode(c))) AS BIGINT)
+                                        c -> greatest(unicode(c), 0)))
+                AS BIGINT)
                AS codepoint_sum
     FROM documents
     ORDER BY doc_id
@@ -99,6 +100,12 @@ def m02_payload_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             out = []
             for row in pdf.itertuples(index=False):
+                if row.payload is None:
+                    # NULL payload → every feature NULL (the oracle's
+                    # encode(NULL)/sha256(NULL) behavior) — never a
+                    # crash and never fake zero-features.
+                    out.append((row.doc_id, None, None, None, None))
+                    continue
                 payload = bytes(row.payload)
                 out.append(
                     (
@@ -109,10 +116,15 @@ def m02_payload_features_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
                         len(set(payload)),
                     )
                 )
-            yield pd.DataFrame(
+            frame = pd.DataFrame(
                 out,
                 columns=["doc_id", "n_bytes", "sha256_head", "byte_mean", "distinct_bytes"],
             )
+            # Nullable dtypes so a None survives the Arrow handoff as a
+            # typed null (plain object/float columns can't cast safely).
+            frame["n_bytes"] = frame["n_bytes"].astype("Int64")
+            frame["distinct_bytes"] = frame["distinct_bytes"].astype("Int32")
+            yield frame
 
     return docs.mapInPandas(extract, schema).orderBy("doc_id")
 
@@ -634,7 +646,14 @@ def m10_chunk_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         p.select(
             "doc_id",
             F.explode(
-                F.sequence(F.lit(0), F.col("n_chunks") - 1)
+                # n_chunks = 0 guard (empty payload): sequence(0, -1)
+                # DESCENDS instead of being empty, silently minting two
+                # bogus chunk indices; the oracle's range(0, 0) is
+                # empty.
+                F.when(
+                    F.col("n_chunks") > 0,
+                    F.sequence(F.lit(0), F.col("n_chunks") - 1),
+                ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
             ).alias("i"),
             "text",
         )
@@ -667,7 +686,11 @@ def m10_chunk_dedup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_shared", F.lit(0)).cast("long")
             .alias("n_shared_chunks"),
             pround(
-                F.coalesce("n_shared", F.lit(0)) * 1.0 / F.col("n_chunks"), 6
+                F.try_divide(
+                    F.coalesce("n_shared", F.lit(0)) * 1.0,
+                    F.col("n_chunks"),
+                ),
+                6,
             ).alias("shared_ratio"),
         )
         .orderBy("doc_id")

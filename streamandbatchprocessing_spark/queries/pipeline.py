@@ -253,7 +253,7 @@ _SAMPLE_SALT = "smpl:"
     oracle=f"""
     WITH t AS (SELECT doc_id, source,
                       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-                      (CAST(right(source, 1) AS BIGINT) + 1) * 50
+                      (TRY_CAST(right(source, 1) AS BIGINT) + 1) * 50
                           AS rate_permille,
                       CAST(('0x' || substr(
                                md5('{_SAMPLE_SALT}' || source || ':'
@@ -306,7 +306,10 @@ def p04_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long")
         % 1000
     )
-    rate = (F.substring("source", -1, 1).cast("long") + 1) * 50
+    # try_cast: a source name without a trailing digit (or empty) has
+    # no derivable rate — NULL, not an ANSI cast error (oracle:
+    # TRY_CAST). A NULL rate samples nothing from that stratum.
+    rate = (F.substring("source", -1, 1).try_cast("long") + 1) * 50
     t = docs.select(
         "source",
         F.size(F.split("text", " ")).cast("long").alias("n_tokens"),
@@ -314,16 +317,20 @@ def p04_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("bucket"),
     )
     keep = F.col("bucket") < F.col("rate_permille")
+    # when/otherwise, not a bare boolean cast: an unknown keep verdict
+    # (NULL rate/bucket) is "not sampled" (the oracle's CASE→ELSE 0);
+    # sum(cast(NULL)) would poison the stratum's counts to NULL.
+    kept = F.sum(F.when(keep, 1).otherwise(0))
     return (
         t.groupBy("source", "rate_permille")
         .agg(
             F.count(F.lit(1)).alias("n_total"),
-            F.sum(keep.cast("int")).cast("long").alias("n_sampled"),
+            kept.cast("long").alias("n_sampled"),
             F.sum(F.when(keep, F.col("n_tokens")).otherwise(0))
             .cast("long")
             .alias("sampled_tokens"),
             pround(
-                F.sum(keep.cast("int")) * F.lit(1.0) / F.count(F.lit(1)), 6
+                kept * F.lit(1.0) / F.count(F.lit(1)), 6
             ).alias("realized_rate"),
         )
         .orderBy("source")
@@ -1070,14 +1077,21 @@ def _profile_frame(orders: DataFrame, distinct_agg, distinct_name: str) -> DataF
     SELECT * FROM (
     """
     + "\nUNION ALL\n".join(
+        # Per-column stats come from a GLOBAL aggregate subquery (always
+        # exactly one row, even over an empty table) cross-joined to the
+        # row count — NOT "FROM orders ... GROUP BY n.n_rows", which
+        # collapses to ZERO rows on empty input and would diverge from
+        # the profile's (correct) one-row-per-column contract.
         f"""
     SELECT '{col}' AS column_name,
            n.n_rows,
-           CAST(n.n_rows - COUNT({col}) AS BIGINT) AS n_null,
-           CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
-           {_profile_render_sql(col, kind, 'MIN')} AS min_s,
-           {_profile_render_sql(col, kind, 'MAX')} AS max_s
-    FROM orders CROSS JOIN n GROUP BY n.n_rows
+           CAST(n.n_rows - s.cnt AS BIGINT) AS n_null,
+           s.n_distinct, s.min_s, s.max_s
+    FROM (SELECT CAST(COUNT({col}) AS BIGINT) AS cnt,
+                 CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct,
+                 {_profile_render_sql(col, kind, 'MIN')} AS min_s,
+                 {_profile_render_sql(col, kind, 'MAX')} AS max_s
+          FROM orders) s CROSS JOIN n
     """
         for col, kind in _PROFILE_COLS
     )
@@ -1184,9 +1198,11 @@ def p13_curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = quality_scored_docs(docs).select(
         "doc_id", "n_tokens", quality_score_col().alias("quality_score")
     )
-    phase = F.least(
-        F.floor(F.col("quality_score") * 10), F.lit(9)
-    ).cast("int")
+    # when/otherwise cap, not F.least: least SKIPS NULLs (a NULL
+    # quality score would land in phase 9, the top curriculum bucket);
+    # the oracle's CASE keeps it NULL — unscorable docs get no phase.
+    _p = F.floor(F.col("quality_score") * 10)
+    phase = F.when(_p > 9, F.lit(9)).otherwise(_p).cast("int")
     return (
         scored.select(
             "doc_id", "n_tokens", "quality_score",
@@ -1357,7 +1373,8 @@ _APPORTION_BUDGET = 1_000_000
                  ({_APPORTION_BUDGET} * tk.n_tokens) % t.total
                      AS remainder
           FROM tk CROSS JOIN t),
-    rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC, source)
+    rk AS (SELECT *, ROW_NUMBER() OVER (ORDER BY remainder DESC,
+                                                 source NULLS FIRST)
                          AS rem_rank,
                  SUM(floor_alloc) OVER () AS floor_total
            FROM q)
@@ -1652,11 +1669,16 @@ def p19_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs", "n_sources", "n_langs", "total_tokens", "total_chars",
         "distinct_texts",
         pround(
-            1.0 - F.col("distinct_texts") * 1.0 / F.col("n_docs"), 6
+            1.0 - F.try_divide(
+                F.col("distinct_texts") * 1.0, F.col("n_docs")
+            ),
+            6,
         ).alias("dup_rate"),
-        pround(F.col("total_tokens") * 1.0 / F.col("n_docs"), 6)
-        .alias("mean_doc_tokens"),
-        pround(F.col("qsum") / F.col("qn"), 6).alias("mean_quality"),
+        pround(
+            F.try_divide(F.col("total_tokens") * 1.0, F.col("n_docs")), 6
+        ).alias("mean_doc_tokens"),
+        pround(F.try_divide(F.col("qsum"), F.col("qn")), 6)
+        .alias("mean_quality"),
     )
 
 
@@ -1942,7 +1964,10 @@ def p22_quality_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("threshold_decile") / 10.0).alias("threshold"),
             "docs_kept", "tokens_kept",
             pround(
-                F.col("docs_kept").cast("double") / F.col("total_docs"), 6
+                F.try_divide(
+                    F.col("docs_kept").cast("double"), F.col("total_docs")
+                ),
+                6,
             ).alias("docs_share"),
             F.when(
                 F.col("docs_kept") == 0, F.lit(None).cast("double")
@@ -2130,21 +2155,31 @@ def p24_split_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "source", "n_train", "n_val",
             pround(
-                F.col("n_train").cast("double") / F.col("t_train"), 6
+                F.try_divide(
+                    F.col("n_train").cast("double"), F.col("t_train")
+                ),
+                6,
             ).alias("share_train"),
             pround(
-                F.col("n_val").cast("double") / F.col("t_val"), 6
+                F.try_divide(F.col("n_val").cast("double"), F.col("t_val")),
+                6,
             ).alias("share_val"),
             pround(
-                (F.col("n_train") + F.col("n_val")).cast("double")
-                / F.col("t_all"),
+                F.try_divide(
+                    (F.col("n_train") + F.col("n_val")).cast("double"),
+                    F.col("t_all"),
+                ),
                 6,
             ).alias("share_overall"),
             pround(
                 F.abs(
-                    F.col("n_val").cast("double")
-                    / (F.col("n_train") + F.col("n_val"))
-                    - F.col("t_val").cast("double") / F.col("t_all")
+                    F.try_divide(
+                        F.col("n_val").cast("double"),
+                        F.col("n_train") + F.col("n_val"),
+                    )
+                    - F.try_divide(
+                        F.col("t_val").cast("double"), F.col("t_all")
+                    )
                 ),
                 6,
             ).alias("val_rate_deviation"),
@@ -2393,8 +2428,10 @@ def p26_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_leak_groups", "val_docs_exact_leaked",
             "cross_neardup_pairs", "val_docs_near_leaked",
             pround(
-                F.col("val_docs_near_leaked").cast("double")
-                / F.col("n_val"),
+                F.try_divide(
+                    F.col("val_docs_near_leaked").cast("double"),
+                    F.col("n_val"),
+                ),
                 6,
             ).alias("val_leak_share"),
         )

@@ -129,7 +129,12 @@ def g03_acctbal_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("c_acctbal", "s1"),
         dsum(F.col("c_acctbal") * F.col("c_acctbal"), "s2"),
     )
-    var = (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / (F.col("n") - 1)
+    # n = 1 group (e.g. a lone NULL-segment row): sample variance is
+    # undefined — try_divide yields NULL, matching the oracle's x/0.
+    var = F.try_divide(
+        F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"),
+        F.col("n") - 1,
+    )
     return (
         m.select(
             "c_mktsegment",
@@ -315,7 +320,10 @@ def g07_building_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame
            substr(p_name, 1, 10) AS name_prefix,
            replace(p_type, ' ', '_') AS type_slug,
            CAST(contains(p_name, 'a') AS BOOLEAN) AS has_a,
-           concat(p_brand, ':', p_type) AS brand_type
+           -- concat_ws, matching the Spark side: skip-NULL join
+           -- semantics (DuckDB's concat() would keep the ':' literal
+           -- next to a NULL operand: ':ECONOMY')
+           concat_ws(':', p_brand, p_type) AS brand_type
     FROM part
     ORDER BY p_partkey
     """,
@@ -393,7 +401,9 @@ def g09_multigrain_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "g10_json_extraction",
     oracle="""
     WITH p AS (SELECT event_type,
-                      CAST(json_extract(props, '$.k') AS INTEGER) AS k
+                      CASE WHEN json_valid(props) THEN
+                          CAST(json_extract(props, '$.k') AS INTEGER)
+                      END AS k
                FROM events)
     SELECT event_type,
            COUNT(*) AS n_events,
@@ -489,10 +499,10 @@ def g11_user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("t_view").alias("n_view"),
         cnt(did_click).alias("n_view_click"),
         cnt(full).alias("n_full_funnel"),
-        pround(cnt(did_click) * 1.0 / F.count("t_view"), 6).alias(
-            "view_to_click_rate"
-        ),
-        pround(cnt(full) * 1.0 / F.count("t_view"), 6).alias("full_funnel_rate"),
+        pround(F.try_divide(cnt(did_click) * 1.0, F.count("t_view")), 6)
+        .alias("view_to_click_rate"),
+        pround(F.try_divide(cnt(full) * 1.0, F.count("t_view")), 6)
+        .alias("full_funnel_rate"),
     )
 
 
@@ -975,8 +985,12 @@ def g17_time_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "user_id", "n_intervals", "span_us",
         (
+            # span_us = 0 guard (all of a user's events on one
+            # timestamp): ANSI DIV errors on zero; the oracle's // is
+            # NULL there — no time elapsed means no time-weighted mean.
             F.expr(
-                "CAST(CASE WHEN nsum < 0"
+                "CAST(CASE WHEN span_us = 0 THEN NULL"
+                " WHEN nsum < 0"
                 " THEN -((2 * -nsum + span_us) DIV (2 * span_us))"
                 " ELSE (2 * nsum + span_us) DIV (2 * span_us)"
                 " END AS DOUBLE)"
@@ -2508,8 +2522,10 @@ def g35_purchase_frequency_curve(
         .select(
             "k", "users_k_or_more",
             pround(
-                F.col("users_k_or_more").cast("double")
-                / F.col("total_buyers"),
+                F.try_divide(
+                    F.col("users_k_or_more").cast("double"),
+                    F.col("total_buyers"),
+                ),
                 6,
             ).alias("buyer_share"),
         )
@@ -2590,8 +2606,12 @@ def g36_order_value_reconciliation(
         per.groupBy("priority")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.sum((F.col("abs_dev") > 0.01).cast("long")).cast("long")
-            .alias("n_mismatched"),
+            # when/otherwise, not a bare boolean cast: an unknowable
+            # deviation (NULL charge inputs → NULL abs_dev) is not a
+            # mismatch — the oracle's CASE sends NULL to ELSE 0, while
+            # sum(cast(NULL)) would poison the whole group to NULL.
+            F.sum(F.when(F.col("abs_dev") > 0.01, 1).otherwise(0))
+            .cast("long").alias("n_mismatched"),
             pround(
                 dsum(F.col("abs_dev")) / F.count(F.lit(1)), 6
             ).alias("mean_abs_dev"),
@@ -2686,8 +2706,12 @@ def g37_order_status_consistency(
         .crossJoin(F.broadcast(tot))
         .select(
             "recorded_status", "derived_status", "n_orders", "n_lineitems",
-            (F.col("recorded_status") == F.col("derived_status"))
-            .cast("long").alias("is_consistent"),
+            # CASE semantics (oracle): a NULL recorded status is NOT
+            # consistent (0), never NULL — a bare boolean cast would
+            # propagate the NULL.
+            F.when(
+                F.col("recorded_status") == F.col("derived_status"), 1
+            ).otherwise(0).cast("long").alias("is_consistent"),
             pround(
                 F.col("n_orders").cast("double") / F.col("n_total"), 6
             ).alias("order_share"),

@@ -245,6 +245,14 @@ def d03_topk_pandas_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") < 20).limit(_MAX_QUERY_VECTORS).collect(),
         key=lambda r: r.vec_id,
     )
+    if not q_rows:
+        # Zero-row corpus slice → empty query panel. Return the
+        # structurally-empty result without launching a scoring job
+        # (no (0, dim) matrix exists to broadcast — dim is unknowable).
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, "
+                "cos_sim double, rank bigint"
+        )
     q_ids = np.array([r.vec_id for r in q_rows])
     q_mat = np.array([r.v for r in q_rows], dtype=np.float64)  # (nq, dim)
     q_norm = np.linalg.norm(q_mat, axis=1)
@@ -812,6 +820,14 @@ def d05_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
         .collect()  # bounded: one row per dimension
     )
+    if not stats:
+        # Zero-row corpus: no per-dimension scale exists (F.array() of
+        # zero typed elements cannot even be constructed) — the result
+        # is structurally empty.
+        return spark.createDataFrame(
+            [], "query_id bigint, neighbor_id bigint, "
+                "sq_dist bigint, rank bigint"
+        )
     qv = F.array(
         *[
             F.lit(0).cast("long")
@@ -953,6 +969,15 @@ def _pq_encoded_build(spark: SparkSession, sf_dir: str):
         ei.filter(F.col("vec_id") < _PQ_KS).collect(),
         key=lambda r: r["vec_id"],
     )
+    if not cb_rows:
+        # Zero-row corpus: no codebook can be trained. Downstream
+        # consumers still get schema-exact frames — the encoded corpus
+        # is empty and the (M, 0, 0) tensor is never indexed because
+        # every Arrow batch over the empty corpus is skipped.
+        coded = spark.createDataFrame(
+            [], "vec_id bigint, codes array<bigint>"
+        )
+        return ei, coded.persist(), np.zeros((_PQ_M, 0, 0), np.int64), 0
     dim = len(cb_rows[0]["iv"])
     sd = dim // _PQ_M
     # (M, ks, sd) codebook tensor; row order = code order = vec_id order.
@@ -1012,6 +1037,15 @@ def _pq_adc_scores_build(spark: SparkSession, sf_dir: str):
         luts[r["vec_id"]] = (
             ((Q[:, None, :] - CB) ** 2).sum(axis=2)  # (M, ks)
         )
+
+    if not luts:
+        # Empty query panel (zero-row corpus): F.explode over an
+        # element-less F.array() cannot be typed — return the
+        # structurally-empty scored relation instead.
+        empty = spark.createDataFrame(
+            [], "qid bigint, nid bigint, adc_dist bigint"
+        )
+        return ei, empty.persist()
 
     def adc_expr(qid):
         lut_lit = F.array(
@@ -2282,8 +2316,10 @@ def d19_pq_code_utilization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_assigned"), F.lit(0)).cast("long")
             .alias("n_assigned"),
             pround(
-                F.coalesce(F.col("n_assigned"), F.lit(0)).cast("double")
-                / F.col("n_vecs"),
+                F.try_divide(
+                    F.coalesce(F.col("n_assigned"), F.lit(0)).cast("double"),
+                    F.col("n_vecs"),
+                ),
                 6,
             ).alias("share"),
             (F.coalesce(F.col("n_assigned"), F.lit(0)) == 0)
@@ -2639,8 +2675,22 @@ def d22_nearest_centroid_confusion(
             ).alias("dist")
         )
     )
+    # Tiebreak struct carries coalesce(clabel, int32-max) so a NULL
+    # candidate label loses equal-distance ties to every real label
+    # (struct ordering would otherwise sort NULL FIRST while the
+    # oracle's ORDER BY clabel is NULLS LAST — divergent prediction
+    # for any vector equidistant to a labeled and an unlabeled
+    # centroid). Labels are small class ids by contract, never
+    # 2^31-1; the true clabel rides as the third field.
     a = d.groupBy("vec_id", "label").agg(
-        F.min(F.struct(F.col("dist"), F.col("clabel"))).alias("m")
+        F.min(
+            F.struct(
+                F.col("dist"),
+                F.coalesce(F.col("clabel"), F.lit(2147483647))
+                .alias("tb"),
+                F.col("clabel"),
+            )
+        ).alias("m")
     )
     return (
         a.select("label", F.col("m.clabel").alias("predicted"))

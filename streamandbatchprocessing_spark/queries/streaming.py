@@ -154,21 +154,35 @@ def f04_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.pipeline import events_stream, run_to_memory
 
     out_schema = "user_id bigint, n_events bigint, total_cents bigint"
-    state_schema = "n bigint, cents bigint"
+    # nv = count of non-null values folded in: SUM over a group whose
+    # values are ALL NULL is NULL in SQL, and 0 is a legitimate sum —
+    # only the count can distinguish them.
+    state_schema = "n bigint, cents bigint, nv bigint"
 
     def update(key, pdfs, state: GroupState):
-        n, cents = state.get if state.exists else (0, 0)
+        n, cents, nv = state.get if state.exists else (0, 0, 0)
         for pdf in pdfs:
             n += len(pdf)
             # Half-AWAY-from-zero like the oracle's round(); pandas
             # .round() is half-to-even and differs on exact .5 cents.
+            # NULL values are excluded exactly as SQL SUM excludes
+            # them — a NaN through astype('int64') is platform garbage
+            # (observed: int64 min leaking into totals), never a sum.
             v = (pdf["value"] * 100).to_numpy()
+            v = v[~np.isnan(v)]
+            nv += len(v)
             cents += int(
                 np.copysign(np.floor(np.abs(v) + 0.5), v).astype("int64").sum()
             )
-        state.update((n, cents))
+        state.update((n, cents, nv))
         yield pd.DataFrame(
-            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "total_cents": pd.array(
+                    [cents if nv else None], dtype="Int64"
+                ),
+            }
         )
 
     stream = events_stream(spark, sf_dir)

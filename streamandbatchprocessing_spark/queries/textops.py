@@ -343,8 +343,10 @@ def _langid_oracle() -> str:
     )
     best = "greatest(" + ", ".join(f"s_{lang}" for lang in langs) + ")"
     # Same tie order as functions.text.langid: first language in table
-    # order wins among equals; zero hits → 'und'.
-    case = "CASE WHEN best = 0 THEN 'und' " + " ".join(
+    # order wins among equals; zero hits → 'und'. NULL text scores
+    # NULL everywhere — that is 'und' too (the Spark when-chain's
+    # fall-through), never the last language via CASE's NULL→ELSE.
+    case = "CASE WHEN best = 0 OR best IS NULL THEN 'und' " + " ".join(
         f"WHEN s_{lang} = best THEN '{lang}'" for lang in langs[:-1]
     ) + f" ELSE '{langs[-1]}' END"
     return f"""
@@ -980,6 +982,11 @@ def e13_bigram_lm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.col("toks")
     uni = (
         t.select(F.explode_outer("toks").alias("w"))
+        # explode_outer emits one NULL row per NULL-text doc; the
+        # oracle's unnest emits nothing there. NULL is not a token —
+        # drop it or the vocabulary size v (the smoothing denominator)
+        # shifts every bigram's log-prob.
+        .filter(F.col("w").isNotNull())
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("uc"))
     )
@@ -1191,7 +1198,8 @@ def e16_zipf_head_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                                           i -> array_to_string(toks[i:i+2], ' '))
                       END) AS sh
           FROM t),
-    sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_shingles FROM s),
+    sz AS (SELECT doc_id, CAST(COALESCE(len(sh), 0) AS BIGINT)
+               AS n_shingles FROM s),
     x AS (SELECT doc_id, unnest(sh) AS g FROM s),
     d AS (SELECT g, COUNT(*) AS df FROM x GROUP BY g),
     nov AS (SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_novel
@@ -1402,9 +1410,15 @@ def e19_collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = uc.agg(F.sum("cw").cast("long").alias("n_tokens"))
     bg = t.select(
         F.explode(
+            # size<2 guard: sequence(1, 0) DESCENDS ([1, 0]) instead of
+            # being empty, so a single-token doc would index toks[1]
+            # out of bounds (ANSI error). The oracle's range(1, len) is
+            # empty there.
             F.expr(
+                "CASE WHEN size(toks) >= 2 THEN "
                 "transform(sequence(1, size(toks) - 1), "
-                "i -> struct(toks[i - 1] AS w1, toks[i] AS w2))"
+                "i -> struct(toks[i - 1] AS w1, toks[i] AS w2)) "
+                "ELSE array() END"
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
@@ -1521,27 +1535,28 @@ def e20_charclass_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS cnt
                FROM documents GROUP BY source, lang),
     w AS (SELECT source, lang, cnt,
-                 SUM(cnt) OVER (PARTITION BY source) AS n
+                 SUM(cnt) OVER (PARTITION BY source) AS n,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY cnt DESC, lang DESC) AS rn
           FROM c),
-    t AS (SELECT source, lang, cnt, n,
+    t AS (SELECT source, lang, cnt, n, rn,
                  CAST(floor((-1.0 * (CAST(cnt AS DOUBLE) / n)
                              * ln(CAST(cnt AS DOUBLE) / n))
                             * 1000000000.0 + 0.5) AS BIGINT) AS t9
-          FROM w),
-    top AS (SELECT source, lang AS top_lang, cnt AS top_cnt FROM (
-        SELECT source, lang, cnt,
-               ROW_NUMBER() OVER (PARTITION BY source
-                                  ORDER BY cnt DESC, lang DESC) AS rn
-        FROM c) WHERE rn = 1)
+          FROM w)
+    -- dominant language via the same-partition window rather than a
+    -- self-join on source: an equi-join silently DROPS the NULL-source
+    -- group that GROUP BY keeps, losing a row the engine reports.
     SELECT t.source,
            CAST(MAX(t.n) AS BIGINT) AS n_docs,
            CAST(COUNT(*) AS BIGINT) AS n_langs,
-           MAX(top.top_lang) AS top_lang,
-           floor((CAST(MAX(top.top_cnt) AS DOUBLE) / MAX(t.n))
+           MAX(CASE WHEN rn = 1 THEN lang END) AS top_lang,
+           floor((CAST(MAX(CASE WHEN rn = 1 THEN cnt END) AS DOUBLE)
+                  / MAX(t.n))
                  * 1000000.0 + 0.5) / 1000000.0 AS top_share,
            floor((CAST(SUM(t.t9) AS DOUBLE) / 1000000000.0)
                  * 1000000.0 + 0.5) / 1000000.0 AS lang_entropy
-    FROM t JOIN top ON top.source = t.source
+    FROM t
     GROUP BY t.source
     ORDER BY t.source
     """,

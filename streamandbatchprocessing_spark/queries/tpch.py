@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..functions.aggregates import davg, dsum, pround
 from ..sources.batch import load_table
-from .registry import query
+from .registry import persist_tracked, query
 
 # SQL fragment mirroring dsum()/davg() on the DuckDB side.
 _DSUM = "CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE)"
@@ -277,13 +277,58 @@ def b06_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b07_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (status → status+priority → grand).
-    Spark expands this via a single Expand node — one pass, one shuffle."""
+    """ROLLUP hierarchy totals (status → status+priority → grand),
+    computed by hierarchical re-aggregation instead of Spark's
+    Expand-based ``rollup()`` — for two reasons:
+
+    * Scale: Expand replicates every scan row once per grouping set
+      (3x here) before the partial aggregate; aggregating at the
+      finest level first and re-agg'ing the BOUNDED group table
+      (≤ |status| x |priority| rows, tracked-persisted) upward keeps
+      the fact scan single-width and shares it across all levels.
+    * ANSI conformance on empty input: SQL's ``()`` grouping set
+      yields one grand-total row (COUNT 0, SUM NULL) even over zero
+      rows; Spark's ``rollup()`` emits nothing (verified Spark 4.1).
+      ``groupBy().agg()`` always returns a row, restoring the
+      standard semantics the DuckDB oracle implements.
+
+    Exactness across levels: counts re-aggregate as sums; money stays
+    in DECIMAL(25,6) (associative addition — the dsum discipline)
+    until one final double cast per level."""
     orders = load_table(spark, sf_dir, "orders")
-    return orders.rollup("o_orderstatus", "o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        dsum("o_totalprice", "total_price"),
+    g2 = persist_tracked(
+        orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+            .alias("dec_price"),
+        )
     )
+    lvl2 = g2.select(
+        "o_orderstatus", "o_orderpriority", "n_orders",
+        F.col("dec_price").cast("double").alias("total_price"),
+    )
+    lvl1 = (
+        g2.groupBy("o_orderstatus")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("dec_price").cast("double").alias("total_price"),
+        )
+        .select(
+            "o_orderstatus",
+            F.lit(None).cast("string").alias("o_orderpriority"),
+            "n_orders", "total_price",
+        )
+    )
+    lvl0 = g2.groupBy().agg(
+        F.coalesce(F.sum("n_orders"), F.lit(0)).cast("long")
+        .alias("n_orders"),
+        F.sum("dec_price").cast("double").alias("total_price"),
+    ).select(
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        F.lit(None).cast("string").alias("o_orderpriority"),
+        "n_orders", "total_price",
+    )
+    return lvl2.unionByName(lvl1).unionByName(lvl0)
 
 
 @query(
@@ -297,11 +342,51 @@ def b07_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def b16_returnflag_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """CUBE over two low-cardinality dims."""
+    """CUBE over two low-cardinality dims, by hierarchical
+    re-aggregation (see b07): one single-width fact scan into the
+    bounded finest-level table, then the (flag), (status) and ()
+    grouping sets re-aggregate that table — no 4x Expand, and the
+    grand-total row survives empty input per ANSI."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.cube("l_returnflag", "l_linestatus").agg(
-        F.count(F.lit(1)).alias("n_items"),
-        dsum("l_quantity", "total_qty"),
+    g2 = persist_tracked(
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.col("l_quantity").cast("decimal(25,6)"))
+            .alias("dec_qty"),
+        )
+    )
+    full = g2.select(
+        "l_returnflag", "l_linestatus", "n_items",
+        F.col("dec_qty").cast("double").alias("total_qty"),
+    )
+
+    def _level(key: str, other: str) -> DataFrame:
+        return (
+            g2.groupBy(key)
+            .agg(
+                F.sum("n_items").alias("n_items"),
+                F.sum("dec_qty").cast("double").alias("total_qty"),
+            )
+            .select(
+                key, F.lit(None).cast("string").alias(other),
+                "n_items", "total_qty",
+            )
+            .select("l_returnflag", "l_linestatus", "n_items", "total_qty")
+        )
+
+    grand = g2.groupBy().agg(
+        F.coalesce(F.sum("n_items"), F.lit(0)).cast("long")
+        .alias("n_items"),
+        F.sum("dec_qty").cast("double").alias("total_qty"),
+    ).select(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        "n_items", "total_qty",
+    )
+    return (
+        full.unionByName(_level("l_returnflag", "l_linestatus"))
+        .unionByName(_level("l_linestatus", "l_returnflag"))
+        .unionByName(grand)
     )
 
 

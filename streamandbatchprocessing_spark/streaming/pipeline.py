@@ -184,7 +184,12 @@ def events_stream_staged(
     # Max ts as a raw integer in the fixture's own unit; sentinels are
     # written in that same unit so the staged dir stays schema-uniform.
     raw_ts = pq.read_table(src, columns=["ts"])["ts"].cast(pa.int64())
-    mx_raw = int(pc.max(raw_ts).as_py())
+    # Zero-row fixture (pruned slice / empty tenant): max is NULL.
+    # Anchor sentinels at epoch 0 — the drain still runs its two
+    # micro-batches and the sentinel-dropping filter leaves an empty,
+    # schema-exact result instead of an int(None) crash.
+    _mx = pc.max(raw_ts).as_py()
+    mx_raw = int(_mx) if _mx is not None else 0
     base = _time.time()
     os.utime(dst, (base - 30, base - 30))
     day = 86_400 * (1_000_000_000 if unit == "ns" else 1_000_000)
@@ -374,41 +379,54 @@ def stateful_totals_with_eviction_plan(
         "user_id bigint, n_events bigint, total_cents bigint, "
         "n_types bigint, finalized boolean"
     )
-    state_schema = "n bigint, cents bigint, types string"
+    # nv = non-null values folded in: SUM over an all-NULL group is
+    # NULL in SQL, and 0 is a legitimate sum — only the count can
+    # distinguish them.
+    state_schema = "n bigint, cents bigint, nv bigint, types string"
 
     def update(key, pdfs, state: GroupState):
         if state.hasTimedOut:
-            n, cents, types = state.get
+            n, cents, nv, types = state.get
             n_types = len([t for t in types.split(",") if t])
             state.remove()
             yield pd.DataFrame(
                 {
                     "user_id": [key[0]],
                     "n_events": [n],
-                    "total_cents": [cents],
+                    "total_cents": pd.array(
+                        [cents if nv else None], dtype="Int64"
+                    ),
                     "n_types": [n_types],
                     "finalized": [True],
                 }
             )
             return
-        n, cents, types = state.get if state.exists else (0, 0, "")
+        n, cents, nv, types = state.get if state.exists else (0, 0, 0, "")
         tset = {t for t in types.split(",") if t}
         for pdf in pdfs:
             n += len(pdf)
             # Half-AWAY-from-zero like the oracle's round(); pandas
             # .round() is half-to-even and differs on exact .5 cents.
+            # NULL values are excluded exactly as SQL SUM excludes
+            # them — a NaN through astype('int64') is platform garbage
+            # (observed: int64 min leaking into totals), never a sum.
             v = (pdf["value"] * 100).to_numpy()
+            v = v[~np.isnan(v)]
+            nv += len(v)
             cents += int(
                 np.copysign(np.floor(np.abs(v) + 0.5), v).astype("int64").sum()
             )
-            tset |= set(pdf["event_type"].unique())
-        state.update((n, cents, ",".join(sorted(tset))))
+            # COUNT(DISTINCT event_type) semantics: NULL never counts.
+            tset |= set(pdf["event_type"].dropna().unique())
+        state.update((n, cents, nv, ",".join(sorted(tset))))
         state.setTimeoutDuration(timeout_ms)
         yield pd.DataFrame(
             {
                 "user_id": [key[0]],
                 "n_events": [n],
-                "total_cents": [cents],
+                "total_cents": pd.array(
+                    [cents if nv else None], dtype="Int64"
+                ),
                 "n_types": [len(tset)],
                 "finalized": [False],
             }

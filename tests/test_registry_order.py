@@ -141,15 +141,37 @@ def test_every_never_scored_query_inside_scoring_window():
     assert not out, f"never-scored queries outside driver scoring window: {out}"
 
 
-#: Round-12: queries whose physical build changed after their last
-#: driver verdict — each must hold a window slot until
-#: CORRECTNESS_r12 re-greens it. (The round-10 list — c01, c18, c20,
-#: d09, d11, d14, d18, d20, d22, e24, p01, p06, p17 — was greened by
-#: both r10 and r11.) This round only c18 changed: its probe-regime
-#: gate now reads the planner's own trial plan instead of the
-#: round-11 row-count size model.
+#: Round-12: queries whose physical build OR oracle text changed after
+#: their last driver verdict — each must hold a window slot until
+#: CORRECTNESS_r12 re-greens it. Early round 12: c18 (planner-derived
+#: probe-regime gate). Late round 12 (degenerate-input hardening,
+#: COVERAGE.md): the null/empty-semantics fixes across eight families.
+#: Documented exceptions WITHOUT slots (real-data plans bit-identical,
+#: builds covered by in-window siblings on the same artifact path,
+#: replica-green): d15 (shares _pq_adc_scores with d06) and f08
+#: (shares the staged source + interval join with f12).
 _REWRITTEN_NEED_FRESH_VERDICT = (
-    "c18_blocked_fuzzy_match",
+    "b07_priority_rollup", "b16_returnflag_cube",
+    "b32_partition_pruned_scan", "b33_dynamic_partition_prune",
+    "c13_bloom_prefilter", "c18_blocked_fuzzy_match",
+    "d03_topk_pandas_vectorized", "d05_sq8_topk", "d06_pq_adc_topk",
+    "d19_pq_code_utilization", "d22_nearest_centroid_confusion",
+    "d23_pq_distortion_profile",
+    "e06_language_id", "e13_bigram_lm_scores", "e17_trigram_novelty",
+    "e19_collocation_lift", "e21_source_language_purity",
+    "f04_stateful_user_totals", "f06_idle_key_eviction",
+    "f12_stream_full_outer_join",
+    "g03_acctbal_dispersion", "g08_part_name_features",
+    "g10_json_extraction", "g11_user_funnel",
+    "g17_time_weighted_value", "g35_purchase_frequency_curve",
+    "g36_order_value_reconciliation", "g37_order_status_consistency",
+    "m01_binary_payload_stats", "m02_payload_features_pandas",
+    "m10_chunk_dedup_profile",
+    "p04_stratified_sample", "p11_column_profile",
+    "p13_curriculum_buckets", "p16_budget_apportionment",
+    "p19_dataset_card", "p22_quality_survival_curve",
+    "p24_split_balance_audit", "p26_split_leakage_audit",
+    "a02_type_category_grid", "a05_anomaly_hotspots",
 )
 
 
@@ -161,15 +183,16 @@ def test_artifact_rewritten_queries_hold_window_slots():
 
 def test_window_retains_events_representatives():
     # The events fixture's physical ts type changed between rounds; keep
-    # driver re-confirmation coverage for the events read path. Round
-    # 12: the nine events-based analyses a01–a09 were the queries the
-    # loader bug actually broke — a02–a09 (the stale-error set) plus
-    # b11/b17 (events as-of / sessionization) now carry this coverage;
-    # a01/e10/f01 rotated out r11-green.
+    # driver re-confirmation coverage for the events read path. Late
+    # round 12 (degenerate-hardening rotation): a02–a09 (the
+    # stale-error set) plus b11 (events as-of) and the
+    # build-changed events consumers f04/f06/f12 (streaming read) and
+    # g11/g17 (batch funnel/TWAP) carry this coverage; b17 rotated out
+    # unchanged-since-verdict and replica-green.
     window = set(list(QUERIES)[:50])
     for n in ("a02_type_category_grid", "a06_hourly_trends",
               "a09_dashboard_windows", "b11_asof_last_click",
-              "b17_clicks_before_purchase"):
+              "f12_stream_full_outer_join", "g17_time_weighted_value"):
         assert n in window
 
 
