@@ -494,6 +494,23 @@ def test_b33_panel_take_ordered(spark, sf_dir):
     assert "Window" not in plan, plan
 
 
+def test_rollup_cube_hierarchical_no_expand(spark, sf_dir):
+    """b07/b16 (round-12 rewrite) must plan WITHOUT the Expand node
+    Spark's built-in rollup()/cube() uses — Expand replicates every
+    scan row once per grouping set BEFORE the partial aggregate; the
+    hierarchical re-aggregation instead routes the grouping-set levels
+    through the cached finest-level table (InMemoryTableScan), keeping
+    the fact scan single-width. (The rewrite also restores ANSI's
+    grand-total row on empty input — pinned by
+    test_degenerate_inputs.py.)"""
+    for name in ("b07_priority_rollup", "b16_returnflag_cube"):
+        plan = executed_plan(QUERIES[name](spark, sf_dir))
+        assert "Expand" not in plan, f"{name}: Expand reappeared"
+        assert "InMemoryTableScan" in plan, (
+            f"{name}: finest-level table not cache-routed"
+        )
+
+
 def test_p12_profile_no_expand(spark, sf_dir):
     """p12 (approx profile) must plan WITHOUT the Expand node that p11's
     exact multi-countDistinct requires — the whole point of the swap:
