@@ -15,7 +15,7 @@ are adjudicated, not just "didn't crash".
 
 Usage:
     python scripts/degenerate_sweep.py make [base_dir]
-    python scripts/degenerate_sweep.py run {empty|hostile} [base_dir] [names...]
+    python scripts/degenerate_sweep.py run {empty|hostile|unicode} [base_dir] [names...]
 
 ``make`` writes ``<base>/empty/*.parquet`` (zero rows, exact arrow
 schema of the driver fixtures) and ``<base>/hostile/*.parquet`` (a
@@ -73,6 +73,31 @@ def _strip_pandas_meta(schema: pa.Schema) -> pa.Schema:
     return schema.remove_metadata()
 
 
+#: Free-text columns that take multibyte content in the `unicode`
+#: variant. Domain-coded columns (order/line status, returnflag,
+#: priority, event_type, split) keep their enumerated values — queries
+#: legitimately encode their domains.
+_UNICODE_COLS = {
+    "text", "source", "lang", "p_name", "p_type", "p_brand",
+    "c_name", "s_name", "n_name", "r_name", "c_mktsegment",
+}
+
+#: Multibyte samples, each a distinct unicode hazard: accented latin
+#: (2-byte), CJK with and without spaces (3-byte, tokenization),
+#: emoji (4-byte, surrogate-pair territory in UTF-16 engines), RTL
+#: arabic, combining marks (NFD 'e'+U+0301 vs precomposed NFC é),
+#: and sharp-s (case-mapping expands ß→SS in some libraries).
+_UNICODE_SAMPLES = (
+    "héllo wörld français",
+    "こんにちは 世界 日本語テキスト",
+    "全角空白なし連結テキスト",
+    "🦀 emoji 🚀 test 🌍",
+    "مرحبا بالعالم النص العربي",
+    "café vs café nfd nfc",
+    "straße GROSS ß",
+)
+
+
 def make_fixtures(base: str) -> None:
     empty_dir = os.path.join(base, "empty")
     hostile_dir = os.path.join(base, "hostile")
@@ -119,8 +144,39 @@ def make_fixtures(base: str) -> None:
         arrays = [pa.array(cols[f.name], type=f.type) for f in schema]
         tbl = pa.Table.from_arrays(arrays, schema=schema)
         pq.write_table(tbl, os.path.join(hostile_dir, f"{t}.parquet"))
+
+        # Unicode variant: head rows plus one row per multibyte sample
+        # with every free-text column set to it (props gets a JSON
+        # wrapper so parse paths see valid JSON with unicode values).
+        ucols = {name: head.column(name).to_pylist()
+                 for name in schema.names}
+        u_injected = 0
+        if any(f.name in _UNICODE_COLS or f.name == "props"
+               for f in schema):
+            for s in _UNICODE_SAMPLES:
+                for name in schema.names:
+                    if name in _UNICODE_COLS:
+                        v = s
+                    elif name == "props":
+                        v = '{"k": 7, "note": ' + \
+                            '"' + s.replace('"', '') + '"}'
+                    elif name in _KEY_COLS and pa.types.is_integer(
+                        schema.field(name).type
+                    ):
+                        v = next_key
+                        next_key += 1
+                    else:
+                        v = ucols[name][0]
+                    ucols[name].append(v)
+                u_injected += 1
+        u_arrays = [pa.array(ucols[f.name], type=f.type) for f in schema]
+        u_tbl = pa.Table.from_arrays(u_arrays, schema=schema)
+        unicode_dir = os.path.join(base, "unicode")
+        os.makedirs(unicode_dir, exist_ok=True)
+        pq.write_table(u_tbl, os.path.join(unicode_dir, f"{t}.parquet"))
         print(f"{t}: empty 0 rows, hostile {tbl.num_rows} rows "
-              f"({tbl.num_rows - n_base} injected)")
+              f"({tbl.num_rows - n_base} injected), unicode "
+              f"{u_tbl.num_rows} rows ({u_injected} injected)")
 
 
 def run_sweep(sf_dir: str, only: list[str]) -> int:

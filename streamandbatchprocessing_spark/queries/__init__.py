@@ -206,14 +206,18 @@ from .registry import ORACLES, QUERIES
 #: precedent every post-verdict change earns a fresh verdict, so they
 #: take the freshness fills' slots; the round-11 verdict's #1 ask —
 #: the 12 stale-error queries a02–a09/b11/g09/g10/g12 — keeps its 12
-#: slots (a02/a05/g10 are also oracle-changed). Two guard-only
-#: changes stay OUTSIDE the window for space, their real-data plans
-#: bit-identical and their builds covered by in-window siblings
-#: sharing the same artifact code path: d15 (consumes the same
+#: slots (a02/a05/g10 are also oracle-changed). The UNICODE sweep
+#: added two more changes: c11 (6dp-quantized continuous quantiles —
+#: R-7 interpolation diverges in the last ulp between engines) takes
+#: a slot; g08 (full-case ß→SS oracle pin) was already in. Three
+#: guard-only changes stay OUTSIDE the window for space, their
+#: real-data plans bit-identical and their builds covered by
+#: in-window siblings sharing the same artifact code path: d03 (its
+#: empty-panel guard mirrors in-window d05's), d15 (consumes the same
 #: _pq_adc_scores artifact as in-window d06) and f08 (same staged
-#: source + interval-join machinery as in-window f12); both are green
-#: in this round's full-registry replica and keep local strict-oracle
-#: tests. The evicted round-2/3 freshness fills (b01–b29 set, g01,
+#: source + interval-join machinery as in-window f12); all three are
+#: green in this round's full-registry replica and keep local
+#: strict-oracle tests. The evicted round-2/3 freshness fills (b01–b29 set, g01,
 #: g02, g04–g07) are unchanged-since-verdict, replica-green, and next
 #: in line for round 13.
 PRIORITY_ORDER: tuple[str, ...] = (
@@ -229,8 +233,9 @@ PRIORITY_ORDER: tuple[str, ...] = (
     # build changed this round: ANSI-null/empty-input hardening
     "b07_priority_rollup", "b16_returnflag_cube",
     "b32_partition_pruned_scan", "b33_dynamic_partition_prune",
-    "c13_bloom_prefilter", "c18_blocked_fuzzy_match",
-    "d03_topk_pandas_vectorized", "d05_sq8_topk",
+    "c11_quantile_sketch", "c13_bloom_prefilter",
+    "c18_blocked_fuzzy_match",
+    "d05_sq8_topk",
     "d06_pq_adc_topk", "d19_pq_code_utilization",
     "d22_nearest_centroid_confusion", "d23_pq_distortion_profile",
     "e13_bigram_lm_scores", "e19_collocation_lift",

@@ -737,14 +737,22 @@ def c06_hll_user_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "c11_quantile_sketch",
-    oracle="""
+    # Continuous quantiles are 6dp-quantized (pround) on BOTH engines:
+    # R-7 interpolation is the same definition, but Spark evaluates
+    # lo + h*(hi-lo) while DuckDB evaluates (1-h)*lo + h*hi — last-ulp
+    # divergence whenever the percentile position falls between
+    # samples (first observed on the unicode degenerate fixture, where
+    # 7 injected rows shifted p99 off a sample point). Discrete
+    # quantiles are actual data values but quantize through the same
+    # formula for uniformity — identical on both sides either way.
+    oracle=f"""
     SELECT event_type,
-           quantile_disc(value, 0.5)  AS approx_p50,
-           quantile_disc(value, 0.95) AS approx_p95,
-           quantile_disc(value, 0.99) AS approx_p99,
-           quantile_cont(value, 0.5)  AS exact_p50,
-           quantile_cont(value, 0.95) AS exact_p95,
-           quantile_cont(value, 0.99) AS exact_p99,
+           {pround_sql('quantile_disc(value, 0.5)', 6)}  AS approx_p50,
+           {pround_sql('quantile_disc(value, 0.95)', 6)} AS approx_p95,
+           {pround_sql('quantile_disc(value, 0.99)', 6)} AS approx_p99,
+           {pround_sql('quantile_cont(value, 0.5)', 6)}  AS exact_p50,
+           {pround_sql('quantile_cont(value, 0.95)', 6)} AS exact_p95,
+           {pround_sql('quantile_cont(value, 0.99)', 6)} AS exact_p99,
            COUNT(value) AS n
     FROM events
     GROUP BY event_type
@@ -778,12 +786,12 @@ def c11_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(
-            pa[0].alias("approx_p50"),
-            pa[1].alias("approx_p95"),
-            pa[2].alias("approx_p99"),
-            px[0].alias("exact_p50"),
-            px[1].alias("exact_p95"),
-            px[2].alias("exact_p99"),
+            pround(pa[0], 6).alias("approx_p50"),
+            pround(pa[1], 6).alias("approx_p95"),
+            pround(pa[2], 6).alias("approx_p99"),
+            pround(px[0], 6).alias("exact_p50"),
+            pround(px[1], 6).alias("exact_p95"),
+            pround(px[2], 6).alias("exact_p99"),
             # count("value"), not count(*): percentile/percentile_approx
             # skip NULLs, so n must be the sketch's own population.
             F.count("value").alias("n"),

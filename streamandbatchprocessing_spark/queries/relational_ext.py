@@ -315,7 +315,13 @@ def g07_building_with_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame
     "g08_part_name_features",
     oracle="""
     SELECT p_partkey,
-           upper(p_brand) AS brand_upper,
+           -- Case mapping follows Unicode FULL uppercase (the
+           -- JVM/ICU behavior): ß expands to SS. DuckDB's utf8proc
+           -- upper() maps ß to the single char U+1E9E instead, so the
+           -- oracle pre-expands the one divergent codepoint in this
+           -- domain. (Other full-vs-simple divergences — ligatures,
+           -- İ — are out of the fixture's character set.)
+           upper(replace(p_brand, 'ß', 'ss')) AS brand_upper,
            CAST(length(p_name) AS BIGINT) AS name_len,
            substr(p_name, 1, 10) AS name_prefix,
            replace(p_type, ' ', '_') AS type_slug,

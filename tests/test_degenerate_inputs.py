@@ -105,6 +105,26 @@ def test_empty_input(spark, degenerate_base, name):
     )
 
 
+#: Unicode-hostile pins: the two real divergences the sweep found,
+#: plus the multibyte codepoint/byte-length paths worth watching.
+UNICODE_PINS = (
+    "g08_part_name_features",   # full-case ß→SS vs utf8proc ẞ (oracle pin)
+    "c11_quantile_sketch",      # R-7 interpolation last-ulp (pround pin)
+    "m01_binary_payload_stats",  # octet_length vs length on multibyte
+    "m02_payload_features_pandas",  # UTF-8 byte features over 4-byte chars
+    "e06_language_id",          # stopword argmax over CJK/RTL tokens
+)
+
+
+@pytest.mark.parametrize("name", UNICODE_PINS)
+def test_unicode_input(spark, degenerate_base, name):
+    queries, oracles = _registry()
+    compare(
+        spark, os.path.join(degenerate_base, "unicode"),
+        name, queries[name], oracles[name],
+    )
+
+
 @pytest.mark.parametrize("name", HOSTILE_PINS)
 def test_hostile_input(spark, degenerate_base, name):
     queries, oracles = _registry()

@@ -148,13 +148,15 @@ def test_every_never_scored_query_inside_scoring_window():
 #: COVERAGE.md): the null/empty-semantics fixes across eight families.
 #: Documented exceptions WITHOUT slots (real-data plans bit-identical,
 #: builds covered by in-window siblings on the same artifact path,
-#: replica-green): d15 (shares _pq_adc_scores with d06) and f08
-#: (shares the staged source + interval join with f12).
+#: replica-green): d03 (empty-panel guard mirroring d05's), d15
+#: (shares _pq_adc_scores with d06) and f08 (shares the staged source
+#: + interval join with f12).
 _REWRITTEN_NEED_FRESH_VERDICT = (
     "b07_priority_rollup", "b16_returnflag_cube",
     "b32_partition_pruned_scan", "b33_dynamic_partition_prune",
+    "c11_quantile_sketch",
     "c13_bloom_prefilter", "c18_blocked_fuzzy_match",
-    "d03_topk_pandas_vectorized", "d05_sq8_topk", "d06_pq_adc_topk",
+    "d05_sq8_topk", "d06_pq_adc_topk",
     "d19_pq_code_utilization", "d22_nearest_centroid_confusion",
     "d23_pq_distortion_profile",
     "e06_language_id", "e13_bigram_lm_scores", "e17_trigram_novelty",
