@@ -259,6 +259,22 @@ def shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def shared_pairs_count(spark: SparkSession, sf_dir: str) -> int:
+    """Session-shared row count of the banded candidate stream — the
+    input to the calibration-sample modulus derivation (c14/c26).
+    Memoized for the same reason c18's probe regime is (round 12, the
+    round-11 advisor's pattern): the count is a full action over the
+    persisted O(pairs) artifact (~0.7 s on the sf0.1 stream), and
+    re-running it on every frame CONSTRUCTION made every consumer's
+    build pay it again. One count per (application, corpus, plan-conf
+    variant) is the production shape — a pipeline records the
+    candidate-stream cardinality once, next to the artifact itself."""
+    return session_artifact(
+        spark, sf_dir, "pairs_count",
+        lambda: shared_pairs(spark, sf_dir).count(),
+    )
+
+
 def shared_toksets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-shared ``doc_id -> int64-hashed distinct-token set``.
 
@@ -1479,10 +1495,10 @@ def c14_minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Candidate stream and hashed token sets are the session-shared
     # pipeline artifacts (shared_pairs / shared_toksets); the sample
     # filter runs on the persisted pair stream BEFORE the token-set
-    # joins. The modulus count() is an action on the persisted
-    # artifact (first toucher pays the build, which c14 needs anyway).
+    # joins. The modulus count is the memoized artifact-cardinality
+    # (shared_pairs_count — first toucher pays the build + one count).
     pairs = shared_pairs(spark, sf_dir)
-    mod = _cal_sample_mod(pairs.count())
+    mod = _cal_sample_mod(shared_pairs_count(spark, sf_dir))
     est = pairs.select(
         "da", "db", (F.col("agree") / 16.0).alias("est_jaccard")
     ).filter(F.pmod(_pair_sample_hash(), F.lit(mod)) == 0)
@@ -2723,7 +2739,7 @@ def c26_lsh_band_plan_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     as exact DECIMAL(25,6) into a ≤ 4·10-row report — bit-portable
     and mergeable across any partitioning."""
     pairs = shared_pairs(spark, sf_dir)
-    mod = _cal_sample_mod(pairs.count())
+    mod = _cal_sample_mod(shared_pairs_count(spark, sf_dir))
     sample = pairs.select("da", "db").filter(
         F.pmod(_pair_sample_hash(), F.lit(mod)) == 0
     )

@@ -1054,15 +1054,22 @@ def m14_hrw_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     slots node 0 held — ~R/N of all slots, not a ring re-shard.
 
     Scale: same frame as m13 — payloads collapse to DISTINCT digests
-    first, the node fan-out is a CONSTANT N per digest, and the
-    weighted fan-out is PERSISTED so both rankings read one computed
-    copy (scan, digest collapse, and md5 weights paid once, not per
-    ranking side); both rankings are windows over ≤ N rows per digest
-    (key-bounded, never corpus-wide), and the before/after comparison
-    is a same-key full-outer join of two ≤ R·|digests| streams. The
-    report is an N-row integer aggregate. Weights are the md5-prefix
-    integer (hash60), identical on both engines, so the simulated
-    placement — not just the counts — is bit-portable."""
+    first, the node fan-out is a CONSTANT N per digest, and BOTH
+    rankings come out of ONE window pass over that fan-out (round-12
+    optimization, guide §2.4): in the (weight DESC, node) order the
+    before-rank is the running row count and the after-rank is the
+    running count of SURVIVING nodes — deleting a competitor never
+    reorders the survivors, which is exactly HRW's minimal-movement
+    property, so the second ranking is a running conditional sum in
+    the SAME frame, not a second window or a re-shuffle. The window
+    rides the digest collapse's own hash partitioning (no exchange of
+    its own), and the before/after comparison is a per-row flag pair —
+    the round-11 shape's persisted fan-out, second window pass, and
+    full-outer (digest, node) self-join (2 exchanges + 2 sorts of the
+    R·|digests| streams) are gone. The report is an N-row integer
+    aggregate. Weights are the md5-prefix integer (hash60), identical
+    on both engines, so the simulated placement — not just the counts
+    — is bit-portable."""
     from ..functions.hashing import hash60
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1086,35 +1093,44 @@ def m14_hrw_rebalance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash60(F.concat(F.col("digest"), F.lit("#"),
                         F.col("node").cast("string"))),
     )
-    # Both rankings read the SAME weighted fan-out; persisting it keeps
-    # the scan + digest collapse + md5 weights a once-per-query cost
-    # instead of recomputing the whole chain per ranking side.
-    w = persist_tracked(w)
-    win = Window.partitionBy("digest").orderBy(
-        F.desc("weight"), F.asc("node")
+    # ONE ordered pass per digest computes both rankings (see the
+    # docstring's scale note): in the (weight DESC, node ASC) order —
+    # a total order, node is unique within a digest — the running row
+    # count IS row_number() (the before-rank), and the running count
+    # of surviving rows IS the after-rank of every surviving row,
+    # because removing the lost node's rows from the order does not
+    # reorder the survivors. Equal frames, so Catalyst evaluates both
+    # in a single Window operator riding the digest collapse's hash
+    # partitioning.
+    frame = (
+        Window.partitionBy("digest")
+        .orderBy(F.desc("weight"), F.asc("node"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    before = (
-        w.withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") <= _HRW_REPLICAS)
-        .select("digest", "node", "n_bytes")
+    ranked = w.select(
+        "digest", "node", "n_bytes",
+        F.count(F.lit(1)).over(frame).alias("rn"),
+        F.sum((F.col("node") != _HRW_LOST_NODE).cast("long"))
+        .over(frame).alias("srn"),
     )
-    after = (
-        w.filter(F.col("node") != _HRW_LOST_NODE)
-        .withColumn("rn", F.row_number().over(win))
-        .filter(F.col("rn") <= _HRW_REPLICAS)
-        .select("digest", "node", "n_bytes")
+    # Flag pair per (digest, node) row; keep exactly the rows the old
+    # full-outer join produced (in either placement) so the
+    # degenerate-fixture row universe is unchanged — including the
+    # NULL-digest subtlety: the join's ``b.digest IS NOT NULL`` /
+    # ``a.digest IS NOT NULL`` flags are FALSE for a genuine
+    # NULL-digest placement row (NULL keys never join), so those rows
+    # exist in the group stream but count toward nothing. The oracle
+    # encodes the same semantics; pinned by the hostile degenerate
+    # sweep.
+    qual_b = F.col("rn") <= _HRW_REPLICAS
+    qual_a = (F.col("node") != _HRW_LOST_NODE) & (
+        F.col("srn") <= _HRW_REPLICAS
     )
-    b, a = before.alias("b"), after.alias("a")
-    m = b.join(
-        a,
-        (F.col("a.digest") == F.col("b.digest"))
-        & (F.col("a.node") == F.col("b.node")),
-        "full_outer",
-    ).select(
-        F.coalesce(F.col("b.node"), F.col("a.node")).alias("node"),
-        F.coalesce(F.col("b.n_bytes"), F.col("a.n_bytes")).alias("n_bytes"),
-        F.col("b.digest").isNotNull().cast("long").alias("in_b"),
-        F.col("a.digest").isNotNull().cast("long").alias("in_a"),
+    nn = F.col("digest").isNotNull()
+    m = ranked.filter(qual_b | qual_a).select(
+        "node", "n_bytes",
+        (qual_b & nn).cast("long").alias("in_b"),
+        (qual_a & nn).cast("long").alias("in_a"),
     )
     inherited = ((F.col("in_a") == 1) & (F.col("in_b") == 0)).cast("long")
     return (

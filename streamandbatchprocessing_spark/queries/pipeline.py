@@ -2395,17 +2395,30 @@ def p26_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = shared_pairs(spark, sf_dir).filter(
         F.col("agree") >= _CC_MIN_AGREE
     )
-    sa = sp.select(
-        F.col("doc_id").alias("da_id"), F.col("split").alias("split_a")
-    )
-    sb = sp.select(
-        F.col("doc_id").alias("db_id"), F.col("split").alias("split_b")
-    )
-    nd = (
-        pairs.join(sa, F.col("da") == F.col("da_id"))
-        .join(sb, F.col("db") == F.col("db_id"))
-        .filter(F.col("split_a") != F.col("split_b"))
-    )
+
+    # The split flag is a PURE function of the doc id (p08's exact
+    # rule), so compute it inline on the pair stream instead of
+    # attaching it via two doc_id joins (round-12 optimization, guide
+    # §2.4): the round-11 shape built two |corpus|-row join sides —
+    # broadcastable only at toy SF; at 100 TB the planner would have
+    # to shuffle the candidate stream twice to attach a flag the
+    # stream can compute itself. Bit-identical by construction (same
+    # hash60 expression, same ids).
+    def split_of(c):
+        return (
+            F.when(
+                hash60(F.concat(F.lit("split:"), c.cast("string"))) % 100
+                < _VAL_PCT,
+                F.lit("val"),
+            )
+            .otherwise(F.lit("train"))
+        )
+
+    nd = pairs.select(
+        "da", "db",
+        split_of(F.col("da")).alias("split_a"),
+        split_of(F.col("db")).alias("split_b"),
+    ).filter(F.col("split_a") != F.col("split_b"))
     ndx = nd.agg(
         F.count(F.lit(1)).cast("long").alias("cross_neardup_pairs"),
         F.countDistinct(

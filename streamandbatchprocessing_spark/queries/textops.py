@@ -1904,18 +1904,42 @@ def _e24_frame(
             F.coalesce(F.col("cnt"), F.lit(0).cast("long")).alias("cnt"),
         )
     )
-    ga = g.select(
-        F.col("source").alias("source_a"), F.col("tok").alias("tok"),
-        F.col("cnt").alias("cnt_a"), F.col("n").alias("n_a"),
+    # Pair generation WITHOUT the grid self-join (round-12
+    # optimization, guide §2.3/§2.4): the round-11 shape computed the
+    # whole grid subtree TWICE (once per join side) and sort-merge-
+    # joined them on tok — two exchanges plus a duplicated grid build.
+    # The grid is dense (exactly one row per (source, tok)), so one
+    # groupBy(tok) collapses each token to its |sources|-bounded
+    # source panel (an enum — never corpus-scaled) and a codegen'd
+    # nested transform emits the i<j pairs map-side, the g33 basket
+    # discipline: ONE grid build, ONE bounded exchange, no join.
+    # sort_array orders each panel by source (struct ordering, source
+    # is unique per token), so pair orientation is source_a < source_b
+    # by construction; the NULL guards reproduce the old join
+    # predicate's null-rejection (tok = tok_b AND source_a < source_b
+    # both reject NULLs) exactly.
+    per_tok = (
+        g.filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("source", "cnt", "n"))
+            ).alias("ss")
+        )
     )
-    gb = g.select(
-        F.col("source").alias("source_b"), F.col("tok").alias("tok_b"),
-        F.col("cnt").alias("cnt_b"), F.col("n").alias("n_b"),
-    )
-    p = ga.join(
-        gb,
-        (F.col("tok") == F.col("tok_b"))
-        & (F.col("source_a") < F.col("source_b")),
+    pair = per_tok.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ss, (x, i) ->"
+                " transform(slice(ss, i + 2, size(ss) - i - 1),"
+                " y -> struct(x.source AS source_a, y.source AS source_b,"
+                " x.cnt AS cnt_a, x.n AS n_a,"
+                " y.cnt AS cnt_b, y.n AS n_b))))"
+            )
+        ).alias("p")
+    ).select("p.*")
+    p = pair.filter(
+        F.col("source_a").isNotNull() & F.col("source_b").isNotNull()
     ).select(
         "source_a", "source_b",
         ((F.col("cnt_a") + F.col("cnt_b")) > 0).cast("long")
