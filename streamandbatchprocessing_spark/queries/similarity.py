@@ -466,6 +466,29 @@ def _quantized_vectors(
     return session_artifact(spark, sf_dir, "quantized_vectors", build)
 
 
+def _sq_dim_stats(spark: SparkSession, sf_dir: str) -> list:
+    """Per-dimension ``(pos, min, max)`` of the embedding corpus — the
+    scalar quantizer's scale table (d05's code grid, d25's bit-width
+    sweep). Session-memoized (round 12): both consumers ran the SAME
+    bounded posexplode→min/max→collect ACTION on every frame build;
+    a production deployment computes the quantizer scale once per
+    corpus snapshot next to the quantized vectors themselves. The
+    collect stays bounded at one row per dimension."""
+
+    def build() -> list:
+        emb = load_table(spark, sf_dir, "embeddings")
+        base = emb.select(as_double(F.col("embedding")).alias("v"))
+        return sorted(
+            (r["pos"], r["mn"], r["mx"])
+            for r in base.select(F.posexplode("v").alias("pos", "val"))
+            .groupBy("pos")
+            .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+            .collect()  # bounded: one row per dimension
+        )
+
+    return session_artifact(spark, sf_dir, "sq_dim_stats", build)
+
+
 def _integer_kmeans(ei: DataFrame, k: int = _IVF_K) -> tuple[list, DataFrame]:
     """Deterministic Lloyd on integer-quantized vectors (see the module
     comment above ``_IVF_K``): broadcast centroid literals → codegen'd
@@ -813,13 +836,10 @@ def d05_sq8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ENTIRE operator exact: no float comparison decides an output row."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    stats = sorted(
-        (r["pos"], r["mn"], r["mx"])
-        for r in base.select(F.posexplode("v").alias("pos", "val"))
-        .groupBy("pos")
-        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
-        .collect()  # bounded: one row per dimension
-    )
+    # Session-memoized quantizer scale (see _sq_dim_stats): identical
+    # rows to the inline aggregate this replaced, collected once per
+    # corpus snapshot instead of per frame build.
+    stats = _sq_dim_stats(spark, sf_dir)
     if not stats:
         # Zero-row corpus: no per-dimension scale exists (F.array() of
         # zero typed elements cannot even be constructed) — the result
@@ -3026,13 +3046,10 @@ def d25_sq_bitwidth_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioning."""
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select("vec_id", as_double(F.col("embedding")).alias("v"))
-    stats = sorted(
-        (r["pos"], r["mn"], r["mx"])
-        for r in base.select(F.posexplode("v").alias("pos", "val"))
-        .groupBy("pos")
-        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
-        .collect()  # bounded: one row per dimension
-    )
+    # Session-memoized quantizer scale (see _sq_dim_stats): identical
+    # rows to the inline aggregate this replaced, collected once per
+    # corpus snapshot instead of per frame build.
+    stats = _sq_dim_stats(spark, sf_dir)
 
     mns = F.array(*[F.lit(mn) for _, mn, _ in stats])
     mxs = F.array(*[F.lit(mx) for _, _, mx in stats])
