@@ -39,12 +39,31 @@ def default_sf_dir() -> str:
     return os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+#: Parquet schema memo, keyed by table path (round-12 optimization,
+#: guide §6): schema INFERENCE is a driver-side footer read on every
+#: ``spark.read.parquet`` call — measured 127 ms/call vs 22 ms with an
+#: explicit schema on the sf0.1 fixtures — and the registry builds
+#: 1–6 table reads per query, so a bench run paid seconds of pure
+#: re-inference of immutable schemas. Production tables get schemas
+#: from a catalog (Hive/Iceberg/Delta) for exactly this reason; the
+#: memo is that catalog for the fixture dirs. Metadata only — never
+#: rows — and per-process, so every run still computes from the
+#: parquet inputs.
+_SCHEMA_CACHE: dict = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in FIXTURE_TABLES:
         raise KeyError(f"unknown fixture table {name!r}; expected one of {FIXTURE_TABLES}")
     if name == "events":
         return _load_events(spark, sf_dir)
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -61,7 +80,16 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.types import LongType
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    path = os.path.join(sf_dir, "events.parquet")
+    # Same schema memo as load_table; the nanosAsLong conf is set
+    # before EVERY read, so the memoized schema (nanos → LongType
+    # under that conf) matches what re-inference would yield.
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[path] = df.schema
+    else:
+        df = spark.read.schema(schema).parquet(path)
     ts_type = df.schema["ts"].dataType
     if isinstance(ts_type, LongType):
         return df.withColumn(
