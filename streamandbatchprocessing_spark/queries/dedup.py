@@ -2615,10 +2615,15 @@ def c25_minhash_fn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: signatures are c02's shared one-shuffle build; the census
     unpivots the 16 columns AT the projection (constant 16x fan-out of
-    |docs| signature rows, never token-scaled) into per-function
-    aggregates — the heavy-value probe is a (fn, value)-keyed count
-    (bounded by distinct signature values) reduced to 16 rows. All
-    integers until the one 6dp ratio."""
+    |docs| signature rows, never token-scaled) into ONE (fn, value)-
+    keyed count (map-side combinable; bounded by distinct signature
+    values), from which a 16-group rollup reads every statistic —
+    n_distinct is the per-fn row count of that grouping, min/max over
+    its keys equal min/max over the raw values, and the heavy-value
+    probe is its max count. One unpivot scan + one shuffle (round 12;
+    previously a second countDistinct path re-scanned and re-shuffled
+    the same 16x stream — interleaved A/B 1.40 s → 0.95 s at sf0.1).
+    All integers until the one 6dp ratio."""
     sig = shared_sig(spark, sf_dir)
     stack_expr = "stack({n}, {args}) AS (fn_idx, hv)".format(
         n=_N_HASHES,
@@ -2628,20 +2633,15 @@ def c25_minhash_fn_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     u = sig.select(F.expr(stack_expr))
     tot = sig.agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
-    topv = (
-        u.groupBy("fn_idx", "hv")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .groupBy("fn_idx")
-        .agg(F.max("c").cast("long").alias("top_value_count"))
-    )
-    stats = u.groupBy("fn_idx").agg(
-        F.countDistinct("hv").cast("long").alias("n_distinct"),
+    per_val = u.groupBy("fn_idx", "hv").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_val.groupBy("fn_idx").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct"),
         F.min("hv").cast("long").alias("min_value"),
         F.max("hv").cast("long").alias("max_value"),
+        F.max("c").cast("long").alias("top_value_count"),
     )
     return (
-        stats.join(F.broadcast(topv), "fn_idx")
-        .crossJoin(F.broadcast(tot))
+        stats.crossJoin(F.broadcast(tot))
         .select(
             "fn_idx", "n_distinct", "min_value", "max_value",
             "top_value_count",
