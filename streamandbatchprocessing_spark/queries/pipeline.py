@@ -28,7 +28,7 @@ from ..functions.aggregates import pround, pround_sql
 from ..functions.windows import panel_window, panel_window_all
 from ..sources.batch import load_table
 from .dedup import _agree_col, _band_pairs, _CC_MIN_AGREE, _sig_df
-from .registry import persist_tracked, query
+from .registry import persist_tracked, query, session_artifact
 from .textops import QUALITY_SCORE_CTE
 
 _EN_WORDS = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
@@ -2341,6 +2341,60 @@ def _p26_oracle() -> str:
     """
 
 
+def _p26_split_of(c: F.Column) -> F.Column:
+    """p08's exact split rule as a column expression — ONE definition
+    feeds the exact arm, both branches of the near-dup arm, and the
+    regime probe below, so the audited split can never drift from the
+    split it audits."""
+    return (
+        F.when(
+            hash60(F.concat(F.lit("split:"), c.cast("string"))) % 100
+            < _VAL_PCT,
+            F.lit("val"),
+        )
+        .otherwise(F.lit("train"))
+    )
+
+
+def _p26_flag_regime(spark: SparkSession, sf_dir: str) -> str:
+    """How p26 attaches split flags to the candidate stream —
+    ``"broadcast"`` (join the |corpus| (doc_id, split) table, flag
+    hashed ONCE per doc) or ``"inline"`` (recompute the id hash on
+    both sides of every pair row, zero flag joins) — read from the
+    PLANNER ITSELF, c18's ``_c18_probe_regime`` pattern: a trial plan
+    of the flag join is compiled (no job runs) and its join node
+    inspected. Measured at sf0.1 (round 12, interleaved): the
+    broadcast join is ~0.9 s faster warm (2.7 s -> ~1.8 s) because it
+    hashes |docs| ids instead of 2x|pairs|; at a corpus whose flag
+    table the planner would NOT broadcast, the join would shuffle the
+    candidate stream twice by da then db to attach a flag the stream
+    can compute itself — there the inline hash (codegen'd, zero
+    exchanges) wins. Both branches are bit-identical by construction
+    (same hash60 expression, same ids; pinned by
+    tests/test_round9_ops.py::test_p26_flag_regimes_agree).
+    Memoized per (application, sf_dir, plan-conf variant) so the
+    forced-SMJ perturbation sweep re-derives under its own conf."""
+
+    def derive() -> str:
+        from .dedup import shared_pairs
+
+        flags = load_table(spark, sf_dir, "documents").select(
+            "doc_id", _p26_split_of(F.col("doc_id")).alias("split")
+        )
+        trial = shared_pairs(spark, sf_dir).select("da", "db").join(
+            flags, F.col("da") == F.col("doc_id")
+        )
+        from ..plans.explain import static_plan
+
+        return (
+            "broadcast"
+            if "BroadcastHashJoin" in static_plan(trial)
+            else "inline"
+        )
+
+    return session_artifact(spark, sf_dir, "p26_flag_regime", derive)
+
+
 @query("p26_split_leakage_audit", oracle=_p26_oracle())
 def p26_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/validation leakage audit: one row reporting, under p08's
@@ -2359,25 +2413,20 @@ def p26_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the exact arm is c01's content-keyed groupBy (map-side
     combinable, conditional int64 counts); the near-dup arm rides the
     session-shared banded candidate stream (shared_pairs — zero new
-    corpus scans) with two doc_id-keyed split-flag joins (the flag is
-    a pure hash of the id, computable at the scan — no extra shuffle
-    of the corpus); everything collapses to three one-row aggregates
-    cross-joined as broadcasts. All-integer output plus one 6dp
-    share — bit-portable under any partitioning."""
+    corpus scans) and attaches the split flag by the planner-gated
+    cheaper of broadcast flag joins vs inline id-hashing
+    (_p26_flag_regime — the flag is a pure hash of the id, so the
+    stream never has to be shuffled to learn it); everything collapses
+    to three one-row aggregates cross-joined as broadcasts.
+    All-integer output plus one 6dp share — bit-portable under any
+    partitioning."""
     from ..functions.hashing import hash60
     from .dedup import shared_pairs
 
     docs = load_table(spark, sf_dir, "documents")
     sp = docs.select(
         "doc_id",
-        F.when(
-            hash60(F.concat(F.lit("split:"), F.col("doc_id").cast("string")))
-            % 100
-            < _VAL_PCT,
-            F.lit("val"),
-        )
-        .otherwise(F.lit("train"))
-        .alias("split"),
+        _p26_split_of(F.col("doc_id")).alias("split"),
         F.md5("text").alias("digest"),
     )
     grp = sp.groupBy("digest").agg(
@@ -2397,28 +2446,35 @@ def p26_split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     # The split flag is a PURE function of the doc id (p08's exact
-    # rule), so compute it inline on the pair stream instead of
-    # attaching it via two doc_id joins (round-12 optimization, guide
-    # §2.4): the round-11 shape built two |corpus|-row join sides —
-    # broadcastable only at toy SF; at 100 TB the planner would have
-    # to shuffle the candidate stream twice to attach a flag the
-    # stream can compute itself. Bit-identical by construction (same
-    # hash60 expression, same ids).
-    def split_of(c):
-        return (
-            F.when(
-                hash60(F.concat(F.lit("split:"), c.cast("string"))) % 100
-                < _VAL_PCT,
-                F.lit("val"),
-            )
-            .otherwise(F.lit("train"))
+    # rule), so at scale the pair stream computes it inline instead of
+    # paying two doc_id joins (guide §2.4: at a corpus whose flag table
+    # cannot broadcast, those joins shuffle the candidate stream twice
+    # by da then db to attach a flag the stream can compute itself).
+    # Under the planner's BROADCAST regime the join attaches flags
+    # hashed ONCE per doc instead of 2x per pair — ~0.9 s faster warm
+    # at sf0.1 — so the pick is regime-gated via the planner's own
+    # trial plan (_p26_flag_regime, the c18 pattern). Bit-identical
+    # either way (same hash60 expression, same ids).
+    if _p26_flag_regime(spark, sf_dir) == "broadcast":
+        flags = docs.select("doc_id", _p26_split_of(F.col("doc_id"))
+                            .alias("split"))
+        sa = flags.select(
+            F.col("doc_id").alias("da_id"), F.col("split").alias("split_a")
         )
-
-    nd = pairs.select(
-        "da", "db",
-        split_of(F.col("da")).alias("split_a"),
-        split_of(F.col("db")).alias("split_b"),
-    ).filter(F.col("split_a") != F.col("split_b"))
+        sb = flags.select(
+            F.col("doc_id").alias("db_id"), F.col("split").alias("split_b")
+        )
+        nd = (
+            pairs.join(sa, F.col("da") == F.col("da_id"))
+            .join(sb, F.col("db") == F.col("db_id"))
+            .filter(F.col("split_a") != F.col("split_b"))
+        )
+    else:
+        nd = pairs.select(
+            "da", "db",
+            _p26_split_of(F.col("da")).alias("split_a"),
+            _p26_split_of(F.col("db")).alias("split_b"),
+        ).filter(F.col("split_a") != F.col("split_b"))
     ndx = nd.agg(
         F.count(F.lit(1)).cast("long").alias("cross_neardup_pairs"),
         F.countDistinct(
