@@ -2349,8 +2349,12 @@ def c21_candidate_degree_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     metadata-sized histogram aggregate."""
     docs = load_table(spark, sf_dir, "documents")
     pairs = shared_pairs(spark, sf_dir)
-    ends = pairs.select(F.col("da").alias("doc_id")).unionAll(
-        pairs.select(F.col("db").alias("doc_id"))
+    # Each pair contributes both endpoints: explode the 2-element array
+    # instead of a self-union, so the (cached) candidate stream is
+    # scanned ONCE, not twice (round 12, guide §2.4 — plan audit showed
+    # the union duplicating the whole pair-stream subtree).
+    ends = pairs.select(
+        F.explode(F.array(F.col("da"), F.col("db"))).alias("doc_id")
     )
     deg = persist_tracked(
         ends.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("degree"))
@@ -2882,6 +2886,14 @@ def c27_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every measure is exact integer arithmetic; the two ratios are
     dyadic/6dp-quantized — bit-portable under any partitioning."""
     pairs = shared_pairs(spark, sf_dir)
+    # Tried and REVERTED (round 12): fusing the ladder into one per-db
+    # grouping (max_agree + 9 conditional counts) so the pair totals
+    # reduce the <= |docs|-row table instead of re-scanning pairs —
+    # interleaved A/B at sf0.1 measured it ~45% SLOWER warm (0.8 s ->
+    # 1.2 s): the global conditional aggregate over the CACHED pair
+    # stream is map-side-total and nearly free, while widening the
+    # per-victim groupBy's shuffle rows 10x costs real bytes (guide
+    # §2.3 — the exchange, not the extra cached scan, is the price).
     mx = pairs.groupBy("db").agg(F.max("agree").alias("max_agree"))
     rh = mx.agg(
         *[
