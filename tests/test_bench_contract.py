@@ -17,12 +17,19 @@ def test_bench_emits_compact_final_headline_line():
         os.environ,
         SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",  # keep the guard fast
         SPARK_GRAFT_CPUS="4",
+        # Round 12 made the extras loop best-of-N (default 2); a second
+        # full extras pass (~2 min at this SF) pushed the guard's total
+        # right against the 420 s timeout, so it flapped under ambient
+        # load. One pass exercises the identical output contract.
+        SPARK_GRAFT_BENCH_EXTRA_REPS="1",
     )
     proc = subprocess.run(
         [sys.executable, "bench.py"],
         capture_output=True,
         text=True,
-        timeout=420,
+        # 600 s: the guard runs ~270 s solo but this host's ambient load
+        # swings (BENCH history) have inflated it past the old 420 s.
+        timeout=600,
         env=env,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
@@ -40,6 +47,7 @@ def test_bench_emits_compact_final_headline_line():
     # driver-read number is robust to ambient host load; the per-rep
     # totals document the spread.
     assert extras["reps"] == 3
+    assert extras["extra_reps"] == 1  # the env knob above took effect
     assert len(extras["headline_run_totals"]) == 3
     assert all(t > 0 for t in extras["headline_run_totals"])
     # Round 11: per-rep host-load markers make headline drift
