@@ -247,15 +247,33 @@ def shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-shared banded candidate stream ``(da, db, agree)`` —
     ``agree`` is the number of agreeing minhashes (0..16), from which
     consumers derive ``est_jaccard = agree / 16.0`` exactly (dyadic
-    rational, bit-identical to computing it inline)."""
-    return _session_artifact(
+    rational, bit-identical to computing it inline).
+
+    Materialized with ``localCheckpoint`` rather than ``persist``
+    (round 12, guide §3.3 "materialise to truncate the plan"): the
+    artifact's lineage is the 4-band union of signature self-joins, and
+    a persist()-cached frame still carries that whole logical tree into
+    every consumer's analysis/optimization pass — the 212-query plan
+    census measured its consumers at 16-66 repetitions of the
+    InMemoryRelation lineage per plan, and profile_queries attributed
+    0.4-12 s of per-query compile time to it. The checkpoint collapses
+    the artifact to a lineage-free ``Scan ExistingRDD`` leaf
+    (MEMORY_AND_DISK deserialized blocks — spills, never fails).
+    Trade-off, documented deliberately: checkpoint blocks cannot be
+    recomputed on eviction, so the variants-cap LRU no longer
+    force-unpersists them (registry._unpersist_value is a no-op for a
+    checkpointed frame) — an evicted variant's blocks are instead
+    released by the ContextCleaner once every consumer plan referencing
+    the RDD is garbage-collected, which is the only point releasing
+    them is actually safe."""
+    return session_artifact(
         spark, sf_dir, "pairs",
         lambda: _band_pairs(
             shared_sig(spark, sf_dir),
             lambda pa, pb, band: [
                 _agree_col(pa, pb, band).cast("int").alias("agree")
             ],
-        ),
+        ).localCheckpoint(eager=True),
     )
 
 

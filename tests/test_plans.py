@@ -712,18 +712,23 @@ def test_panel_window_null_anchor_stays_one_bucket(spark):
 
 
 def test_c20_reads_shared_cache_without_pair_shuffle(spark, sf_dir):
-    """c20's pair stream must come from the session-shared persisted
-    candidate artifact (InMemoryTableScan) and flow through the two
-    token-set joins WITHOUT a pair-stream shuffle — at toy SF both
-    joins broadcast the metadata-sized toksets projection; a
-    ShuffleExchange of the O(pairs) relation BEFORE the containment
-    filter is the regression this pins against. The round-10 emission
-    bound is allowed exactly ONE exchange: hashpartitioning(da) of the
-    already-filtered QUALIFYING stream feeding the per-doc top-N
-    window, which must carry a WindowGroupLimit (rank-limit pushdown,
-    so the sort never retains more than N rows per group)."""
+    """c20's pair stream must come from the session-shared candidate
+    artifact — since round 12 a localCheckpoint-materialized,
+    lineage-free ``Scan ExistingRDD`` leaf (before that, an
+    InMemoryTableScan whose full band-join lineage re-entered every
+    consumer plan) — and flow through the two token-set joins WITHOUT
+    a pair-stream shuffle; at toy SF both joins broadcast the
+    metadata-sized toksets projection, and a ShuffleExchange of the
+    O(pairs) relation BEFORE the containment filter is the regression
+    this pins against. The round-10 emission bound is allowed exactly
+    ONE exchange: hashpartitioning(da) of the already-filtered
+    QUALIFYING stream feeding the per-doc top-N window, which must
+    carry a WindowGroupLimit (rank-limit pushdown, so the sort never
+    retains more than N rows per group)."""
     plan = executed_plan(QUERIES["c20_containment_pairs"](spark, sf_dir))
-    assert "InMemoryTableScan" in plan, plan[:2000]
+    assert "Scan ExistingRDD" in plan, plan[:2000]
+    # toksets stays persist()-cached; everything above its
+    # InMemoryRelation is the pair-processing stage.
     pair_stage = plan.split("InMemoryRelation", 1)[0]
     exchanges = [
         line for line in pair_stage.splitlines()

@@ -167,10 +167,14 @@ def test_release_scopes_by_application_id(spark, sf_dir):
 
 
 def test_shared_artifacts_are_spill_safe(spark, sf_dir):
-    """Every persisted shared artifact must keep persist()'s default
-    MEMORY_AND_DISK level — a MEMORY_ONLY artifact would silently drop
-    partitions (recompute churn) or OOM when the candidate stream
-    outgrows executor memory at large SF."""
+    """Every materialized shared artifact must keep a MEMORY_AND_DISK
+    storage level — a MEMORY_ONLY artifact would silently drop
+    partitions (recompute churn for a persist()-cached one, job FAILURE
+    for a checkpointed one) or OOM when the candidate stream outgrows
+    executor memory at large SF. The pairs artifact is
+    localCheckpoint-materialized (round 12: lineage truncation), so its
+    blocks live on the checkpoint RDD, not in the CacheManager —
+    inspect whichever holds the artifact's blocks."""
     from streamandbatchprocessing_spark.queries import similarity as sim
 
     frames = {
@@ -183,8 +187,15 @@ def test_shared_artifacts_are_spill_safe(spark, sf_dir):
         "adc_scored": sim._pq_adc_scores(spark, sf_dir)[1],
     }
     for name, df in frames.items():
-        lvl = df.storageLevel
-        assert lvl.useMemory and lvl.useDisk, (name, str(lvl))
+        analyzed = df._jdf.queryExecution().analyzed()  # noqa: SLF001
+        if analyzed.getClass().getSimpleName() == "LogicalRDD":
+            jlvl = analyzed.rdd().getStorageLevel()
+            assert jlvl.useMemory() and jlvl.useDisk(), (
+                name, jlvl.toString(),
+            )
+        else:
+            lvl = df.storageLevel
+            assert lvl.useMemory and lvl.useDisk, (name, str(lvl))
 
 
 def test_variant_cap_evicts_lru_conf_variants(spark, sf_dir):
