@@ -169,7 +169,7 @@ def events_stream_staged(
             "(maxFilesPerTrigger=2), so a later sentinel-only batch "
             f"must exist for expired state to flush (got {n_sentinels})"
         )
-    stage = staging_dir("sbp-staged-events-")
+    stage = staging_dir("sbp-staged-events-", kind="state")
     src = os.path.join(sf_dir, "events.parquet")
     if not os.path.isfile(src):
         raise ValueError(
@@ -249,7 +249,7 @@ def run_to_memory(
     """
     spark = df.sparkSession
     name = f"{name_prefix}_{next(_MEM_COUNTER)}"
-    checkpoint = staging_dir("sbp-stream-ckpt-")
+    checkpoint = staging_dir("sbp-stream-ckpt-", kind="state")
     writer = (
         df.writeStream.format("memory")
         .queryName(name)
