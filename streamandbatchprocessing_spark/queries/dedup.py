@@ -27,6 +27,7 @@ from ..functions.hashing import hash60, minhash_hashes
 from ..functions.aggregates import pround, pround_sql
 from ..plans import static_plan
 from ..sources.batch import load_table
+from ..sources.staging import staging_dir
 from .registry import env_int, persist_tracked, query, session_artifact
 
 _N_HASHES = 16
@@ -243,37 +244,111 @@ def shared_sig(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: How the candidate-stream artifact is materialized (round 13, the
+#: round-12 verdict's #1): ``local`` = ``localCheckpoint`` (fast, but
+#: blocks are unrecoverable — on executor loss every in-flight consumer
+#: fails), ``reliable`` = ``checkpoint()`` to the SparkContext
+#: checkpoint dir with a MEMORY_AND_DISK persist on top (warm reads
+#: come from blocks; a lost/evicted block recomputes by re-reading the
+#: checkpoint FILES, so consumers survive executor loss AND the
+#: variants-cap LRU can release blocks promptly and safely).
+#: ``auto`` (default) picks ``local`` on a local[*] master — where
+#: "executor loss" is process death and localCheckpoint's
+#: skip-the-write build is strictly better — and ``reliable`` on any
+#: cluster master, where recompute-safety is the difference between a
+#: retried task and a permanently failed query.
+_PAIRS_MATERIALIZE_MODES = ("auto", "local", "reliable")
+_PAIRS_MATERIALIZE = os.environ.get("SBP_PAIRS_MATERIALIZE", "auto")
+if _PAIRS_MATERIALIZE not in _PAIRS_MATERIALIZE_MODES:
+    raise ValueError(
+        f"$SBP_PAIRS_MATERIALIZE={_PAIRS_MATERIALIZE!r} is not one of "
+        f"{_PAIRS_MATERIALIZE_MODES}"
+    )
+
+
+def _pairs_materialize_mode(spark: SparkSession) -> str:
+    if _PAIRS_MATERIALIZE != "auto":
+        return _PAIRS_MATERIALIZE
+    return (
+        "local" if spark.sparkContext.master.startswith("local")
+        else "reliable"
+    )
+
+
+def _ensure_checkpoint_dir(spark: SparkSession) -> None:
+    """Set a SparkContext checkpoint dir if the host application has
+    not: ``$SBP_CHECKPOINT_DIR`` when given (a real deployment points
+    this at durable shared storage — reliable checkpoints MUST be
+    readable by every executor), else an atexit-cleaned staging dir
+    (corpus-scaled data ⇒ ``kind="bulk"``, disk-backed)."""
+    sc = spark.sparkContext
+    if sc._jsc.sc().checkpointDir().isDefined():  # noqa: SLF001
+        return
+    sc.setCheckpointDir(
+        os.environ.get("SBP_CHECKPOINT_DIR")
+        or staging_dir("sbp-reliable-ckpt-", kind="bulk")
+    )
+
+
+def _materialize_lineage_free(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Materialize ``df`` as a lineage-free ``Scan ExistingRDD`` leaf
+    (round 12: the artifact's 4-band union-of-self-joins lineage
+    re-entered every consumer's analysis/optimization pass — 16-66
+    lineage repetitions per plan, 0.4-12 s compile per query) under the
+    regime :data:`_PAIRS_MATERIALIZE` selects — see that knob for the
+    local-vs-reliable trade."""
+    if _pairs_materialize_mode(spark) == "local":
+        return df.localCheckpoint(eager=True)
+    from pyspark import StorageLevel
+
+    _ensure_checkpoint_dir(spark)
+    out = df.checkpoint(eager=True)
+    # Warm consumers read MEMORY_AND_DISK blocks exactly like the local
+    # regime; the persist layer is SAFE to evict/unpersist here because
+    # recompute is a re-read of the checkpoint files, not a replay of
+    # the truncated lineage.
+    out.persist(StorageLevel.MEMORY_AND_DISK)
+    return out
+
+
 def shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session-shared banded candidate stream ``(da, db, agree)`` —
     ``agree`` is the number of agreeing minhashes (0..16), from which
     consumers derive ``est_jaccard = agree / 16.0`` exactly (dyadic
     rational, bit-identical to computing it inline).
 
-    Materialized with ``localCheckpoint`` rather than ``persist``
+    Materialized lineage-free rather than ``persist()``-cached
     (round 12, guide §3.3 "materialise to truncate the plan"): the
     artifact's lineage is the 4-band union of signature self-joins, and
     a persist()-cached frame still carries that whole logical tree into
     every consumer's analysis/optimization pass — the 212-query plan
     census measured its consumers at 16-66 repetitions of the
     InMemoryRelation lineage per plan, and profile_queries attributed
-    0.4-12 s of per-query compile time to it. The checkpoint collapses
-    the artifact to a lineage-free ``Scan ExistingRDD`` leaf
-    (MEMORY_AND_DISK deserialized blocks — spills, never fails).
-    Trade-off, documented deliberately: checkpoint blocks cannot be
-    recomputed on eviction, so the variants-cap LRU no longer
-    force-unpersists them (registry._unpersist_value is a no-op for a
-    checkpointed frame) — an evicted variant's blocks are instead
-    released by the ContextCleaner once every consumer plan referencing
-    the RDD is garbage-collected, which is the only point releasing
-    them is actually safe."""
+    0.4-12 s of per-query compile time to it. Either materialization
+    regime (see :data:`_PAIRS_MATERIALIZE`) collapses the artifact to a
+    lineage-free ``Scan ExistingRDD`` leaf backed by MEMORY_AND_DISK
+    blocks; on a cluster master the reliable regime additionally writes
+    the partitions to the checkpoint dir, so losing an executor's
+    blocks (or the LRU evicting them) recomputes from files instead of
+    permanently failing every in-flight consumer — the round-12
+    verdict's #1. In the local regime, eviction must NOT force-release
+    the blocks (they are unrecoverable): registry's eviction-path
+    ``_unpersist_value`` is a no-op for a checkpointed frame and the
+    ContextCleaner releases blocks once no consumer plan references the
+    RDD; only the full-release path (shutdown/corpus rotation, where
+    the caller owns the session and no consumer can be in flight)
+    force-drops them."""
     return session_artifact(
         spark, sf_dir, "pairs",
-        lambda: _band_pairs(
-            shared_sig(spark, sf_dir),
-            lambda pa, pb, band: [
-                _agree_col(pa, pb, band).cast("int").alias("agree")
-            ],
-        ).localCheckpoint(eager=True),
+        lambda: _materialize_lineage_free(
+            spark,
+            _band_pairs(
+                shared_sig(spark, sf_dir),
+                lambda pa, pb, band: [
+                    _agree_col(pa, pb, band).cast("int").alias("agree")
+                ],
+            ),
+        ),
     )
 
 

@@ -112,11 +112,30 @@ def _conf_or_default(spark: SparkSession, key: str) -> str:
         return "<default>"
 
 
-def _unpersist_value(value) -> None:
+def _unpersist_value(value, *, force: bool = False) -> None:
+    """Release a memo value's persisted blocks.
+
+    ``DataFrame.unpersist()`` covers CacheManager-cached frames; for a
+    checkpoint-materialized frame (a ``LogicalRDD`` — the candidate
+    stream since round 12) it is a deliberate no-op on the EVICTION
+    path, because localCheckpoint blocks cannot be recomputed and a
+    concurrent consumer mid-query would fail outright (the round-12
+    advisor's finding documents the consequence: an evicted variant's
+    blocks wait for the ContextCleaner). ``force=True`` — the
+    full-release path only (shutdown / corpus rotation, where the
+    caller owns the session and promises no consumer is in flight) —
+    additionally unpersists the underlying RDD's blocks so
+    ``release_session_artifacts`` deterministically bounds storage
+    instead of leaving up to cap-1 unreachable O(pairs) copies to
+    Py4J/JVM GC timing."""
     for part in value if isinstance(value, tuple) else (value,):
         if isinstance(part, DataFrame):
             try:
                 part.unpersist()
+                if force:
+                    analyzed = part._jdf.queryExecution().analyzed()  # noqa: SLF001
+                    if analyzed.getClass().getSimpleName() == "LogicalRDD":
+                        analyzed.rdd().unpersist(False)
             except Exception:
                 pass  # session already stopped
 
@@ -197,7 +216,7 @@ def release_session_artifacts(application_id: str | None = None) -> None:
         for k in keys:
             _ARTIFACT_KEY_LOCKS.pop(k, None)
     for value in values:
-        _unpersist_value(value)
+        _unpersist_value(value, force=True)
 
 
 def persist_tracked(df: DataFrame) -> DataFrame:
