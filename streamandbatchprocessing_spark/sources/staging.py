@@ -41,10 +41,35 @@ _STAGING_ROOT: str | None = os.environ.get("SBP_STAGING_DIR") or None
 _FAST_EPHEMERAL_ROOTS = ("/dev/shm",)
 
 
-def _fast_root() -> str | None:
+#: Byte cap for a SINGLE ``kind="state"`` staged dir on the fast
+#: (tmpfs = memory-backed) root. tmpfs competes with executor memory —
+#: in a memory-cgroup-limited container an unexpectedly large staged
+#: payload OOMs the host rather than slowing down (round-12 verdict's
+#: #3) — so anything with a size hint above the cap, or above the
+#: tmpfs' free space with 2x slack, falls back to the disk-backed
+#: system temp root. Checkpoint/sentinel metadata (no hint) is tiny by
+#: construction and stays fast. 0 disables tmpfs staging entirely.
+_STATE_STAGING_MAX_BYTES = int(
+    os.environ.get("SBP_STATE_STAGING_MAX_BYTES", str(1 << 30))
+)
+
+
+def _fast_root(size_hint_bytes: int | None = None) -> str | None:
+    if _STATE_STAGING_MAX_BYTES == 0:
+        return None
     for root in _FAST_EPHEMERAL_ROOTS:
-        if os.path.isdir(root) and os.access(root, os.W_OK):
-            return root
+        if not (os.path.isdir(root) and os.access(root, os.W_OK)):
+            continue
+        if size_hint_bytes is not None:
+            if size_hint_bytes > _STATE_STAGING_MAX_BYTES:
+                continue
+            try:
+                st = os.statvfs(root)
+                if size_hint_bytes * 2 > st.f_bavail * st.f_frsize:
+                    continue  # would consume >half the tmpfs headroom
+            except OSError:
+                continue
+        return root
     return None
 
 
@@ -56,7 +81,9 @@ def set_staging_root(root: str | None) -> None:
     _STAGING_ROOT = root
 
 
-def staging_dir(prefix: str, *, kind: str = "bulk") -> str:
+def staging_dir(
+    prefix: str, *, kind: str = "bulk", size_hint_bytes: int | None = None
+) -> str:
     """``tempfile.mkdtemp`` plus registration for removal at process
     exit. Returns the created directory path.
 
@@ -64,12 +91,17 @@ def staging_dir(prefix: str, *, kind: str = "bulk") -> str:
     root, disk-backed, sized by the corpus. ``kind="state"`` —
     streaming checkpoint/sentinel metadata: small files whose write
     latency is per-drain overhead, placed on the fast ephemeral root
-    when the host has one. ``$SBP_STAGING_DIR`` / ``set_staging_root``
-    override both."""
+    when the host has one. A caller that stages a payload of KNOWN
+    size (the staged-events data copy) passes ``size_hint_bytes``; a
+    hint above ``$SBP_STATE_STAGING_MAX_BYTES`` or above the tmpfs'
+    free space (2x slack) falls back to the disk root — tmpfs is
+    memory, and a corpus-scaled copy there (Docker's 64 MB /dev/shm
+    default, a bigger SF) fails with ENOSPC or silently eats RAM.
+    ``$SBP_STAGING_DIR`` / ``set_staging_root`` override both."""
     global _HOOKED
     root = _STAGING_ROOT
     if root is None and kind == "state":
-        root = _fast_root()
+        root = _fast_root(size_hint_bytes)
     path = tempfile.mkdtemp(prefix=prefix, dir=root)
     _STAGED_DIRS.append(path)
     if not _HOOKED:

@@ -169,7 +169,6 @@ def events_stream_staged(
             "(maxFilesPerTrigger=2), so a later sentinel-only batch "
             f"must exist for expired state to flush (got {n_sentinels})"
         )
-    stage = staging_dir("sbp-staged-events-", kind="state")
     src = os.path.join(sf_dir, "events.parquet")
     if not os.path.isfile(src):
         raise ValueError(
@@ -178,6 +177,16 @@ def events_stream_staged(
             "events_stream (staged batch accounting assumes one data "
             "file per the docstring)"
         )
+    # The staged dir holds a full COPY of the data file (corpus-scaled,
+    # unlike the checkpoint dirs' tiny metadata), so pass its size as
+    # the placement hint: on a host whose tmpfs cannot hold it (64 MB
+    # Docker /dev/shm, a big SF) the stage falls back to the disk root
+    # instead of ENOSPC-ing mid-drain or silently eating executor RAM
+    # (round-12 advisor's finding).
+    stage = staging_dir(
+        "sbp-staged-events-", kind="state",
+        size_hint_bytes=os.path.getsize(src),
+    )
     dst = os.path.join(stage, "00-events.parquet")
     shutil.copyfile(src, dst)
     unit = _events_ts_unit(sf_dir) or "ns"
