@@ -19,9 +19,52 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from streamandbatchprocessing_spark.queries import QUERIES  # noqa: E402
+from streamandbatchprocessing_spark.queries.registry import (  # noqa: E402
+    release_session_artifacts,
+)
 from streamandbatchprocessing_spark.session import build_spark  # noqa: E402
 
 WARMUP_DIR = "/root/testdata/sf0.001"
+
+#: Session-lifetime artifacts (pipeline checkpoints: signatures,
+#: candidate stream, token sets, ANN index, PQ encoding, truth panel)
+#: built EXPLICITLY between the headline reps and the extras sweep, so
+#: each build's cost is its own sidecar entry instead of riding inside
+#: whichever extra happens to consume it first (round 13, the round-12
+#: verdict's #2: "artifact-before-consumers ordering so first-consumer
+#: build costs are attributable"). Purely a measurement-attribution
+#: change: the same builds ran inside the same timed session before,
+#: the extras just recorded build+query fused for the first consumer
+#: (e.g. r13-baseline c14 6.99 s = toksets+count build + a ~1 s query).
+#: Nothing persists across bench runs — every invocation still builds
+#: from the parquet inputs.
+def _artifact_builders():
+    from streamandbatchprocessing_spark.queries import dedup, similarity
+
+    return [
+        ("sig", dedup.shared_sig),
+        ("pairs", dedup.shared_pairs),
+        ("pairs_count", dedup.shared_pairs_count),
+        ("toksets", dedup.shared_toksets),
+        ("shingles", dedup.shared_shingles),
+        ("simhash_fp", dedup.shared_simhash_fp),
+        ("quantized_vectors", similarity._quantized_vectors),
+        ("sq_dim_stats", similarity._sq_dim_stats),
+        ("kmeans_index", similarity._shared_kmeans),
+        ("pq_encoded", similarity._pq_encoded),
+        ("pq_adc_scores", similarity._pq_adc_scores),
+        ("exact_truth_panel", similarity._exact_truth_panel),
+    ]
+
+
+def _materialize_value(value) -> None:
+    """Force a (possibly lazily-persisted) artifact's cache to fill so
+    the build phase, not the first consumer, pays it."""
+    from pyspark.sql import DataFrame
+
+    for part in value if isinstance(value, tuple) else (value,):
+        if isinstance(part, DataFrame):
+            part.write.format("noop").mode("overwrite").save()
 
 # Headline set: the scan/agg spine, the join surface, windows, and each
 # extension family. Keep this stable round-to-round so BENCH_r{N}.json
@@ -259,6 +302,14 @@ def main() -> None:
             _run(spark, name, WARMUP_DIR)
         except Exception:
             pass
+    # Evict the warmup SF's session artifacts before the timed reps
+    # (round 13, the round-12 verdict's #5): the variants cap is per
+    # (app, sf_dir, kind), so the sf0.001 warmup artifacts were never
+    # evicted and sat in storage memory alongside the sf0.1 ones for
+    # the whole timed run — suspected contributor to c02's headline
+    # flap. JIT/codegen warmth is unaffected; the sf0.1 artifacts are
+    # (re)built inside the timed region exactly as before.
+    release_session_artifacts(spark.sparkContext.applicationId)
     # Best-of-N headline loop (see the HEADLINE comment): per-query
     # minima are load-robust against the sandbox's ambient host-load
     # swings; per-rep totals are kept for the spread record. Session
@@ -290,7 +341,25 @@ def main() -> None:
     extra_reps = max(
         1, int(os.environ.get("SPARK_GRAFT_BENCH_EXTRA_REPS", "2"))
     )
+    # Artifact prebuild phase (see _artifact_builders): each build's
+    # cost becomes attributable sidecar data, extras then record the
+    # warm marginal cost of every consumer. Probe + loadavg at the
+    # phase boundaries (round-12 verdict's #2: the r12 32-core extras
+    # were 5-11x load-inflated on untouched queries and the record had
+    # no self-adjudication marker outside the headline loop).
+    phase_probe: dict[str, float] = {}
+    phase_probe["pre_artifacts"] = round(_probe(spark), 3)
+    artifact_build: dict[str, float] = {}
+    for aname, builder in _artifact_builders():
+        try:
+            t0 = time.perf_counter()
+            _materialize_value(builder(spark, sf_dir))
+            artifact_build[aname] = round(time.perf_counter() - t0, 3)
+        except Exception:
+            artifact_build[aname] = -1.0
+    phase_probe["pre_extras"] = round(_probe(spark), 3)
     extra: dict[str, float] = {}
+    extra_loadavg_1m: dict[str, float] = {}
     for name in extra_names:
         try:
             extra[name] = round(
@@ -302,6 +371,9 @@ def main() -> None:
             # tests/test_bench_contract.py asserts every extra >= 0, so a
             # failing extra fails the contract test and must be fixed.
             extra[name] = -1.0
+        la = _loadavg()
+        extra_loadavg_1m[name] = la[0] if la else -1.0
+    phase_probe["post_extras"] = round(_probe(spark), 3)
     total = round(sum(timings.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # The tracked-but-not-headline timings go to their own earlier stdout
@@ -313,6 +385,9 @@ def main() -> None:
                "headline_run_totals": run_totals, "reps": reps,
                "extra_reps": extra_reps,
                "rep_loadavg": rep_loadavg, "rep_probe_secs": rep_probe,
+               "artifact_build_secs": artifact_build,
+               "phase_probe_secs": phase_probe,
+               "extra_loadavg_1m": extra_loadavg_1m,
                "final_loadavg": _loadavg()}
     print(json.dumps(sidecar))
     try:

@@ -58,6 +58,19 @@ def test_bench_emits_compact_final_headline_line():
     assert len(extras["rep_probe_secs"]) == 3
     assert all(p > 0 for p in extras["rep_probe_secs"])
     assert len(extras["final_loadavg"]) == 3
+    # Round 13 (the round-12 verdict's #2): artifact builds are their
+    # own timed phase so first-consumer extras record marginal cost,
+    # and the extras sweep carries its own load self-adjudication
+    # markers (phase-boundary probes + per-extra 1-min loadavg).
+    assert extras["artifact_build_secs"], extras
+    assert all(v >= 0 for v in extras["artifact_build_secs"].values()), (
+        extras["artifact_build_secs"]
+    )
+    assert set(extras["phase_probe_secs"]) == {
+        "pre_artifacts", "pre_extras", "post_extras"
+    }
+    assert all(p > 0 for p in extras["phase_probe_secs"].values())
+    assert set(extras["extra_loadavg_1m"]) == set(extras["extra"])
 
     payload = json.loads(lines[-1])
     assert payload["metric"] == "headline_query_wall_time_total"
