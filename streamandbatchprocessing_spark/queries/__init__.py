@@ -220,10 +220,25 @@ from .registry import ORACLES, QUERIES
 #: strict-oracle tests. The evicted round-2/3 freshness fills (b01–b29 set, g01,
 #: g02, g04–g07) are unchanged-since-verdict, replica-green, and next
 #: in line for round 13.
+#: Round-13 rotation (the round-12 verdict's #9, same c18 precedent):
+#: CORRECTNESS_r12 greened all 50 round-12 entries; the queries whose
+#: physical build changed THIS round rotate in for fresh verdicts —
+#: c15 (reads the session-shared signature artifact instead of an
+#: inline rebuild) and, per the round-9 "rewritten plumbing" rule, the
+#: candidate-stream representatives c14 (first consumer: sig + pairs +
+#: count artifacts) and c20 (heaviest consumer: pairs + toksets) after
+#: the artifact's materialization function gained the round-13
+#: reliable-checkpoint regime gate (the local-master path compiles to
+#: the identical round-12 plan — pinned by tests/test_plans.py — but
+#: the build changed, so they earn fresh verdicts). They swap out
+#: three r12-green entries unchanged since their verdict: a03 (a02/
+#: a04–a09 keep the family covered in-window), e06 (e13/e17/e19/e21
+#: keep textops covered), g03 (g08–g12/g17/g35–g37 keep analytics
+#: covered); all three stay registered with their strict-oracle tests.
 PRIORITY_ORDER: tuple[str, ...] = (
     # stale-error set (round-11 verdict #1): last official record is
     # the round-3 loader error; last official green round 2
-    "a02_type_category_grid", "a03_type_share",
+    "a02_type_category_grid",
     "a04_user_segmentation", "a05_anomaly_hotspots",
     "a06_hourly_trends", "a07_type_performance",
     "a08_user_velocity", "a09_dashboard_windows",
@@ -234,14 +249,15 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "b07_priority_rollup", "b16_returnflag_cube",
     "b32_partition_pruned_scan", "b33_dynamic_partition_prune",
     "c11_quantile_sketch", "c13_bloom_prefilter",
-    "c18_blocked_fuzzy_match",
+    "c14_minhash_calibration", "c15_band_canonical_keep_best",
+    "c18_blocked_fuzzy_match", "c20_containment_pairs",
     "d05_sq8_topk",
     "d06_pq_adc_topk", "d19_pq_code_utilization",
     "d22_nearest_centroid_confusion", "d23_pq_distortion_profile",
     "e13_bigram_lm_scores", "e19_collocation_lift",
     "f04_stateful_user_totals", "f06_idle_key_eviction",
     "f12_stream_full_outer_join",
-    "g03_acctbal_dispersion", "g11_user_funnel",
+    "g11_user_funnel",
     "g17_time_weighted_value", "g35_purchase_frequency_curve",
     "g36_order_value_reconciliation", "g37_order_status_consistency",
     "m02_payload_features_pandas", "m10_chunk_dedup_profile",
@@ -250,7 +266,7 @@ PRIORITY_ORDER: tuple[str, ...] = (
     "p24_split_balance_audit", "p26_split_leakage_audit",
     # oracle text changed this round (json_valid / concat_ws /
     # NULLS FIRST / empty-coalesce pins) — same Spark build
-    "e06_language_id", "e17_trigram_novelty",
+    "e17_trigram_novelty",
     "e21_source_language_purity", "g08_part_name_features",
     "m01_binary_payload_stats", "p11_column_profile",
     "p16_budget_apportionment",

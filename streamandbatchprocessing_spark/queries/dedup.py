@@ -1704,11 +1704,19 @@ def c15_band_canonical_keep_best(
     columns (same key the LSH join uses); the keep-best choice is a
     single max(struct(quality, -doc_id)) aggregate — NO window, no
     per-bucket sort, mergeable map-side. Output is bounded by the
-    number of colliding buckets, never pairs."""
+    number of colliding buckets, never pairs.
+
+    Round 13: reads the session-shared signature artifact instead of
+    rebuilding ``_sig_df`` inline — the one consumer the round-12
+    artifact sweep missed (same rows by construction, pinned by
+    tests/test_session_artifacts.py's rebuild-equality test); the
+    corpus tokenize+md5+min pass was re-run on every invocation.
+    Interleaved A/B at sf0.1 (bit-identical output asserted): warm
+    noop 1.039 -> 0.849 s min-of-3."""
     from .textops import quality_score_col, quality_scored_docs
 
     docs = load_table(spark, sf_dir, "documents")
-    sig = _sig_df(docs)
+    sig = shared_sig(spark, sf_dir)
     scored = quality_scored_docs(docs).select(
         "doc_id", quality_score_col().alias("quality_score")
     )

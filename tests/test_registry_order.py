@@ -92,6 +92,16 @@ precedent. All 49 rotated-out entries are r10+r11 double-green and
 unchanged since their verdict; the c/d/e/f/m/p families cede window
 coverage for one round, covered by the full-registry replica +
 perturbation sweep recorded in COVERAGE.md.
+
+Round-13 window policy: CORRECTNESS_r12 greened all 50 round-12
+entries, so only this round's physically-changed queries rotate in —
+c15 (session-shared signature artifact instead of an inline rebuild)
+plus the candidate-stream representatives c14 and c20 (the pairs
+artifact's materialization function gained the reliable-checkpoint
+regime gate; local-master plans pinned identical, but the build
+changed — the round-9 precedent). Rotated out: a03, e06, g03 (each
+r12-green, unchanged since its verdict, family-covered in-window,
+local strict-oracle test retained).
 """
 
 from streamandbatchprocessing_spark.queries import ORACLES, PRIORITY_ORDER, QUERIES
@@ -141,39 +151,22 @@ def test_every_never_scored_query_inside_scoring_window():
     assert not out, f"never-scored queries outside driver scoring window: {out}"
 
 
-#: Round-12: queries whose physical build OR oracle text changed after
-#: their last driver verdict — each must hold a window slot until
-#: CORRECTNESS_r12 re-greens it. Early round 12: c18 (planner-derived
-#: probe-regime gate). Late round 12 (degenerate-input hardening,
-#: COVERAGE.md): the null/empty-semantics fixes across eight families.
-#: Documented exceptions WITHOUT slots (real-data plans bit-identical,
-#: builds covered by in-window siblings on the same artifact path,
-#: replica-green): d03 (empty-panel guard mirroring d05's), d15
-#: (shares _pq_adc_scores with d06) and f08 (shares the staged source
-#: + interval join with f12).
+#: Round-13: queries whose physical build changed after their last
+#: driver verdict — each must hold a window slot until
+#: CORRECTNESS_r13 re-greens it. (The round-12 set all got their fresh
+#: verdicts in CORRECTNESS_r12 — 50/50 green — so the list turns
+#: over.) c15 reads the session-shared signature artifact instead of
+#: an inline rebuild; c14 and c20 are the candidate-stream
+#: representatives after the pairs artifact's materialization function
+#: gained the reliable-checkpoint regime gate (local-master plans
+#: pinned identical, but the build changed — the round-9 "rewritten
+#: plumbing" precedent). Swapped out for them: a03, e06, g03 — each
+#: r12-green, unchanged since, family-covered in-window, and keeping
+#: its local strict-oracle test.
 _REWRITTEN_NEED_FRESH_VERDICT = (
-    "b07_priority_rollup", "b16_returnflag_cube",
-    "b32_partition_pruned_scan", "b33_dynamic_partition_prune",
-    "c11_quantile_sketch",
-    "c13_bloom_prefilter", "c18_blocked_fuzzy_match",
-    "d05_sq8_topk", "d06_pq_adc_topk",
-    "d19_pq_code_utilization", "d22_nearest_centroid_confusion",
-    "d23_pq_distortion_profile",
-    "e06_language_id", "e13_bigram_lm_scores", "e17_trigram_novelty",
-    "e19_collocation_lift", "e21_source_language_purity",
-    "f04_stateful_user_totals", "f06_idle_key_eviction",
-    "f12_stream_full_outer_join",
-    "g03_acctbal_dispersion", "g08_part_name_features",
-    "g10_json_extraction", "g11_user_funnel",
-    "g17_time_weighted_value", "g35_purchase_frequency_curve",
-    "g36_order_value_reconciliation", "g37_order_status_consistency",
-    "m01_binary_payload_stats", "m02_payload_features_pandas",
-    "m10_chunk_dedup_profile",
-    "p04_stratified_sample", "p11_column_profile",
-    "p13_curriculum_buckets", "p16_budget_apportionment",
-    "p19_dataset_card", "p22_quality_survival_curve",
-    "p24_split_balance_audit", "p26_split_leakage_audit",
-    "a02_type_category_grid", "a05_anomaly_hotspots",
+    "c14_minhash_calibration",
+    "c15_band_canonical_keep_best",
+    "c20_containment_pairs",
 )
 
 
